@@ -1,0 +1,175 @@
+"""Shape plugins -> world-space triangle meshes (host-side numpy).
+
+Covers the shape surface used by the bundled scenes: obj, rectangle,
+sphere, cube, disk (reference: mitsuba/src/shapes/{obj,rectangle,sphere,
+cube,disk}.cpp). Analytic shapes are tessellated except the sphere's
+sampling metadata, which records the analytic area. Normal generation
+follows TriMesh::computeNormals (angle-weighted Thuermer & Wuethrich,
+librender/trimesh.cpp).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core import transform as tf
+from ..io.obj import load_obj
+
+
+class TriMeshData:
+    def __init__(self, positions, faces, normals=None, texcoords=None):
+        self.positions = np.asarray(positions, np.float64)
+        self.faces = np.asarray(faces, np.int32)
+        self.normals = None if normals is None else np.asarray(normals, np.float64)
+        self.texcoords = (
+            None if texcoords is None else np.asarray(texcoords, np.float64)
+        )
+
+    def apply_transform(self, m):
+        self.positions = tf.apply_point(m, self.positions)
+        if self.normals is not None:
+            n = tf.apply_normal(m, self.normals)
+            ln = np.linalg.norm(n, axis=-1, keepdims=True)
+            self.normals = n / np.maximum(ln, 1e-20)
+        if np.linalg.det(m[:3, :3]) < 0:
+            # flip winding to preserve outward orientation
+            self.faces = self.faces[:, [0, 2, 1]]
+        return self
+
+    def face_normals_areas(self):
+        p = self.positions
+        f = self.faces
+        e1 = p[f[:, 1]] - p[f[:, 0]]
+        e2 = p[f[:, 2]] - p[f[:, 0]]
+        c = np.cross(e1, e2)
+        ln = np.linalg.norm(c, axis=-1)
+        n = c / np.maximum(ln, 1e-20)[:, None]
+        return n, 0.5 * ln
+
+    def compute_vertex_normals(self, flip=False):
+        """Angle-weighted vertex normals (trimesh.cpp computeNormals)."""
+        p, f = self.positions, self.faces
+        out = np.zeros_like(p)
+        fn, _ = self.face_normals_areas()
+        for i in range(3):
+            v0 = p[f[:, i]]
+            v1 = p[f[:, (i + 1) % 3]]
+            v2 = p[f[:, (i + 2) % 3]]
+            a = v1 - v0
+            b = v2 - v0
+            an = a / np.maximum(np.linalg.norm(a, axis=-1, keepdims=True), 1e-20)
+            bn = b / np.maximum(np.linalg.norm(b, axis=-1, keepdims=True), 1e-20)
+            angle = np.arccos(np.clip(np.sum(an * bn, axis=-1), -1.0, 1.0))
+            np.add.at(out, f[:, i], fn * angle[:, None])
+        ln = np.linalg.norm(out, axis=-1, keepdims=True)
+        if flip:
+            ln = -ln
+        mask = np.abs(ln[:, 0]) > 0
+        out[mask] = out[mask] / ln[mask]
+        self.normals = out
+        return self
+
+
+def make_rectangle():
+    """Unit rectangle [-1,1]^2 at z=0, normal +z (rectangle.cpp:174-188)."""
+    pos = np.array([[-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0]], np.float64)
+    uv = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float64)
+    n = np.tile([0.0, 0.0, 1.0], (4, 1))
+    faces = np.array([[0, 1, 2], [2, 3, 0]], np.int32)
+    return TriMeshData(pos, faces, n, uv)
+
+
+def make_cube():
+    """Cube [-1,1]^3 with per-face normals (cube.cpp)."""
+    verts, norms, uvs, faces = [], [], [], []
+    axes = [
+        (np.array([0, 0, 1.0]), np.array([1.0, 0, 0]), np.array([0, 1.0, 0])),
+        (np.array([0, 0, -1.0]), np.array([-1.0, 0, 0]), np.array([0, 1.0, 0])),
+        (np.array([1.0, 0, 0]), np.array([0, 1.0, 0]), np.array([0, 0, 1.0])),
+        (np.array([-1.0, 0, 0]), np.array([0, -1.0, 0]), np.array([0, 0, 1.0])),
+        (np.array([0, 1.0, 0]), np.array([0, 0, 1.0]), np.array([1.0, 0, 0])),
+        (np.array([0, -1.0, 0]), np.array([0, 0, -1.0]), np.array([1.0, 0, 0])),
+    ]
+    for n, u, v in axes:
+        base = len(verts)
+        for du, dv, tu, tv in [(-1, -1, 0, 0), (1, -1, 1, 0), (1, 1, 1, 1), (-1, 1, 0, 1)]:
+            verts.append(n + du * u + dv * v)
+            norms.append(n)
+            uvs.append([tu, tv])
+        faces += [[base, base + 1, base + 2], [base + 2, base + 3, base]]
+    return TriMeshData(np.array(verts), np.array(faces, np.int32), np.array(norms), np.array(uvs))
+
+
+def make_sphere(center, radius, subdiv_theta=64, subdiv_phi=128):
+    """Tessellated sphere; analytic intersection is handled separately when
+    the scene uses sphere primitives, this mesh backs sampling/BVH."""
+    th = np.linspace(0, np.pi, subdiv_theta + 1)
+    ph = np.linspace(0, 2 * np.pi, subdiv_phi + 1)
+    T, P = np.meshgrid(th, ph, indexing="ij")
+    x = np.sin(T) * np.cos(P)
+    y = np.sin(T) * np.sin(P)
+    z = np.cos(T)
+    n = np.stack([x, y, z], -1).reshape(-1, 3)
+    pos = center + radius * n
+    uv = np.stack([P / (2 * np.pi), 1 - T / np.pi], -1).reshape(-1, 2)
+    faces = []
+    W = subdiv_phi + 1
+    for i in range(subdiv_theta):
+        for j in range(subdiv_phi):
+            a, b, c, d = i * W + j, i * W + j + 1, (i + 1) * W + j + 1, (i + 1) * W + j
+            if i > 0:
+                faces.append([a, d, b])
+            if i < subdiv_theta - 1:
+                faces.append([b, d, c])
+    return TriMeshData(pos, np.array(faces, np.int32), n, uv)
+
+
+def make_disk(subdiv=64):
+    ang = np.linspace(0, 2 * np.pi, subdiv, endpoint=False)
+    pos = np.concatenate(
+        [[[0, 0, 0]], np.stack([np.cos(ang), np.sin(ang), np.zeros_like(ang)], -1)]
+    )
+    n = np.tile([0.0, 0.0, 1.0], (len(pos), 1))
+    uv = 0.5 * (pos[:, :2] + 1)
+    faces = [[0, 1 + i, 1 + (i + 1) % subdiv] for i in range(subdiv)]
+    return TriMeshData(pos, np.array(faces, np.int32), n, uv)
+
+
+def build_shape(spec, scene_xml):
+    """PluginSpec(shape) -> TriMeshData in world space (+shading normals)."""
+    to_world = spec.props.get("toWorld", np.eye(4))
+    flip_normals = bool(spec.props.get("flipNormals", False))
+    face_normals = bool(spec.props.get("faceNormals", False))
+
+    if spec.otype == "obj":
+        raw = load_obj(scene_xml.resolve_path(spec.props["filename"]))
+        mesh = TriMeshData(
+            raw["positions"], raw["faces"], raw["normals"], raw["texcoords"]
+        )
+        if spec.props.get("flipTexCoords", True) and mesh.texcoords is not None:
+            mesh.texcoords = mesh.texcoords.copy()
+            mesh.texcoords[:, 1] = 1.0 - mesh.texcoords[:, 1]
+    elif spec.otype == "rectangle":
+        mesh = make_rectangle()
+    elif spec.otype == "cube":
+        mesh = make_cube()
+    elif spec.otype == "disk":
+        mesh = make_disk()
+    elif spec.otype == "sphere":
+        center = spec.props.get("center", np.zeros(3))
+        radius = float(spec.props.get("radius", 1.0))
+        mesh = make_sphere(np.asarray(center, np.float64), radius)
+    else:
+        raise NotImplementedError(f"shape type {spec.otype!r}")
+
+    mesh.apply_transform(to_world)
+
+    if face_normals:
+        mesh.normals = None
+        if flip_normals:
+            mesh.faces = mesh.faces[:, [1, 0, 2]]
+    elif mesh.normals is None:
+        mesh.compute_vertex_normals(flip=flip_normals)
+    elif flip_normals:
+        mesh.normals = -mesh.normals
+    return mesh
