@@ -1,0 +1,140 @@
+"""Binned-SAH BVH2 builder with a threaded (stackless) layout.
+
+Plays the role of the reference's SAH kd-tree (mitsuba/include/mitsuba/
+render/gkdtree.h, skdtree.h) but as a BVH emitted in DFS order with
+hit/miss links, which turns traversal into a branch-free index walk —
+the idiomatic shape for SIMD/TPU wavefront traversal (no pointer chasing,
+no per-lane stack). Built host-side in numpy; consumed by
+accel.traverse as flat arrays.
+
+Layout (node i):
+  node_min/max [N,3] : AABB
+  is_leaf      [N]   : bool
+  leaf_off/cnt [N]   : range into prim_ids for leaves
+  miss        [N]    : node index to jump to when the AABB test fails
+                       (or after finishing a leaf); N means "done"
+  hit (implicit)     : i+1 in DFS order for internal nodes
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MAX_LEAF = 4
+N_BINS = 16
+
+
+def build_bvh(positions, faces, max_leaf=MAX_LEAF):
+    F = len(faces)
+    if F == 0:
+        return dict(
+            node_min=np.zeros((1, 3), np.float32),
+            node_max=np.zeros((1, 3), np.float32),
+            is_leaf=np.array([True]),
+            leaf_off=np.zeros(1, np.int32),
+            leaf_cnt=np.zeros(1, np.int32),
+            miss=np.array([1], np.int32),
+            prim_ids=np.zeros(0, np.int32),
+        )
+    v = positions[faces]  # [F, 3, 3]
+    tmin = v.min(axis=1)
+    tmax = v.max(axis=1)
+    cent = (tmin + tmax) * 0.5
+
+    prim_ids = []
+    nodes = []  # dicts: min,max,leaf(off,cnt) or child2
+
+    def make_node(idx):
+        lo = tmin[idx].min(axis=0)
+        hi = tmax[idx].max(axis=0)
+        ni = len(nodes)
+        nodes.append({"min": lo, "max": hi, "left": -1, "right": -1, "off": -1, "cnt": 0})
+        if len(idx) <= max_leaf:
+            nodes[ni]["off"] = len(prim_ids)
+            nodes[ni]["cnt"] = len(idx)
+            prim_ids.extend(idx.tolist())
+            return ni
+
+        # binned SAH over the largest-extent axis set; pick best split
+        best = None
+        c = cent[idx]
+        clo, chi = c.min(axis=0), c.max(axis=0)
+        ext = chi - clo
+        for axis in range(3):
+            if ext[axis] <= 0:
+                continue
+            scale = N_BINS * (1.0 - 1e-6) / ext[axis]
+            b = ((c[:, axis] - clo[axis]) * scale).astype(np.int32)
+            # bin bounds and counts
+            cnts = np.bincount(b, minlength=N_BINS)
+            bin_lo = np.full((N_BINS, 3), np.inf)
+            bin_hi = np.full((N_BINS, 3), -np.inf)
+            for k in range(N_BINS):
+                sel = b == k
+                if cnts[k]:
+                    bin_lo[k] = tmin[idx][sel].min(axis=0)
+                    bin_hi[k] = tmax[idx][sel].max(axis=0)
+
+            def sa(lo, hi):
+                d = np.maximum(hi - lo, 0)
+                return d[..., 0] * d[..., 1] + d[..., 1] * d[..., 2] + d[..., 0] * d[..., 2]
+
+            # prefix/suffix sweeps
+            lcnt = np.cumsum(cnts)[:-1]
+            rcnt = len(idx) - lcnt
+            llo = np.minimum.accumulate(bin_lo, axis=0)[:-1]
+            lhi = np.maximum.accumulate(bin_hi, axis=0)[:-1]
+            rlo = np.minimum.accumulate(bin_lo[::-1], axis=0)[::-1][1:]
+            rhi = np.maximum.accumulate(bin_hi[::-1], axis=0)[::-1][1:]
+            cost = sa(llo, lhi) * lcnt + sa(rlo, rhi) * rcnt
+            cost[lcnt == 0] = np.inf
+            cost[rcnt == 0] = np.inf
+            k = int(np.argmin(cost))
+            if np.isfinite(cost[k]) and (best is None or cost[k] < best[0]):
+                best = (cost[k], axis, k, b)
+
+        if best is None:
+            # degenerate: all centroids coincide -> median split
+            order = np.argsort(cent[idx][:, 0], kind="stable")
+            half = len(idx) // 2
+            left_idx, right_idx = idx[order[:half]], idx[order[half:]]
+        else:
+            _, axis, k, b = best
+            left_idx = idx[b <= k]
+            right_idx = idx[b > k]
+
+        nodes[ni]["left"] = make_node(left_idx)
+        nodes[ni]["right"] = make_node(right_idx)
+        return ni
+
+    import sys
+
+    old = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old, 10 + 4 * F))
+    make_node(np.arange(F))
+    sys.setrecursionlimit(old)
+
+    # DFS order is construction order (children created right after parent,
+    # left subtree fully before right). Compute miss links.
+    N = len(nodes)
+    miss = np.full(N, N, np.int32)
+
+    def link(i, m):
+        miss[i] = m
+        if nodes[i]["left"] >= 0:
+            link(nodes[i]["left"], nodes[i]["right"])
+            link(nodes[i]["right"], m)
+
+    sys.setrecursionlimit(max(old, 10 + 4 * F))
+    link(0, N)
+    sys.setrecursionlimit(old)
+
+    return dict(
+        node_min=np.array([n["min"] for n in nodes], np.float32),
+        node_max=np.array([n["max"] for n in nodes], np.float32),
+        is_leaf=np.array([n["left"] < 0 for n in nodes]),
+        leaf_off=np.array([max(n["off"], 0) for n in nodes], np.int32),
+        leaf_cnt=np.array([n["cnt"] for n in nodes], np.int32),
+        miss=miss,
+        prim_ids=np.array(prim_ids, np.int32),
+    )

@@ -81,21 +81,47 @@ class InterpolatedSpectrum:
         return self
 
     def eval(self, lam):
-        return np.interp(lam, self.wl, self.v, left=0.0, right=0.0)
+        """Pointwise evaluation replicating the reference's
+        InterpolatedSpectrum::eval (spectrum.cpp:689-711) — which passes its
+        interpolants to math::lerp in REVERSED order, so every segment is
+        linearly interpolated backwards: eval(a..b) runs from f(b) to f(a).
+        This quirk measurably changes the RGB conversion of coarse spectra
+        (e.g. the cbox emitter, knots every 100nm) and must be replicated
+        for golden-image parity. Exact knot hits return the knot value."""
+        lam = np.asarray(lam, np.float64)
+        out = np.zeros_like(lam)
+        inside = (lam >= self.wl[0]) & (lam <= self.wl[-1])
+        seg = np.clip(np.searchsorted(self.wl, lam, "right") - 1, 0, len(self.wl) - 2)
+        a, b = self.wl[seg], self.wl[seg + 1]
+        fa, fb = self.v[seg], self.v[seg + 1]
+        t = (lam - a) / (b - a)
+        out = np.where(inside, (1.0 - t) * fb + t * fa, 0.0)  # reversed lerp
+        exact = inside & np.isin(lam, self.wl)
+        if np.any(exact):
+            idx = np.searchsorted(self.wl, lam)
+            out = np.where(exact, self.v[np.clip(idx, 0, len(self.v) - 1)], out)
+        return out
 
 
 def _product_average(spec: InterpolatedSpectrum, cie_vals, cie_wl):
     """Average of spec(lambda)*cie(lambda) over the CIE range, matching the
-    piecewise-linear product integration of the reference (spectrum.cpp:176-181).
-    Integrates on the union of both sample grids; the product of two linear
-    segments is quadratic, handled exactly with Simpson per sub-interval."""
+    reference's ProductSpectrum + Gauss-Lobatto integration
+    (spectrum.cpp:176-181,546-569) including the reversed-lerp eval quirk.
+    Integrates on the union of both sample grids; within each sub-interval
+    both factors are linear (reversed or not), the product is quadratic,
+    handled exactly with Simpson. Knot discontinuities are measure-zero, so
+    endpoints are evaluated via the containing segment's formula."""
     lo, hi = cie_wl[0], cie_wl[-1]
     grid = np.union1d(np.clip(spec.wl, lo, hi), cie_wl)
-    mid = 0.5 * (grid[:-1] + grid[1:])
-    fa = spec.eval(grid[:-1]) * np.interp(grid[:-1], cie_wl, cie_vals)
-    fm = spec.eval(mid) * np.interp(mid, cie_wl, cie_vals)
-    fb = spec.eval(grid[1:]) * np.interp(grid[1:], cie_wl, cie_vals)
-    integral = np.sum((grid[1:] - grid[:-1]) / 6.0 * (fa + 4 * fm + fb))
+    cie = InterpolatedSpectrum(cie_wl, cie_vals)
+    g0, g1 = grid[:-1], grid[1:]
+    mid = 0.5 * (g0 + g1)
+    # evaluate endpoint limits from within each sub-interval (nudge inward)
+    h = (g1 - g0) * 1e-7
+    fa = spec.eval(g0 + h) * cie.eval(g0 + h)
+    fm = spec.eval(mid) * cie.eval(mid)
+    fb = spec.eval(g1 - h) * cie.eval(g1 - h)
+    integral = np.sum((g1 - g0) / 6.0 * (fa + 4 * fm + fb))
     return integral / (hi - lo)
 
 

