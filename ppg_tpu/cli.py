@@ -1,0 +1,95 @@
+"""Command-line renderer, the equivalent of the reference `mitsuba` CLI
+(src/mitsuba/mitsuba.cpp:60-251): scene XML in, EXR out, with -D parameter
+substitution, -o output override, -L log level, -x skip-existing, and
+multiple scenes rendered in sequence. Scheduler flags (-p/-c/-s) map to
+the TPU device mesh instead of worker threads/cluster nodes.
+
+Usage:
+  python -m ppg_tpu.cli scene.xml [scene2.xml ...] [-D key=value]
+      [-o out.exr] [-L level] [-x] [--spp N] [--seed N] [--chunk N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="ppg", description="TPU-native practical path guiding renderer"
+    )
+    ap.add_argument("scenes", nargs="+", help="Mitsuba scene XML file(s)")
+    ap.add_argument("-D", dest="defines", action="append", default=[],
+                    metavar="key=value", help="scene parameter ($key)")
+    ap.add_argument("-o", dest="output", default=None,
+                    help="output EXR (default: scene name .exr)")
+    ap.add_argument("-L", dest="log_level", default="info",
+                    help="log level (trace/debug/info/warn/error)")
+    ap.add_argument("-x", dest="skip_existing", action="store_true",
+                    help="skip scenes whose output already exists")
+    ap.add_argument("--spp", type=int, default=None,
+                    help="override the sample budget (budgetType=spp)")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--chunk", type=int, default=1 << 16,
+                    help="wavefront lanes per launch")
+    ap.add_argument("--integrator", default=None,
+                    help="override integrator type (path / guided_path)")
+    ap.add_argument("--dump-sdtree", action="store_true",
+                    help="dump per-iteration .sdt snapshots")
+    args = ap.parse_args(argv)
+
+    from .utils.logging import log, set_level
+
+    set_level(args.log_level)
+
+    defaults = {}
+    for d in args.defines:
+        if "=" not in d:
+            ap.error(f"-D expects key=value, got {d!r}")
+        k, v = d.split("=", 1)
+        defaults[k] = v
+
+    from .io import exr
+    from .scene.scene import load_scene
+
+    for scene_path in args.scenes:
+        out = args.output or os.path.splitext(scene_path)[0] + ".exr"
+        if args.skip_existing and os.path.exists(out):
+            log(f"skipping {scene_path} (output exists)")
+            continue
+        log(f"loading {scene_path}")
+        sc = load_scene(scene_path, defaults)
+        itype = args.integrator or sc.integrator.get("type", "path")
+        log(f"rendering with integrator={itype} "
+            f"{sc.film['width']}x{sc.film['height']}")
+
+        if itype in ("guided_path",):
+            from .integrators.guided import GuidedPathTracer
+
+            overrides = {}
+            if args.dump_sdtree:
+                overrides["dumpSDTree"] = True
+            gpt = GuidedPathTracer(sc, chunk=args.chunk, overrides=overrides)
+            gpt.dump_path = os.path.splitext(out)[0]
+            img = gpt.render(seed=args.seed, spp_budget=args.spp)
+        elif itype in ("path", "volpath", "volpath_simple", "direct"):
+            from .integrators.driver import make_config, render
+
+            spp = args.spp or int(sc.sampler.get("sampleCount", 16))
+            md = 2 if itype == "direct" else None
+            cfg = make_config(sc, guiding=False,
+                              **({"max_depth": md} if md else {}))
+            img = render(sc, spp=spp, seed=args.seed, chunk=args.chunk, cfg=cfg)
+        else:
+            raise SystemExit(f"unsupported integrator {itype!r}")
+
+        exr.write(out, np.asarray(img, np.float32))
+        log(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

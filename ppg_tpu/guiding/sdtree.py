@@ -238,6 +238,196 @@ def sampling_fraction(sdt: SDTreeArrays, dtree_id):
 
 
 # ---------------------------------------------------------------------------
+# Box-filter splats (bounded per-lane stacks)
+# ---------------------------------------------------------------------------
+
+D_STACK = 48  # directional box-filter stack capacity per record
+S_STACK = 24  # spatial box-filter stack capacity per record
+S_TARGETS = 16  # max spatial leaves one record can splat into
+
+
+def _depth_at(q_child, root, p):
+    """Leaf depth (root leaf = 1) at canonical point p (DTree::depthAt)."""
+
+    def cond(st):
+        _, _, _, done = st
+        return jnp.any(~done)
+
+    def body(st):
+        node, p, depth, done = st
+        q, p2 = _quad_index(p)
+        child = q_child[node, q]
+        leaf = child < 0
+        return (
+            jnp.where(done | leaf, node, child),
+            jnp.where((done | leaf)[..., None], p, p2),
+            jnp.where(done, depth, depth + 1),
+            done | leaf,
+        )
+
+    L = p.shape[0]
+    st = (root, p, jnp.zeros(L, jnp.int32), jnp.zeros(L, bool))
+    _, _, depth, _ = jax.lax.while_loop(cond, body, st)
+    return depth
+
+
+def dtree_box_splat(q_sum_flat, q_child, root, pc, amount, depth):
+    """QuadTreeNode::record area-overlap splat (guided_path.cpp:322-338 via
+    DTree::recordIrradiance :403-410): a box of the leaf-cell size centered
+    at pc, value density amount/size^2, distributed over overlapping leaf
+    quadrants. Bounded explicit stack per record."""
+    L = pc.shape[0]
+    size = 0.5**depth.astype(jnp.float32)
+    value = amount / jnp.maximum(size * size, 1e-38)
+    b_lo = pc - size[..., None] / 2
+    b_hi = pc + size[..., None] / 2
+
+    # stack entries: node, cell origin (x,y), cell size
+    st_node = jnp.zeros((L, D_STACK), jnp.int32)
+    st_ox = jnp.zeros((L, D_STACK), jnp.float32)
+    st_oy = jnp.zeros((L, D_STACK), jnp.float32)
+    st_sz = jnp.zeros((L, D_STACK), jnp.float32)
+    sp = jnp.ones(L, jnp.int32)
+    st_node = st_node.at[:, 0].set(root)
+    st_sz = st_sz.at[:, 0].set(1.0)
+    lanes = jnp.arange(L)
+
+    def cond(state):
+        return jnp.any(state[0] > 0)
+
+    def body(state):
+        sp, st_node, st_ox, st_oy, st_sz, q_sum_flat = state
+        act = sp > 0
+        top = jnp.maximum(sp - 1, 0)
+        node = st_node[lanes, top]
+        ox = st_ox[lanes, top]
+        oy = st_oy[lanes, top]
+        sz = st_sz[lanes, top]
+        sp = jnp.where(act, sp - 1, sp)
+
+        half = sz * 0.5
+        for q in range(4):
+            cx = ox + (half if q & 1 else 0.0)
+            cy = oy + (half if q & 2 else 0.0)
+            wx = jnp.maximum(
+                jnp.minimum(b_hi[:, 0], cx + half) - jnp.maximum(b_lo[:, 0], cx), 0.0
+            )
+            wy = jnp.maximum(
+                jnp.minimum(b_hi[:, 1], cy + half) - jnp.maximum(b_lo[:, 1], cy), 0.0
+            )
+            w = wx * wy
+            child = q_child[node, q]
+            leaf = child < 0
+            add_here = act & leaf & (w > 0)
+            q_sum_flat = q_sum_flat.at[node * 4 + q].add(
+                jnp.where(add_here, value * w, 0.0)
+            )
+            push = act & ~leaf & (w > 0) & (sp < D_STACK)
+            slot = jnp.minimum(sp, D_STACK - 1)
+            st_node = st_node.at[lanes, slot].set(
+                jnp.where(push, child, st_node[lanes, slot])
+            )
+            st_ox = st_ox.at[lanes, slot].set(jnp.where(push, cx, st_ox[lanes, slot]))
+            st_oy = st_oy.at[lanes, slot].set(jnp.where(push, cy, st_oy[lanes, slot]))
+            st_sz = st_sz.at[lanes, slot].set(jnp.where(push, half, st_sz[lanes, slot]))
+            sp = jnp.where(push, sp + 1, sp)
+        return sp, st_node, st_ox, st_oy, st_sz, q_sum_flat
+
+    state = (sp, st_node, st_ox, st_oy, st_sz, q_sum_flat)
+    state = jax.lax.while_loop(cond, body, state)
+    return state[5]
+
+
+def stree_box_targets(sdt: SDTreeArrays, p_world, voxel):
+    """Spatial box filter targets (STreeNode::record, guided_path.cpp:
+    823-839,935-943): the box [p - voxel/2, p + voxel/2] (normalized) is
+    intersected against the spatial leaves; returns up to S_TARGETS
+    (dtree_id, overlap_volume_fraction) pairs per record, where the weight
+    is overlap / voxelVolume (the statWeight /= volume rule)."""
+    L = p_world.shape[0]
+    x = normalize_pos(sdt, p_world)
+    v = voxel / sdt.aabb_size
+    b_lo = x - v / 2
+    b_hi = x + v / 2
+    vol = jnp.maximum(v[:, 0] * v[:, 1] * v[:, 2], 1e-38)
+
+    tgt_id = jnp.full((L, S_TARGETS), -1, jnp.int32)
+    tgt_w = jnp.zeros((L, S_TARGETS), jnp.float32)
+    n_tgt = jnp.zeros(L, jnp.int32)
+
+    st_node = jnp.zeros((L, S_STACK), jnp.int32)
+    st_lo = jnp.zeros((L, S_STACK, 3), jnp.float32)
+    st_sz = jnp.ones((L, S_STACK, 3), jnp.float32)
+    st_depth = jnp.zeros((L, S_STACK), jnp.int32)
+    sp = jnp.ones(L, jnp.int32)
+    lanes = jnp.arange(L)
+
+    def cond(state):
+        return jnp.any(state[0] > 0)
+
+    def body(state):
+        sp, st_node, st_lo, st_sz, st_depth, tgt_id, tgt_w, n_tgt = state
+        act = sp > 0
+        top = jnp.maximum(sp - 1, 0)
+        node = st_node[lanes, top]
+        lo = st_lo[lanes, top]
+        sz = st_sz[lanes, top]
+        depth = st_depth[lanes, top]
+        sp = jnp.where(act, sp - 1, sp)
+
+        ov = jnp.prod(
+            jnp.maximum(jnp.minimum(b_hi, lo + sz) - jnp.maximum(b_lo, lo), 0.0),
+            axis=-1,
+        )
+        dtree = sdt.s_dtree[node]
+        leaf = dtree >= 0
+        emit = act & leaf & (ov > 0) & (n_tgt < S_TARGETS)
+        slot = jnp.minimum(n_tgt, S_TARGETS - 1)
+        tgt_id = tgt_id.at[lanes, slot].set(
+            jnp.where(emit, dtree, tgt_id[lanes, slot])
+        )
+        tgt_w = tgt_w.at[lanes, slot].set(
+            jnp.where(emit, ov / vol, tgt_w[lanes, slot])
+        )
+        n_tgt = jnp.where(emit, n_tgt + 1, n_tgt)
+
+        axis = depth % 3
+        half = jnp.where(jnp.arange(3)[None, :] == axis[:, None], sz / 2, sz)
+        for c in range(2):
+            clo = jnp.where(
+                (jnp.arange(3)[None, :] == axis[:, None]) & (c == 1),
+                lo + half, lo,
+            )
+            cov = jnp.prod(
+                jnp.maximum(
+                    jnp.minimum(b_hi, clo + half) - jnp.maximum(b_lo, clo), 0.0
+                ),
+                axis=-1,
+            )
+            push = act & ~leaf & (cov > 0) & (sp < S_STACK)
+            slot2 = jnp.minimum(sp, S_STACK - 1)
+            child = sdt.s_child[node, c]
+            st_node = st_node.at[lanes, slot2].set(
+                jnp.where(push, child, st_node[lanes, slot2])
+            )
+            st_lo = st_lo.at[lanes, slot2].set(
+                jnp.where(push[:, None], clo, st_lo[lanes, slot2])
+            )
+            st_sz = st_sz.at[lanes, slot2].set(
+                jnp.where(push[:, None], half, st_sz[lanes, slot2])
+            )
+            st_depth = st_depth.at[lanes, slot2].set(
+                jnp.where(push, depth + 1, st_depth[lanes, slot2])
+            )
+            sp = jnp.where(push, sp + 1, sp)
+        return sp, st_node, st_lo, st_sz, st_depth, tgt_id, tgt_w, n_tgt
+
+    state = (sp, st_node, st_lo, st_sz, st_depth, tgt_id, tgt_w, n_tgt)
+    state = jax.lax.while_loop(cond, body, state)
+    return state[5], state[6]
+
+
+# ---------------------------------------------------------------------------
 # Splatting (training records -> building pool)
 # ---------------------------------------------------------------------------
 
@@ -258,31 +448,62 @@ def splat_records(sdt: SDTreeArrays, rec, spatial_filter="nearest",
     the box filters are handled by guiding.box_filter.
     """
     valid = rec["valid"]
-    stat_w = jnp.where(valid, rec["stat_weight"], 0.0)
+    stat_w0 = jnp.where(valid, rec["stat_weight"], 0.0)
+    irradiance0 = rec["radiance"] / jnp.maximum(rec["wo_pdf"], 1e-38)
 
-    p = rec["p"]
-    if spatial_filter == "stochastic":
-        off = (u_jitter - 0.5) * rec["voxel"]
-        p = jnp.clip(p + off, sdt.aabb_min, sdt.aabb_min + sdt.aabb_size)
+    if spatial_filter == "box":
+        # volume-overlap splat to every overlapping spatial leaf
+        tgt_ids, tgt_w = stree_box_targets(sdt, rec["p"], rec["voxel"])
+        K = tgt_ids.shape[1]
+        dtree_id = tgt_ids.reshape(-1)
+        factor = tgt_w.reshape(-1)
+        rep = lambda a: jnp.repeat(a, K, axis=0)
+        valid_e = rep(valid) & (dtree_id >= 0) & (factor > 0)
+        stat_w = rep(stat_w0) * factor
+        irradiance = rep(irradiance0)
+        d = rep(rec["d"])
+        bsdf_pdf = rep(rec["bsdf_pdf"])
+        dtree_pdf = rep(rec["dtree_pdf"])
+        wo_pdf = rep(rec["wo_pdf"])
+        product = rep(rec["product"])
+        is_delta = rep(rec["is_delta"])
+        dtree_id = jnp.maximum(dtree_id, 0)
+    else:
+        p = rec["p"]
+        if spatial_filter == "stochastic":
+            # jitter within the leaf's voxel, clip to the STree cube
+            # (Vertex::commit EStochasticBox, :1746-1762)
+            off = (u_jitter - 0.5) * rec["voxel"]
+            p = jnp.clip(p + off, sdt.aabb_min, sdt.aabb_min + sdt.aabb_size)
+        dtree_id, _ = lookup(sdt, p)
+        dtree_id = jnp.where(valid, dtree_id, 0)
+        valid_e = valid
+        stat_w = stat_w0
+        irradiance = irradiance0
+        d = rec["d"]
+        bsdf_pdf = rec["bsdf_pdf"]
+        dtree_pdf = rec["dtree_pdf"]
+        wo_pdf = rec["wo_pdf"]
+        product = rec["product"]
+        is_delta = rec["is_delta"]
 
-    dtree_id, _ = lookup(sdt, p)
-    dtree_id = jnp.where(valid, dtree_id, 0)
-
-    irradiance = rec["radiance"] / jnp.maximum(rec["wo_pdf"], 1e-38)
-    rec_ok = (
-        valid & ~rec["is_delta"] & jnp.isfinite(stat_w) & (stat_w > 0)
-    )
+    rec_ok = valid_e & ~is_delta & jnp.isfinite(stat_w) & (stat_w > 0)
     irr_ok = rec_ok & jnp.isfinite(irradiance) & (irradiance > 0)
 
     # statistical weight always accumulates for non-delta records (:395-397)
     db_statw = sdt.db_statw.at[dtree_id].add(jnp.where(rec_ok, stat_w, 0.0))
 
-    pc = dir_to_canonical(rec["d"])
+    pc = dir_to_canonical(d)
     root = sdt.db_root[dtree_id]
-    node, quad, _ = descend_to_leaf(sdt.qb_child, root, pc)
-    flat = node * 4 + quad
-    add = jnp.where(irr_ok, irradiance * stat_w, 0.0)
-    qb_flat = sdt.qb_sum.reshape(-1).at[flat].add(add)
+    amount = jnp.where(irr_ok, irradiance * stat_w, 0.0)
+    if directional_filter == "box":
+        depth = _depth_at(sdt.qb_child, root, pc)
+        qb_flat = dtree_box_splat(
+            sdt.qb_sum.reshape(-1), sdt.qb_child, root, pc, amount, depth
+        )
+    else:
+        node, quad, _ = descend_to_leaf(sdt.qb_child, root, pc)
+        qb_flat = sdt.qb_sum.reshape(-1).at[node * 4 + quad].add(amount)
 
     out = {f: getattr(sdt, f) for f in SDTreeArrays.FIELDS}
     out["db_statw"] = db_statw
@@ -293,15 +514,13 @@ def splat_records(sdt: SDTreeArrays, rec, spatial_filter="nearest",
         ratio_power = 1.0 if learn_fraction == "kl" else 2.0
         var = sdt.opt_var[dtree_id]
         frac = jax.nn.sigmoid(var)
-        mix = frac * rec["bsdf_pdf"] + (1 - frac) * rec["dtree_pdf"]
-        ratio = (rec["product"] / jnp.maximum(mix, 1e-38)) ** ratio_power
-        dloss_dfrac = -ratio / jnp.maximum(rec["wo_pdf"], 1e-38) * (
-            rec["bsdf_pdf"] - rec["dtree_pdf"]
-        )
+        mix = frac * bsdf_pdf + (1 - frac) * dtree_pdf
+        ratio = (product / jnp.maximum(mix, 1e-38)) ** ratio_power
+        dloss_dfrac = -ratio / jnp.maximum(wo_pdf, 1e-38) * (bsdf_pdf - dtree_pdf)
         dloss_dvar = dloss_dfrac * frac * (1 - frac) + 0.01 * var
-        opt_ok = valid & (rec["product"] > 0) & jnp.isfinite(dloss_dvar)
-        g = jnp.where(opt_ok, dloss_dvar * rec["stat_weight"], 0.0)
-        w = jnp.where(opt_ok, rec["stat_weight"], 0.0)
+        opt_ok = valid_e & (product > 0) & jnp.isfinite(dloss_dvar)
+        g = jnp.where(opt_ok, dloss_dvar * stat_w, 0.0)
+        w = jnp.where(opt_ok, stat_w, 0.0)
         bgrad = sdt.opt_bgrad.at[dtree_id].add(g)
         bweight = sdt.opt_bweight.at[dtree_id].add(w)
 

@@ -1,0 +1,366 @@
+"""GuidedPathTracer driver: the spp-doubling training/render loop.
+
+Replicates GuidedPathTracer::render/renderSPP/renderTime/performRenderPasses
+(reference guided_path.cpp:1210-1585): per iteration the film is cleared,
+the SD-tree refined+reset (host), 2^iter passes rendered (device wavefront,
+vertices splatted into the building pool inside jit), per-pass variance
+tracked with the 1e4 luminance clamp (:1300-1313), the merge-final and
+automatic-budget-extension rules applied (:1360-1423), the tree rebuilt,
+and optionally an .sdt snapshot dumped. Final images combine by "discard",
+"automatic" (default), or inverse-variance over the last <=4 iterations
+(:1567-1582).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import replace
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..guiding import records as R
+from ..guiding import sdtree as G
+from ..guiding.host import HostSDTree
+from ..render.film import Film
+from ..render.sensor import PerspectiveSensor
+from ..utils.logging import log
+from .driver import make_config
+from .wavefront import DeviceScene, PTConfig, trace_paths
+
+VAR_CLAMP = 10000.0  # firefly clamp on per-pixel variance (:1310)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "sensor", "film", "chunk", "spatial_filter",
+                     "directional_filter", "learn_fraction"),
+    donate_argnames=("film_buf", "sq_buf", "sdtree"),
+)
+def _guided_chunk(scene, cfg, sensor, film, chunk, film_buf, sq_buf, sdtree,
+                  key, pix_start, spatial_filter, directional_filter,
+                  learn_fraction):
+    W = sensor.W
+    ids = pix_start + jnp.arange(chunk)
+    px = (ids % W).astype(jnp.float32)
+    py = (ids // W).astype(jnp.float32)
+    jit2 = jax.random.uniform(jax.random.fold_in(key, 17), (chunk, 2))
+    pos = jnp.stack([px, py], -1) + jit2
+    o, d, tmin, tmax = sensor.sample_rays(pos)
+    out = trace_paths(scene, cfg, key, o, d, tmin, tmax, sdtree=sdtree)
+    li = out["li"]
+    valid = ids < W * sensor.H
+    li = jnp.where(valid[..., None], li, 0.0)
+    pos = jnp.where(valid[..., None], pos, -100.0)
+    film_buf = film.splat(film_buf, pos, li)
+    sq_buf = film.splat(sq_buf, pos, li * li)
+
+    if cfg.record_vertices and out["vertices"] is not None:
+        stat_w = 0.5 if (cfg.do_nee and not cfg.nee_always) else 1.0
+        recs = R.vertex_records(out["vertices"]["bsdf"], stat_w)
+        lf = learn_fraction if cfg.is_built else None
+        n = recs["valid"].shape[0]
+        uj = jax.random.uniform(jax.random.fold_in(key, 23), (n, 3))
+        sdtree = G.splat_records(
+            sdtree, recs, spatial_filter, directional_filter, lf, uj
+        )
+        if out["vertices"]["nee"] is not None:
+            nrecs = R.nee_records(out["vertices"]["nee"])
+            m = nrecs["valid"].shape[0]
+            uj2 = jax.random.uniform(jax.random.fold_in(key, 29), (m, 3))
+            sdtree = G.splat_records(
+                sdtree, nrecs, spatial_filter, directional_filter, lf, uj2
+            )
+    return film_buf, sq_buf, sdtree
+
+
+class GuidedPathTracer:
+    def __init__(self, sc, chunk=1 << 16, overrides=None):
+        ip = dict(sc.integrator)
+        ip.update(overrides or {})
+        self.sc = sc
+        self.chunk = chunk
+        self.nee = str(ip.get("nee", "never"))
+        self.sample_combination = str(ip.get("sampleCombination", "automatic"))
+        self.spatial_filter = str(ip.get("spatialFilter", "nearest"))
+        self.directional_filter = str(ip.get("directionalFilter", "nearest"))
+        self.loss = str(ip.get("bsdfSamplingFractionLoss", "none"))
+        self.sd_tree_max_mb = int(ip.get("sdTreeMaxMemory", -1))
+        self.s_tree_threshold = int(ip.get("sTreeThreshold", 12000))
+        self.d_tree_threshold = float(ip.get("dTreeThreshold", 0.01))
+        self.bsdf_fraction = float(ip.get("bsdfSamplingFraction", 0.5))
+        self.spp_per_pass = int(ip.get("sppPerPass", 4))
+        self.budget_type = str(ip.get("budgetType", "seconds"))
+        self.budget = float(ip.get("budget", 300.0))
+        self.dump_sdtree = bool(ip.get("dumpSDTree", False))
+        self.dump_path = None
+
+        self.base_cfg = make_config(sc, guiding=True, record_vertices=True)
+        self.scene_dev = DeviceScene.from_scene(sc)
+        self.sensor = PerspectiveSensor(sc.sensor, sc.film)
+        self.film = Film(
+            sc.film["width"], sc.film["height"], sc.film.get("rfilter", "box")
+        )
+        self.host_tree = HostSDTree(sc.aabb_min, sc.aabb_max)
+
+        self.stats = []  # per-call telemetry: seconds, variance, ttuv, stuv
+
+    # -- nee schedule (doNeeWithSpp, :1331-1340) ----------------------------
+    def _do_nee(self, spp_rendered):
+        if self.nee == "never":
+            return False
+        if self.nee == "kickstart":
+            return spp_rendered < 128
+        return True
+
+    def _cfg(self, is_built, do_nee, is_final):
+        return replace(
+            self.base_cfg,
+            do_nee=do_nee,
+            nee_always=self.nee == "always",
+            guiding=True,
+            is_built=is_built,
+            record_vertices=not is_final,
+            learn_fraction=self.loss != "none" and is_built,
+            bsdf_fraction=self.bsdf_fraction,
+        )
+
+    # -- one performRenderPasses call ---------------------------------------
+    def _render_passes(self, n_passes, sdtree, is_built, do_nee, is_final,
+                       film_buf, seed_base):
+        W, H = self.film.W, self.film.H
+        img_buf = self.film.zeros()
+        sq_buf = self.film.zeros()
+        cfg = self._cfg(is_built, do_nee, is_final)
+        n_chunks = (W * H + self.chunk - 1) // self.chunk
+        t0 = time.time()
+        base = jax.random.key(seed_base)
+        for p in range(n_passes):
+            for s in range(self.spp_per_pass):
+                for c in range(n_chunks):
+                    key = jax.random.fold_in(
+                        jax.random.fold_in(jax.random.fold_in(base, p), s), c
+                    )
+                    img_buf, sq_buf, sdtree = _guided_chunk(
+                        self.scene_dev, cfg, self.sensor, self.film,
+                        self.chunk, img_buf, sq_buf, sdtree, key,
+                        jnp.int32(c * self.chunk),
+                        self.spatial_filter, self.directional_filter,
+                        self.loss if self.loss != "none" else None,
+                    )
+        jax.block_until_ready(img_buf)
+        seconds = time.time() - t0
+
+        # variance of the pass batch (:1300-1313)
+        N = n_passes * self.spp_per_pass
+        img_sum = np.asarray(img_buf[0])
+        sq_sum = np.asarray(sq_buf[0])
+        local_var = sq_sum - img_sum * img_sum / max(N, 1)
+        lum = (
+            0.212671 * local_var[..., 0]
+            + 0.715160 * local_var[..., 1]
+            + 0.072169 * local_var[..., 2]
+        )
+        variance = float(np.minimum(lum, VAR_CLAMP).sum()) / (W * H * max(N - 1, 1))
+
+        if film_buf is not None:
+            film_buf = (film_buf[0] + img_buf[0], film_buf[1] + img_buf[1])
+        ttuv = seconds * variance
+        stuv = N * variance
+        self.stats.append(dict(seconds=seconds, passes=n_passes, spp=N,
+                               variance=variance, ttuv=ttuv, stuv=stuv))
+        log(f"  {seconds:.2f}s, {n_passes} passes, var {variance:.6f}, "
+            f"TTUV {ttuv:.6f}, STUV {stuv:.6f}")
+        image = img_sum / np.maximum(np.asarray(img_buf[1])[..., None], 1e-20)
+        return sdtree, film_buf, image, variance
+
+    # -- the full render loop ------------------------------------------------
+    def render(self, seed=0, spp_budget=None):
+        if self.budget_type != "spp" and spp_budget is None:
+            # time budget: estimated via wall clock like renderTime
+            return self._render_time(seed)
+        budget = int(spp_budget if spp_budget is not None else self.budget)
+        n_passes = int(np.ceil(budget / self.spp_per_pass))
+
+        sdtree = None
+        is_built = False
+        passes_rendered = 0
+        it = 0
+        images, variances = [], []
+        film_buf = self.film.zeros()
+        cur_var_at_end = np.inf
+        final_image = None
+
+        while passes_rendered < n_passes:
+            spp_rendered = passes_rendered * self.spp_per_pass
+            do_nee = self._do_nee(spp_rendered)
+
+            remaining = n_passes - passes_rendered
+            passes_this_iter = min(remaining, 1 << it)
+            # merge-final rule (:1372-1374)
+            if remaining - passes_this_iter < 2 * passes_this_iter:
+                passes_this_iter = remaining
+            is_final = passes_this_iter >= remaining
+            log(f"ITERATION {it}, {passes_this_iter} passes "
+                f"(final={is_final}, nee={do_nee}, built={is_built})")
+
+            film_buf = self.film.zeros()
+            # resetSDTree (:1108-1113)
+            if sdtree is not None:
+                self.host_tree.pull(sdtree)
+            self.host_tree.refine_and_reset(
+                it, self.spp_per_pass, self.s_tree_threshold,
+                self.d_tree_threshold, self.sd_tree_max_mb,
+            )
+            sdtree = self.host_tree.push()
+
+            sdtree, film_buf, image, variance = self._render_passes(
+                passes_this_iter, sdtree, is_built, do_nee, is_final,
+                film_buf, seed_base=seed * 7919 + it,
+            )
+            passes_rendered += passes_this_iter
+            if self.sample_combination == "inversevar":
+                images.append(image)
+                variances.append(variance)
+
+            last_var = cur_var_at_end
+            remaining -= passes_this_iter
+            cur_var_at_end = (
+                passes_this_iter * variance / remaining if remaining > 0 else 0.0
+            )
+
+            if (
+                self.sample_combination == "automatic"
+                and remaining > 0
+                and (remaining < passes_this_iter
+                     or (spp_rendered > 256 and cur_var_at_end > last_var))
+            ):
+                log(f"FINAL {remaining} passes")
+                sdtree, film_buf, image, variance = self._render_passes(
+                    remaining, sdtree, True if is_built else is_built,
+                    do_nee, True, film_buf, seed_base=seed * 7919 + 1000 + it,
+                )
+                passes_rendered += remaining
+                if self.sample_combination == "inversevar":
+                    images.append(image)
+                    variances.append(variance)
+
+            # buildSDTree (:1115-1189)
+            self.host_tree.pull(sdtree)
+            self.host_tree.build()
+            sdtree = self.host_tree.push()
+            is_built = True
+
+            if self.dump_sdtree and passes_rendered < n_passes:
+                self._dump(it)
+            it += 1
+
+        if self.sample_combination == "inversevar":
+            k = min(len(images), 4)
+            w = 1.0 / np.maximum(np.array(variances[-k:]), 1e-20)
+            w /= w.sum()
+            final_image = sum(
+                wi * im for wi, im in zip(w, images[-k:])
+            ).astype(np.float32)
+        else:
+            final_image = np.asarray(Film.develop(film_buf))
+        self.sdtree = sdtree
+        return final_image
+
+    def _render_time(self, seed):
+        """renderTime (guided_path.cpp:1434-1514): wall-clock budget,
+        passesThisIteration = 2^iter, with the automatic final extension
+        looping whole pass batches until the budget runs out."""
+        n_seconds = self.budget
+        sdtree = None
+        is_built = False
+        passes_rendered = 0
+        it = 0
+        images, variances = [], []
+        film_buf = self.film.zeros()
+        cur_var_at_end = np.inf
+        start = time.time()
+        elapsed = 0.0
+
+        while elapsed < n_seconds:
+            spp_rendered = passes_rendered * self.spp_per_pass
+            do_nee = self._do_nee(spp_rendered)
+            passes_this_iter = 1 << it
+            log(f"ITERATION {it}, {passes_this_iter} passes (time budget)")
+
+            iter_start = time.time()
+            film_buf = self.film.zeros()
+            if sdtree is not None:
+                self.host_tree.pull(sdtree)
+            self.host_tree.refine_and_reset(
+                it, self.spp_per_pass, self.s_tree_threshold,
+                self.d_tree_threshold, self.sd_tree_max_mb,
+            )
+            sdtree = self.host_tree.push()
+
+            sdtree, film_buf, image, variance = self._render_passes(
+                passes_this_iter, sdtree, is_built, do_nee, False,
+                film_buf, seed_base=seed * 7919 + it,
+            )
+            passes_rendered += passes_this_iter
+            if self.sample_combination == "inversevar":
+                images.append(image)
+                variances.append(variance)
+
+            seconds_iter = time.time() - iter_start
+            remaining_time = n_seconds - (time.time() - start)
+            last_var = cur_var_at_end
+            cur_var_at_end = (
+                seconds_iter * variance / remaining_time
+                if remaining_time > 0 else 0.0
+            )
+            remaining_time -= seconds_iter
+
+            if (
+                self.sample_combination == "automatic"
+                and remaining_time > 0
+                and (remaining_time < seconds_iter
+                     or (spp_rendered > 256 and cur_var_at_end > last_var))
+            ):
+                log(f"FINAL {remaining_time:.1f} seconds")
+                while time.time() - start < n_seconds:
+                    sdtree, film_buf, image, variance = self._render_passes(
+                        passes_this_iter, sdtree, is_built, do_nee, True,
+                        film_buf, seed_base=seed * 7919 + 1000 * it
+                        + passes_rendered,
+                    )
+                    passes_rendered += passes_this_iter
+                if self.sample_combination == "inversevar":
+                    images.append(image)
+                    variances.append(variance)
+
+            self.host_tree.pull(sdtree)
+            self.host_tree.build()
+            sdtree = self.host_tree.push()
+            is_built = True
+            if self.dump_sdtree:
+                self._dump(it)
+            it += 1
+            elapsed = time.time() - start
+
+        if self.sample_combination == "inversevar":
+            k = min(len(images), 4)
+            w = 1.0 / np.maximum(np.array(variances[-k:]), 1e-20)
+            w /= w.sum()
+            final = sum(wi * im for wi, im in zip(w, images[-k:]))
+            final_image = final.astype(np.float32)
+        else:
+            final_image = np.asarray(Film.develop(film_buf))
+        self.sdtree = sdtree
+        return final_image
+
+    def _dump(self, it):
+        from ..io.sdt import dump_sdtree
+
+        if self.dump_path is None:
+            return
+        path = f"{self.dump_path}-{it:02d}.sdt"
+        cam = np.asarray(self.sc.sensor.get("to_world", np.eye(4)))
+        dump_sdtree(path, self.host_tree, cam)

@@ -141,7 +141,7 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
         # environment emitter on miss would be added here (none in cbox)
 
     if J == 0:
-        return dict(li=c0, vertices=None)
+        return dict(li=c0, vertices=None, n_rays=jnp.int32(L))
 
     guide = cfg.guiding and sdtree is not None
     if guide:
@@ -205,11 +205,9 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
                 [jnp.clip(u_bsdf[:, 0] / jnp.maximum(frac, 1e-9), 0.0, 1.0 - 1e-7),
                  u_bsdf[:, 1]], -1)
             wo_a, w_a, pdf_a, delta_a, eta_a = B.sample_bsdf(params, wi, ua)
-            # branch b: sample the directional quadtree
-            ub = jnp.stack(
-                [jnp.clip((u_bsdf[:, 0] - frac) / jnp.maximum(1 - frac, 1e-9), 0.0, 1.0 - 1e-7),
-                 u_bsdf[:, 1]], -1)
-            u_tree = _rand(key, j, 1, (L, 3))
+            # branch b: sample the directional quadtree (one uniform per
+            # level + 2 for the leaf cell, QuadTreeNode::sample :257-301)
+            u_tree = _rand(key, j, 1, (L, G.MAX_Q_DEPTH + 2))
             d_tree = G.sample_dir(sdtree, jnp.maximum(dtree_id, 0), u_tree)
             wo_b = to_local(s_ax, t_ax, sh_n, d_tree)
 
@@ -371,13 +369,17 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
             active=act_n, o=o2, d=d2, tri=tri2s, t=t2, bu=bu2, bv=bv2,
             throughput=thr2, eta=eta2,
         )
-        out = dict(slot=slot, vert=vert, nee=nee_rec)
+        n_rays = jnp.sum(act_c.astype(jnp.int32))
+        if cfg.do_nee:
+            n_rays = n_rays + jnp.sum((act & smooth).astype(jnp.int32))
+        out = dict(slot=slot, vert=vert, nee=nee_rec, rays=n_rays)
         return new_carry, out
 
     carry, outs = jax.lax.scan(body, carry, jnp.arange(1, J + 1))
 
     slots = outs["slot"]  # [J, L, 3]
     li = c0 + jnp.sum(slots, axis=0)
+    n_rays = jnp.int32(L) + jnp.sum(outs["rays"])
 
     vertices = None
     if cfg.record_vertices:
@@ -390,4 +392,4 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
         del vert["own"]
         vertices = dict(bsdf=vert, nee=outs["nee"])
 
-    return dict(li=li, vertices=vertices)
+    return dict(li=li, vertices=vertices, n_rays=n_rays)

@@ -1,0 +1,98 @@
+"""Multi-chip parallel rendering: shard_map over a device mesh.
+
+The reference distributes 32x32 pixel tiles to worker threads through a
+central scheduler and funnels results back under a mutex
+(librender/renderproc.cpp, libcore/sched.cpp); its cluster mode ships tiles
+over TCP (sched_remote.cpp). The TPU-native equivalent has no scheduler at
+all: the pixel/sample lane pool is sharded across a jax Mesh ('tiles'
+axis = image-space data parallelism, SURVEY §2.2), the scene and SD-tree
+arrays are replicated into each chip's HBM (the analog of scheduler
+"resources"), and the per-pass SD-tree accumulation and film are combined
+with a single psum over ICI — replacing the reference's lock-free atomic
+scatter + result funnel.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+def make_mesh(n_devices=None, axis="tiles"):
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (axis,))
+
+
+def sharded_render_pass(mesh, scene, cfg, sensor, film, sdtree, key, chunk,
+                        spatial_filter="nearest", directional_filter="nearest",
+                        learn_fraction=None):
+    """One full-image render pass data-parallel over the mesh.
+
+    Every device traces `chunk` camera lanes (a contiguous pixel block),
+    splats its training records into a local copy of the building pool, and
+    the pass ends with psum over ICI of the film and the tree-accumulation
+    deltas. Returns (film_rgb, film_weight, new_sdtree) replicated.
+    """
+    n_dev = mesh.devices.size
+    W, H = sensor.W, sensor.H
+
+    from ..guiding import records as R
+    from ..guiding import sdtree as G
+    from ..integrators.wavefront import trace_paths
+
+    def shard_fn(shard_ids, shard_key):
+        # shard_ids: [chunk] pixel ids owned by this device
+        ids = shard_ids[0]
+        k = shard_key[0]
+        px = (ids % W).astype(jnp.float32)
+        py = (ids // W).astype(jnp.float32)
+        jit2 = jax.random.uniform(jax.random.fold_in(k, 17), (ids.shape[0], 2))
+        pos = jnp.stack([px, py], -1) + jit2
+        o, d, tmin, tmax = sensor.sample_rays(pos)
+        out = trace_paths(scene, cfg, k, o, d, tmin, tmax, sdtree=sdtree)
+        valid = ids < W * H
+        li = jnp.where(valid[..., None], out["li"], 0.0)
+        spos = jnp.where(valid[..., None], pos, -100.0)
+        rgb, wsum = film.splat(film.zeros(), spos, li)
+
+        # local tree accumulation, then all-reduce the delta over ICI
+        if cfg.record_vertices and out["vertices"] is not None:
+            stat_w = 0.5 if (cfg.do_nee and not cfg.nee_always) else 1.0
+            recs = R.vertex_records(out["vertices"]["bsdf"], stat_w)
+            uj = jax.random.uniform(
+                jax.random.fold_in(k, 23), (recs["valid"].shape[0], 3)
+            )
+            new_tree = G.splat_records(
+                sdtree, recs, spatial_filter, directional_filter,
+                learn_fraction if cfg.is_built else None, uj,
+            )
+            d_qb = jax.lax.psum(new_tree.qb_sum - sdtree.qb_sum, "tiles")
+            d_sw = jax.lax.psum(new_tree.db_statw - sdtree.db_statw, "tiles")
+            out_fields = {f: getattr(sdtree, f) for f in G.SDTreeArrays.FIELDS}
+            out_fields["qb_sum"] = sdtree.qb_sum + d_qb
+            out_fields["db_statw"] = sdtree.db_statw + d_sw
+            tree_out = G.SDTreeArrays(**out_fields)
+        else:
+            tree_out = sdtree
+
+        rgb = jax.lax.psum(rgb, "tiles")
+        wsum = jax.lax.psum(wsum, "tiles")
+        return rgb, wsum, tree_out
+
+    total = n_dev * chunk
+    ids = jnp.arange(total, dtype=jnp.int32).reshape(n_dev, chunk)
+    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(n_dev))
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P("tiles"), P("tiles")),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return fn(ids, keys)
