@@ -2,16 +2,20 @@
 
 The reference dispatches through virtual BSDF plugins
 (mitsuba/include/mitsuba/render/bsdf.h:369-440); here every lane carries a
-material row index and all implemented families are evaluated branchlessly
-with masked selects — the idiomatic SPMD shape for the VPU. Conventions
-follow Mitsuba exactly:
+material row index and all families are evaluated branchlessly with masked
+selects — the idiomatic SPMD shape for the VPU. Conventions follow
+Mitsuba exactly:
 
   sample(u) -> (wo, weight = f*cos/pdf, pdf, sampled_delta, eta)
-  eval()    -> f * cos(theta_o)   (solid-angle measure, 0 for delta lobes)
-  pdf()     -> solid-angle pdf of sample()
+               (pdf is discrete for delta lobes)
+  eval()    -> f * cos(theta_o) for the smooth components (solid angle)
+  pdf()     -> solid-angle pdf of the smooth components of sample()
 
-`twosided` adapters are a per-row flag: the local frame is flipped when
-wi.z < 0 (reference src/bsdfs/twosided.cpp).
+Families (reference source in src/bsdfs/):
+  diffuse.cpp, conductor.cpp, dielectric.cpp, thindielectric.cpp,
+  roughconductor.cpp, plastic.cpp, roughplastic.cpp, roughdielectric.cpp,
+  with twosided.cpp as a per-row frame-flip flag and mask.cpp handled in
+  the integrator's null-transition logic.
 """
 
 from __future__ import annotations
@@ -26,25 +30,41 @@ from ..scene.scene import (
     MAT_DIFFUSE,
     MAT_MASK,
     MAT_NULL,
+    MAT_PHONG,
     MAT_PLASTIC,
     MAT_ROUGHCONDUCTOR,
     MAT_ROUGHDIELECTRIC,
+    MAT_ROUGHDIFFUSE,
     MAT_ROUGHPLASTIC,
     MAT_THINDIELECTRIC,
 )
+from . import microfacet as MF
+from .fresnel import fresnel_conductor_exact, fresnel_dielectric_ext
 
 INV_PI = 1.0 / jnp.pi
+RT_BINS = 64
 
-# families for which guiding applies (BSDF::ESmooth in the reference)
+# families with a smooth lobe (BSDF::ESmooth): guiding applies
 SMOOTH_TYPES = (
     MAT_DIFFUSE,
+    MAT_ROUGHDIFFUSE,
     MAT_ROUGHCONDUCTOR,
     MAT_ROUGHDIELECTRIC,
     MAT_PLASTIC,
     MAT_ROUGHPLASTIC,
+    MAT_PHONG,
 )
-# delta-only families (pure specular): guiding bypassed entirely
+# delta-only families: guiding bypassed (guided_path.cpp:1654)
 DELTA_TYPES = (MAT_CONDUCTOR, MAT_DIELECTRIC, MAT_THINDIELECTRIC)
+# families with transmission or backside lobes: NEE refN = 0
+# (records.inl:160-164; twosided adds EBackSide)
+TRANSMISSIVE_TYPES = (
+    MAT_DIELECTRIC,
+    MAT_THINDIELECTRIC,
+    MAT_ROUGHDIELECTRIC,
+    MAT_MASK,
+    MAT_NULL,
+)
 
 
 class MaterialArrays:
@@ -54,6 +74,8 @@ class MaterialArrays:
         "mtype", "twosided", "reflectance", "specular", "transmittance",
         "eta", "k", "int_ior", "ext_ior", "alpha_u", "alpha_v", "dist",
         "nonlinear", "opacity", "nested", "exponent",
+        "eta_rel", "inv_eta2", "fdr_int", "spec_weight", "rt_ext",
+        "rt_fdr_int",
     )
 
     def __init__(self, **kw):
@@ -65,7 +87,7 @@ class MaterialArrays:
         kw = {}
         for f in cls.FIELDS:
             arr = getattr(table, f)
-            if arr.dtype == bool or arr.dtype == jnp.int32 or str(arr.dtype).startswith("int"):
+            if str(arr.dtype).startswith(("int", "bool")):
                 kw[f] = jnp.asarray(arr)
             else:
                 kw[f] = jnp.asarray(arr, jnp.float32)
@@ -80,16 +102,10 @@ jax.tree_util.register_pytree_node(
 
 
 def gather_params(mats: MaterialArrays, mid):
-    """Gather per-lane material parameters."""
-    g = {}
-    for f in MaterialArrays.FIELDS:
-        g[f] = getattr(mats, f)[mid]
-    return g
+    return {f: getattr(mats, f)[mid] for f in MaterialArrays.FIELDS}
 
 
 def lane_flags(p):
-    """(is_smooth, is_delta_only, is_null) per lane, mirroring the lobe-type
-    checks at guided_path.cpp:1654,1697,1942."""
     mt = p["mtype"]
     smooth = jnp.zeros_like(mt, dtype=bool)
     for t in SMOOTH_TYPES:
@@ -98,75 +114,430 @@ def lane_flags(p):
     for t in DELTA_TYPES:
         delta_only |= mt == t
     is_null = mt == MAT_NULL
-    return smooth, delta_only, is_null
+    transmissive = jnp.zeros_like(smooth)
+    for t in TRANSMISSIVE_TYPES:
+        transmissive |= mt == t
+    transmissive |= p["twosided"]
+    return smooth, delta_only, is_null, transmissive
 
 
-def _flip_for_twosided(p, wi):
-    """twosided: operate in the flipped frame when arriving from below."""
+def _flip_sign(p, wi):
     flip = p["twosided"] & (wi[..., 2] < 0.0)
-    sign = jnp.where(flip, -1.0, 1.0)
-    return sign
+    return jnp.where(flip, -1.0, 1.0)
 
 
-def _diffuse_eval(p, wi, wo):
+def _z(v, sign):
+    return jnp.concatenate([v[..., :2], (v[..., 2] * sign)[..., None]], axis=-1)
+
+
+def _reflect(wi):
+    return jnp.stack([-wi[..., 0], -wi[..., 1], wi[..., 2]], axis=-1)
+
+
+def _reflect_m(wi, m):
+    return 2.0 * jnp.sum(wi * m, -1, keepdims=True) * m - wi
+
+
+def _half(wi, wo):
+    h = wi + wo
+    return h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-20)
+
+
+def _rt_lookup(p, cos_theta):
+    """Rough-transmittance table lookup (linear in cos)."""
+    x = jnp.clip(cos_theta, 0.0, 1.0) * RT_BINS - 0.5
+    i0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, RT_BINS - 1)
+    i1 = jnp.minimum(i0 + 1, RT_BINS - 1)
+    t = jnp.clip(x - i0, 0.0, 1.0)
+    tab = p["rt_ext"]
+    ar = jnp.arange(cos_theta.shape[0])
+    return (1 - t) * tab[ar, i0] + t * tab[ar, i1]
+
+
+# ---------------------------------------------------------------------------
+# family evaluators: each returns (f_cos [L,3], pdf [L]) for the SMOOTH part
+# ---------------------------------------------------------------------------
+
+def _diffuse_ep(p, wi, wo):
     both = (wi[..., 2] > 0) & (wo[..., 2] > 0)
     f = p["reflectance"] * (INV_PI * jnp.maximum(wo[..., 2], 0.0))[..., None]
-    return jnp.where(both[..., None], f, 0.0)
-
-
-def _diffuse_pdf(p, wi, wo):
-    both = (wi[..., 2] > 0) & (wo[..., 2] > 0)
-    return jnp.where(both, warp.square_to_cosine_hemisphere_pdf(wo), 0.0)
-
-
-def _diffuse_sample(p, wi, u2):
-    wo = warp.square_to_cosine_hemisphere(u2)
     pdf = warp.square_to_cosine_hemisphere_pdf(wo)
-    valid = wi[..., 2] > 0
-    weight = jnp.where(valid[..., None], p["reflectance"], 0.0)
-    return wo, weight, jnp.where(valid, pdf, 0.0)
+    return (
+        jnp.where(both[..., None], f, 0.0),
+        jnp.where(both, pdf, 0.0),
+    )
+
+
+def _roughconductor_ep(p, wi, wo):
+    both = (wi[..., 2] > 0) & (wo[..., 2] > 0)
+    h = _half(wi, wo)
+    d = MF.eval_d(p["dist"], p["alpha_u"], p["alpha_v"], h)
+    F = fresnel_conductor_exact(jnp.sum(wi * h, -1), p["eta"], p["k"])
+    g = MF.g_smith(p["dist"], p["alpha_u"], p["alpha_v"], wi, wo, h)
+    val = (d * g / (4.0 * jnp.maximum(wi[..., 2], 1e-8)))[..., None] * F
+    f = p["specular"] * val
+    pdf_h = MF.pdf_visible(p["dist"], p["alpha_u"], p["alpha_v"], wi, h)
+    pdf = pdf_h / jnp.maximum(4.0 * jnp.abs(jnp.sum(wo * h, -1)), 1e-12)
+    return (
+        jnp.where(both[..., None], f, 0.0),
+        jnp.where(both & (d > 0), pdf, 0.0),
+    )
+
+
+def _plastic_ep(p, wi, wo):
+    """Smooth plastic: diffuse lobe only in solid-angle measure
+    (plastic.cpp eval/pdf); delta lobe handled in sampling."""
+    both = (wi[..., 2] > 0) & (wo[..., 2] > 0)
+    Fi, _ = fresnel_dielectric_ext(wi[..., 2], p["eta_rel"])
+    Fo, _ = fresnel_dielectric_ext(wo[..., 2], p["eta_rel"])
+    diff = p["reflectance"]
+    fdr = p["fdr_int"][..., None]
+    diff = jnp.where(
+        p["nonlinear"][..., None], diff / (1.0 - diff * fdr), diff / (1.0 - fdr)
+    )
+    f = diff * (
+        warp.square_to_cosine_hemisphere_pdf(wo)
+        * p["inv_eta2"] * (1 - Fi) * (1 - Fo)
+    )[..., None]
+    # pdf: diffuse share of the lobe-pick probability
+    prob_spec = (Fi * p["spec_weight"]) / jnp.maximum(
+        Fi * p["spec_weight"] + (1 - Fi) * (1 - p["spec_weight"]), 1e-12
+    )
+    pdf = warp.square_to_cosine_hemisphere_pdf(wo) * (1 - prob_spec)
+    return (
+        jnp.where(both[..., None], f, 0.0),
+        jnp.where(both, pdf, 0.0),
+    )
+
+
+def _roughplastic_ep(p, wi, wo):
+    both = (wi[..., 2] > 0) & (wo[..., 2] > 0)
+    h = _half(wi, wo)
+    alpha = p["alpha_u"]
+    d = MF.eval_d(p["dist"], alpha, alpha, h)
+    F, _ = fresnel_dielectric_ext(jnp.sum(wi * h, -1), p["eta_rel"])
+    g = MF.g_smith(p["dist"], alpha, alpha, wi, wo, h)
+    spec = p["specular"] * (
+        F * d * g / (4.0 * jnp.maximum(wi[..., 2], 1e-8))
+    )[..., None]
+
+    t12 = _rt_lookup(p, wi[..., 2])
+    t21 = _rt_lookup(p, wo[..., 2])
+    fdr = p["rt_fdr_int"][..., None]
+    diff = p["reflectance"]
+    diff = jnp.where(
+        p["nonlinear"][..., None], diff / (1.0 - diff * fdr), diff / (1.0 - fdr)
+    )
+    diffuse = diff * (
+        INV_PI * jnp.maximum(wo[..., 2], 0.0) * t12 * t21 * p["inv_eta2"]
+    )[..., None]
+    f = spec + diffuse
+
+    prob_spec0 = 1.0 - t12
+    prob_spec = (prob_spec0 * p["spec_weight"]) / jnp.maximum(
+        prob_spec0 * p["spec_weight"]
+        + (1 - prob_spec0) * (1 - p["spec_weight"]),
+        1e-12,
+    )
+    pdf_h = MF.pdf_visible(p["dist"], alpha, alpha, wi, h)
+    pdf_spec = pdf_h / jnp.maximum(4.0 * jnp.abs(jnp.sum(wo * h, -1)), 1e-12)
+    pdf = pdf_spec * prob_spec + (1 - prob_spec) * warp.square_to_cosine_hemisphere_pdf(wo)
+    return (
+        jnp.where(both[..., None], f, 0.0),
+        jnp.where(both, pdf, 0.0),
+    )
+
+
+def _roughdielectric_ep(p, wi, wo):
+    """Walter-style rough dielectric: reflection + transmission lobes
+    (roughdielectric.cpp eval/pdf), signed-cosine convention."""
+    ci, co = wi[..., 2], wo[..., 2]
+    reflect = ci * co > 0
+    eta = jnp.where(ci > 0, p["eta_rel"], 1.0 / p["eta_rel"])
+    h_r = _half(wi, wo)
+    h_t = wi + wo * eta[..., None]
+    h_t = h_t / jnp.maximum(jnp.linalg.norm(h_t, axis=-1, keepdims=True), 1e-20)
+    h = jnp.where(reflect[..., None], h_r, h_t)
+    h = h * jnp.sign(h[..., 2:3])
+
+    alpha_u, alpha_v = p["alpha_u"], p["alpha_v"]
+    d = MF.eval_d(p["dist"], alpha_u, alpha_v, h)
+    F, _ = fresnel_dielectric_ext(jnp.sum(wi * h, -1), p["eta_rel"])
+    g = MF.g_smith(p["dist"], alpha_u, alpha_v, wi, wo, h)
+
+    val_r = F * d * g / (4.0 * jnp.maximum(jnp.abs(ci), 1e-8))
+    ih = jnp.sum(wi * h, -1)
+    oh = jnp.sum(wo * h, -1)
+    denom = ih + eta * oh
+    val_t = (
+        (1 - F) * d * g * eta * eta * ih * oh
+        / jnp.where(jnp.abs(ci * denom * denom) < 1e-12, 1.0, ci * denom * denom)
+    )
+    factor = jnp.where(ci > 0, 1.0 / p["eta_rel"], p["eta_rel"])
+    val_t = jnp.abs(val_t * factor * factor)
+    f = jnp.where(
+        reflect[..., None],
+        p["specular"] * val_r[..., None],
+        p["transmittance"] * val_t[..., None],
+    )
+    f = jnp.where((d > 0)[..., None] & (ci != 0)[..., None], f, 0.0)
+
+    wi_f = _z(wi, jnp.sign(ci))
+    pdf_h = MF.pdf_visible(p["dist"], alpha_u, alpha_v, wi_f, h)
+    dwh_dwo = jnp.where(
+        reflect,
+        1.0 / jnp.maximum(4.0 * jnp.abs(oh), 1e-12),
+        (eta * eta * jnp.abs(oh)) / jnp.maximum(denom * denom, 1e-12),
+    )
+    pdf = jnp.abs(pdf_h * dwh_dwo) * jnp.where(reflect, F, 1 - F)
+    return f, jnp.where(ci != 0, pdf, 0.0)
+
+
+_SMOOTH_EP = {
+    MAT_DIFFUSE: _diffuse_ep,
+    MAT_ROUGHDIFFUSE: _diffuse_ep,  # Oren-Nayar falls back to Lambert for now
+    MAT_ROUGHCONDUCTOR: _roughconductor_ep,
+    MAT_PLASTIC: _plastic_ep,
+    MAT_ROUGHPLASTIC: _roughplastic_ep,
+    MAT_ROUGHDIELECTRIC: _roughdielectric_ep,
+}
+
+
+def _eval_pdf(p, wi, wo):
+    sign = _flip_sign(p, wi)
+    wi_l, wo_l = _z(wi, sign), _z(wo, sign)
+    f = jnp.zeros_like(wi)
+    pdf = jnp.zeros(wi.shape[:-1])
+    mt = p["mtype"]
+    for t, fn in _SMOOTH_EP.items():
+        sel = mt == t
+        ft, pt = fn(p, wi_l, wo_l)
+        f = jnp.where(sel[..., None], ft, f)
+        pdf = jnp.where(sel, pt, pdf)
+    return f, pdf
 
 
 def eval_bsdf(p, wi, wo):
-    """f*cos for the smooth component. Currently: diffuse family."""
-    sign = _flip_for_twosided(p, wi)
-    wi_l = wi * jnp.stack([jnp.ones_like(sign)] * 2 + [sign], -1)
-    wo_l = wo * jnp.stack([jnp.ones_like(sign)] * 2 + [sign], -1)
-    out = jnp.zeros_like(wi)
-    mt = p["mtype"]
-    out = jnp.where((mt == MAT_DIFFUSE)[..., None], _diffuse_eval(p, wi_l, wo_l), out)
-    return out
+    return _eval_pdf(p, wi, wo)[0]
 
 
 def pdf_bsdf(p, wi, wo):
-    sign = _flip_for_twosided(p, wi)
-    wi_l = wi * jnp.stack([jnp.ones_like(sign)] * 2 + [sign], -1)
-    wo_l = wo * jnp.stack([jnp.ones_like(sign)] * 2 + [sign], -1)
-    out = jnp.zeros(wi.shape[:-1])
-    mt = p["mtype"]
-    out = jnp.where(mt == MAT_DIFFUSE, _diffuse_pdf(p, wi_l, wo_l), out)
-    return out
+    return _eval_pdf(p, wi, wo)[1]
 
+
+# ---------------------------------------------------------------------------
+# sampling
+# ---------------------------------------------------------------------------
 
 def sample_bsdf(p, wi, u2):
-    """Returns (wo, weight=f*cos/pdf, pdf, sampled_delta, eta)."""
-    sign = _flip_for_twosided(p, wi)
-    wi_l = wi * jnp.stack([jnp.ones_like(sign)] * 2 + [sign], -1)
+    """Returns (wo, weight=f*cos/pdf, pdf, sampled_delta, eta).
 
+    u2 is [L, 3]: components 0-1 drive the lobe/warp sampling like the
+    reference's Point2, component 2 is the extra 1D draw roughdielectric
+    needs for its reflect/refract decision. For delta lobes pdf is the
+    discrete lobe probability and weight carries f/pdf as in the
+    reference's bsdf->sample convention."""
+    sign = _flip_sign(p, wi)
+    wi_l = _z(wi, sign)
     mt = p["mtype"]
+    L = wi.shape[0]
+    u1, u2b = u2[..., 0], u2[..., 1]
+    u3 = u2[..., 2] if u2.shape[-1] > 2 else u2[..., 0]
+    u2 = u2[..., :2]
+    ci = wi_l[..., 2]
+
     wo = jnp.zeros_like(wi)
     weight = jnp.zeros_like(wi)
-    pdf = jnp.zeros(wi.shape[:-1])
+    pdf = jnp.zeros(L)
+    delta = jnp.zeros(L, bool)
+    eta_out = jnp.ones(L)
 
-    d_wo, d_w, d_pdf = _diffuse_sample(p, wi_l, u2)
-    sel = (mt == MAT_DIFFUSE)
-    wo = jnp.where(sel[..., None], d_wo, wo)
-    weight = jnp.where(sel[..., None], d_w, weight)
-    pdf = jnp.where(sel, d_pdf, pdf)
+    def put(sel, wo_t, w_t, pdf_t, delta_t=None, eta_t=None):
+        nonlocal wo, weight, pdf, delta, eta_out
+        wo = jnp.where(sel[..., None], wo_t, wo)
+        weight = jnp.where(sel[..., None], w_t, weight)
+        pdf = jnp.where(sel, pdf_t, pdf)
+        if delta_t is not None:
+            delta = jnp.where(sel, delta_t, delta)
+        if eta_t is not None:
+            eta_out = jnp.where(sel, eta_t, eta_out)
 
-    sampled_delta = jnp.zeros(wi.shape[:-1], bool)
-    eta = jnp.ones(wi.shape[:-1])
+    # --- diffuse -----------------------------------------------------------
+    wo_d = warp.square_to_cosine_hemisphere(u2)
+    pdf_d = warp.square_to_cosine_hemisphere_pdf(wo_d)
+    ok_d = ci > 0
+    put(
+        (mt == MAT_DIFFUSE) | (mt == MAT_ROUGHDIFFUSE),
+        wo_d,
+        jnp.where(ok_d[..., None], p["reflectance"], 0.0),
+        jnp.where(ok_d, pdf_d, 0.0),
+    )
 
-    # un-flip the outgoing direction for twosided lanes
-    wo = wo * jnp.stack([jnp.ones_like(sign)] * 2 + [sign], -1)
-    return wo, weight, pdf, sampled_delta, eta
+    # --- conductor (delta) --------------------------------------------------
+    F_c = fresnel_conductor_exact(ci, p["eta"], p["k"])
+    put(
+        mt == MAT_CONDUCTOR,
+        _reflect(wi_l),
+        jnp.where((ci > 0)[..., None], p["specular"] * F_c, 0.0),
+        jnp.where(ci > 0, 1.0, 0.0),
+        jnp.ones(L, bool),
+    )
+
+    # --- dielectric (two delta lobes) ---------------------------------------
+    F_d, cos_t = fresnel_dielectric_ext(ci, p["eta_rel"])
+    pick_refl = u1 <= F_d
+    scale = jnp.where(ci > 0, 1.0 / p["eta_rel"], p["eta_rel"])
+    wo_refr = jnp.stack(
+        [-scale * wi_l[..., 0], -scale * wi_l[..., 1], cos_t], -1
+    )
+    factor = jnp.where(ci > 0, 1.0 / p["eta_rel"], p["eta_rel"])
+    w_diel = jnp.where(
+        pick_refl[..., None],
+        p["specular"],
+        p["transmittance"] * (factor * factor)[..., None],
+    )
+    put(
+        mt == MAT_DIELECTRIC,
+        jnp.where(pick_refl[..., None], _reflect(wi_l), wo_refr),
+        w_diel,
+        jnp.where(pick_refl, F_d, 1.0 - F_d),
+        jnp.ones(L, bool),
+        jnp.where(pick_refl, 1.0, jnp.where(ci > 0, p["eta_rel"], 1.0 / p["eta_rel"])),
+    )
+
+    # --- thin dielectric (delta R/T, thindielectric.cpp) --------------------
+    R_t, _ = fresnel_dielectric_ext(jnp.abs(ci), p["eta_rel"])
+    R_t = jnp.where(R_t < 1.0, 2.0 * R_t / (1.0 + R_t), R_t)
+    pick_r = u1 <= R_t
+    put(
+        mt == MAT_THINDIELECTRIC,
+        jnp.where(pick_r[..., None], _reflect(wi_l), -wi_l),
+        jnp.where(pick_r[..., None], p["specular"], p["transmittance"]),
+        jnp.where(pick_r, R_t, 1.0 - R_t),
+        jnp.ones(L, bool),
+    )
+
+    # --- rough conductor -----------------------------------------------------
+    m_rc = MF.sample_visible(p["dist"], p["alpha_u"], p["alpha_v"], wi_l, u2)
+    wo_rc = _reflect_m(wi_l, m_rc)
+    f_rc, pdf_rc = _roughconductor_ep(p, wi_l, wo_rc)
+    ok_rc = (ci > 0) & (wo_rc[..., 2] > 0) & (pdf_rc > 0)
+    put(
+        mt == MAT_ROUGHCONDUCTOR,
+        wo_rc,
+        jnp.where(ok_rc[..., None], f_rc / jnp.maximum(pdf_rc, 1e-30)[..., None], 0.0),
+        jnp.where(ok_rc, pdf_rc, 0.0),
+    )
+
+    # --- plastic (delta + diffuse) -------------------------------------------
+    Fi, _ = fresnel_dielectric_ext(ci, p["eta_rel"])
+    prob_sp = (Fi * p["spec_weight"]) / jnp.maximum(
+        Fi * p["spec_weight"] + (1 - Fi) * (1 - p["spec_weight"]), 1e-12
+    )
+    pick_sp = u1 < prob_sp
+    u_re = jnp.stack(
+        [jnp.clip((u1 - prob_sp) / jnp.maximum(1 - prob_sp, 1e-9), 0.0, 1.0 - 1e-7),
+         u2b], -1)
+    wo_pd = warp.square_to_cosine_hemisphere(u_re)
+    Fo, _ = fresnel_dielectric_ext(wo_pd[..., 2], p["eta_rel"])
+    diff = p["reflectance"]
+    fdr = p["fdr_int"][..., None]
+    diff = jnp.where(
+        p["nonlinear"][..., None], diff / (1 - diff * fdr), diff / (1 - fdr)
+    )
+    w_pd = diff * (
+        p["inv_eta2"] * (1 - Fi) * (1 - Fo) / jnp.maximum(1 - prob_sp, 1e-12)
+    )[..., None]
+    w_ps = p["specular"] * (Fi / jnp.maximum(prob_sp, 1e-12))[..., None]
+    ok_p = ci > 0
+    put(
+        mt == MAT_PLASTIC,
+        jnp.where(pick_sp[..., None], _reflect(wi_l), wo_pd),
+        jnp.where(
+            ok_p[..., None], jnp.where(pick_sp[..., None], w_ps, w_pd), 0.0
+        ),
+        jnp.where(
+            ok_p,
+            jnp.where(
+                pick_sp, prob_sp,
+                (1 - prob_sp) * warp.square_to_cosine_hemisphere_pdf(wo_pd),
+            ),
+            0.0,
+        ),
+        pick_sp,
+    )
+
+    # --- rough plastic (glossy + diffuse) ------------------------------------
+    t12 = _rt_lookup(p, ci)
+    psp0 = 1.0 - t12
+    psp = (psp0 * p["spec_weight"]) / jnp.maximum(
+        psp0 * p["spec_weight"] + (1 - psp0) * (1 - p["spec_weight"]), 1e-12
+    )
+    pick_g = u2b < psp
+    u_g = jnp.stack(
+        [u1, jnp.clip(u2b / jnp.maximum(psp, 1e-9), 0.0, 1.0 - 1e-7)], -1
+    )
+    u_dd = jnp.stack(
+        [u1, jnp.clip((u2b - psp) / jnp.maximum(1 - psp, 1e-9), 0.0, 1.0 - 1e-7)],
+        -1,
+    )
+    alpha = p["alpha_u"]
+    m_rp = MF.sample_visible(p["dist"], alpha, alpha, wi_l, u_g)
+    wo_rp = jnp.where(
+        pick_g[..., None],
+        _reflect_m(wi_l, m_rp),
+        warp.square_to_cosine_hemisphere(u_dd),
+    )
+    f_rp, pdf_rp = _roughplastic_ep(p, wi_l, wo_rp)
+    ok_rp = (ci > 0) & (wo_rp[..., 2] > 0) & (pdf_rp > 0)
+    put(
+        mt == MAT_ROUGHPLASTIC,
+        wo_rp,
+        jnp.where(ok_rp[..., None], f_rp / jnp.maximum(pdf_rp, 1e-30)[..., None], 0.0),
+        jnp.where(ok_rp, pdf_rp, 0.0),
+    )
+
+    # --- rough dielectric -----------------------------------------------------
+    wi_f = _z(wi_l, jnp.sign(ci))
+    m_rd = MF.sample_visible(
+        p["dist"], p["alpha_u"], p["alpha_v"], wi_f, u2[..., :2]
+    )
+    # back to true frame: microfacet normal on wi's side
+    m_true = _z(m_rd, jnp.sign(ci))
+    F_rd, cos_t_rd = fresnel_dielectric_ext(jnp.sum(wi_l * m_true, -1), p["eta_rel"])
+    pick_r_rd = u3 <= F_rd  # independent lobe pick (roughdielectric.cpp)
+    wo_rd_r = _reflect_m(wi_l, m_true)
+    # refract about m_true
+    eta_ratio = jnp.where(cos_t_rd < 0, 1.0 / p["eta_rel"], p["eta_rel"])
+    dm = jnp.sum(wi_l * m_true, -1)
+    wo_rd_t = m_true * (dm * eta_ratio + cos_t_rd)[..., None] - wi_l * eta_ratio[..., None]
+    wo_rd = jnp.where(pick_r_rd[..., None], wo_rd_r, wo_rd_t)
+    side_ok = jnp.where(
+        pick_r_rd, wo_rd[..., 2] * ci > 0, wo_rd[..., 2] * ci < 0
+    )
+    f_rd, pdf_rd = _roughdielectric_ep(p, wi_l, wo_rd)
+    ok_rd = side_ok & (pdf_rd > 0) & (ci != 0)
+    eta_rd = jnp.where(
+        pick_r_rd, 1.0, jnp.where(ci > 0, p["eta_rel"], 1.0 / p["eta_rel"])
+    )
+    put(
+        mt == MAT_ROUGHDIELECTRIC,
+        wo_rd,
+        jnp.where(ok_rd[..., None], f_rd / jnp.maximum(pdf_rd, 1e-30)[..., None], 0.0),
+        jnp.where(ok_rd, pdf_rd, 0.0),
+        None,
+        eta_rd,
+    )
+
+    # --- null ----------------------------------------------------------------
+    put(
+        mt == MAT_NULL,
+        -wi_l,
+        jnp.ones_like(wi),
+        jnp.ones(L),
+        jnp.ones(L, bool),
+    )
+
+    # un-flip for twosided lanes
+    wo = _z(wo, sign)
+    return wo, weight, pdf, delta, eta_out

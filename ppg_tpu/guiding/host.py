@@ -101,11 +101,38 @@ class HostSDTree:
         f32 = lambda a, n, fill=0: jnp.asarray(pad(a, n, fill), jnp.float32)
         i32 = lambda a, n, fill=0: jnp.asarray(pad(a, n, fill).astype(np.int32))
 
+        # packed descent tables + static trip counts (rounded to 4)
+        s_pack = np.zeros((len(self.s_child), 4), np.int64)
+        s_pack[:, 0] = self.s_child[:, 0]
+        s_pack[:, 1] = self.s_child[:, 1]
+        s_pack[:, 2] = self.s_dtree
+        qs_pack = np.zeros((len(self.qs_sum), 8), np.float32)
+        qs_pack[:, :4] = self.qs_sum
+        qs_pack[:, 4:] = self.qs_child.astype(np.int32).view(np.float32)
+
+        def round4(x, cap):
+            return int(min(((max(int(x), 1) + 3) // 4) * 4, cap))
+
+        from .sdtree import MAX_Q_DEPTH, MAX_S_DEPTH
+
+        s_depth = round4(self._stree_depth(), MAX_S_DEPTH)
+        q_depth = round4(
+            max(
+                int(self.maxdepth.max()) if len(self.maxdepth) else 1,
+                int(self._building_depth()),
+            ),
+            MAX_Q_DEPTH,
+        )
+
         return SDTreeArrays(
+            s_depth=s_depth,
+            q_depth=q_depth,
             aabb_min=jnp.asarray(self.aabb_min, jnp.float32),
             aabb_size=jnp.float32(self.aabb_size),
             s_child=i32(self.s_child, S, 0),
             s_dtree=i32(self.s_dtree, S, 0),
+            s_pack=i32(s_pack, S, 0),
+            qs_pack=f32(qs_pack, Qs, 0),
             qs_sum=f32(self.qs_sum, Qs),
             qs_child=i32(self.qs_child, Qs, -1),
             ds_root=i32(self.s_off, T),
@@ -152,25 +179,44 @@ class HostSDTree:
         self.s_off = self.b_off.copy()
         self.s_cnt = self.b_cnt.copy()
         self.statw_s = self.statw_b.copy()
-        self.maxdepth = self._tree_maxdepth(depth)
+        self.maxdepth = self._tree_maxdepth(depth, self.b_cnt)
 
     def _node_depths(self, q_child, off, cnt):
+        """Vectorized level-BFS: roots have depth 0, children of the current
+        frontier get depth+1 (children always have larger indices)."""
         depth = np.zeros(len(q_child), np.int64)
-        # process nodes in increasing index order: parents precede children
-        for i in range(len(q_child)):
-            for q in range(4):
-                c = q_child[i, q]
-                if c >= 0:
-                    depth[c] = depth[i] + 1
+        frontier = off[cnt > 0]
+        d = 0
+        while len(frontier):
+            kids = q_child[frontier].ravel()
+            kids = kids[kids >= 0]
+            depth[kids] = d + 1
+            frontier = kids
+            d += 1
         return depth
 
-    def _tree_maxdepth(self, depth):
+    def _tree_maxdepth(self, depth, cnt):
+        """Per-dtree max node depth + 1, via segment max over slabs."""
         md = np.ones(self.num_dtrees, np.int64)
-        for t in range(self.num_dtrees):
-            o, c = self.s_off[t], self.s_cnt[t]
-            if c > 0:
-                md[t] = depth[o : o + c].max() + 1
+        if len(depth) == 0:
+            return md
+        owner = np.repeat(np.arange(self.num_dtrees), cnt)
+        np.maximum.at(md, owner, depth + 1)
         return md
+
+    def _stree_depth(self):
+        depth = 1
+        frontier = np.array([0])
+        while True:
+            internal = frontier[self.s_dtree[frontier] < 0]
+            if len(internal) == 0:
+                return depth
+            frontier = self.s_child[internal].ravel()
+            depth += 1
+
+    def _building_depth(self):
+        depth = self._node_depths(self.qb_child, self.b_off, self.b_cnt)
+        return (depth.max() + 1) if len(depth) else 1
 
     # -- reset (start of iteration) -------------------------------------------
 

@@ -34,6 +34,9 @@ class SDTreeArrays:
     FIELDS = (
         "aabb_min", "aabb_size",
         "s_child", "s_dtree",
+        # packed descent tables (one gather per level): s_pack = [child0,
+        # child1, dtree, pad] int32; q*_pack = [sum0..3, bitcast(child0..3)]
+        "s_pack", "qs_pack",
         # sampling pool (frozen during a pass)
         "qs_sum", "qs_child", "ds_root", "ds_sum", "ds_statw",
         # building pool (accumulated into during a pass)
@@ -42,15 +45,24 @@ class SDTreeArrays:
         "opt_var", "opt_m1", "opt_m2", "opt_iter", "opt_bgrad", "opt_bweight",
     )
 
-    def __init__(self, **kw):
+    def __init__(self, s_depth=MAX_S_DEPTH, q_depth=MAX_Q_DEPTH, **kw):
+        # static trip counts for the descent scans (rounded up on the host;
+        # pytree aux so jit recompiles only when the depth class changes)
+        self.s_depth = s_depth
+        self.q_depth = q_depth
         for f in self.FIELDS:
             setattr(self, f, kw[f])
 
 
 jax.tree_util.register_pytree_node(
     SDTreeArrays,
-    lambda s: (tuple(getattr(s, f) for f in SDTreeArrays.FIELDS), None),
-    lambda aux, ch: SDTreeArrays(**dict(zip(SDTreeArrays.FIELDS, ch))),
+    lambda s: (
+        tuple(getattr(s, f) for f in SDTreeArrays.FIELDS),
+        (s.s_depth, s.q_depth),
+    ),
+    lambda aux, ch: SDTreeArrays(
+        s_depth=aux[0], q_depth=aux[1], **dict(zip(SDTreeArrays.FIELDS, ch))
+    ),
 )
 
 
@@ -62,46 +74,44 @@ def lookup(sdt: SDTreeArrays, p_world):
     """Find the spatial leaf containing each point.
 
     Returns (dtree_id [L], voxel_size [L,3] in world units), matching
-    STree::dTreeWrapper (guided_path.cpp:897-905).
+    STree::dTreeWrapper (guided_path.cpp:897-905). The descent is a scan
+    with a static trip count (sdt.s_depth, host metadata); the split axis
+    cycles x,y,z with depth and all lanes start at the root, so the axis
+    per step is a compile-time one-hot — no dynamic indexing in the body.
+    One packed [L,4] gather per level.
     """
     x = jnp.clip(normalize_pos(sdt, p_world), 0.0, 1.0)
     L = x.shape[0]
+    onehots = jnp.eye(3, dtype=jnp.float32)[
+        jnp.arange(sdt.s_depth) % 3
+    ]  # [s_depth, 3]
 
-    def cond(st):
-        node, _, _, _ = st
-        return jnp.any(sdt.s_dtree[node] < 0)
-
-    def body(st):
-        node, x, size, depth = st
-        internal = sdt.s_dtree[node] < 0
-        axis = depth % 3
-        ax = jnp.take_along_axis(x, axis[:, None], axis=1)[:, 0]
+    def body(carry, oh):
+        node, x, size = carry
+        row = sdt.s_pack[node]  # [L,4]: child0, child1, dtree, pad
+        internal = row[:, 2] < 0
+        ax = jnp.sum(x * oh, -1)
         hi = ax >= 0.5
+        child = jnp.where(hi, row[:, 1], row[:, 0])
         ax2 = jnp.where(hi, (ax - 0.5) * 2.0, ax * 2.0)
-        child = sdt.s_child[node, jnp.where(hi, 1, 0)]
-        new_x = jnp.where(
-            internal[:, None],
-            x.at[jnp.arange(L), axis].set(ax2) if False else _set_axis(x, axis, ax2),
-            x,
-        )
-        halve = jnp.where(internal[:, None] & (jnp.arange(3)[None, :] == axis[:, None]), 0.5, 1.0)
-        return (
-            jnp.where(internal, child, node),
-            new_x,
-            size * halve,
-            jnp.where(internal, depth + 1, depth),
-        )
+        upd = internal[:, None] * oh  # [L,3] 0/1
+        x = x * (1 - upd) + upd * ax2[:, None]
+        size = size * (1 - 0.5 * upd)
+        node = jnp.where(internal, child, node)
+        return (node, x, size), None
 
-    size0 = jnp.broadcast_to(jnp.full(3, 1.0, jnp.float32) * sdt.aabb_size, (L, 3))
+    size0 = jnp.full((L, 3), 1.0, jnp.float32) * sdt.aabb_size
     node0 = jnp.zeros(L, jnp.int32)
-    depth0 = jnp.zeros(L, jnp.int32)
-    node, _, size, _ = jax.lax.while_loop(cond, body, (node0, x, size0, depth0))
+    (node, _, size), _ = jax.lax.scan(body, (node0, x, size0), onehots)
     return sdt.s_dtree[node], size
 
 
-def _set_axis(x, axis, val):
-    onehot = jnp.arange(3)[None, :] == axis[:, None]
-    return jnp.where(onehot, val[:, None], x)
+
+def _sel4(arr, bx, by):
+    """arr[lane, bx | by<<1] via wheres (take_along_axis lowers to gather)."""
+    lo = jnp.where(bx, arr[:, 1], arr[:, 0])
+    hi = jnp.where(bx, arr[:, 3], arr[:, 2])
+    return jnp.where(by, hi, lo)
 
 
 def _quad_index(p):
@@ -114,53 +124,58 @@ def _quad_index(p):
     return idx, jnp.stack([px, py], -1)
 
 
-def descend_to_leaf(q_child, root, p):
+def _unpack(row):
+    """[L,8] packed row -> (sums [L,4], children [L,4] int32)."""
+    import jax.lax as lax
+
+    sums = row[:, :4]
+    kids = lax.bitcast_convert_type(row[:, 4:8], jnp.int32)
+    return sums, kids
+
+
+def descend_to_leaf(q_child, root, p, n_steps=MAX_Q_DEPTH):
     """Walk a batch of canonical points down a quadtree pool.
 
     Returns (leaf node index, quadrant, rescaled point in the leaf cell)."""
 
-    def cond(st):
-        node, quad, p, done = st
-        return jnp.any(~done)
-
-    def body(st):
-        node, quad, p, done = st
+    def body(carry, _):
+        node, quad, p, done = carry
+        row = q_child[node]  # [L,4]
+        bx = p[..., 0] >= 0.5
+        by = p[..., 1] >= 0.5
         q, p2 = _quad_index(p)
-        child = q_child[node, q]
+        child = _sel4(row, bx, by)
         leaf = child < 0
         new_node = jnp.where(done | leaf, node, child)
         new_quad = jnp.where(done, quad, q)
-        new_p = jnp.where(done[..., None] | leaf[..., None], p, p2)
-        # store the rescaled point even at the leaf (record filter needs it)
-        new_p = jnp.where((~done & leaf)[..., None], p2, new_p)
-        return new_node, new_quad, new_p, done | leaf
+        new_p = jnp.where(done[..., None], p, p2)
+        return (new_node, new_quad, new_p, done | leaf), None
 
     L = p.shape[0]
     st = (root, jnp.zeros(L, jnp.int32), p, jnp.zeros(L, bool))
-    node, quad, p, _ = jax.lax.while_loop(cond, body, st)
+    (node, quad, p, _), _ = jax.lax.scan(body, st, None, length=n_steps)
     return node, quad, p
 
 
 def pdf_dir(sdt: SDTreeArrays, dtree_id, d_world):
     """Solid-angle pdf of the sampling distribution at direction d
-    (DTree::pdf, guided_path.cpp:415-421; QuadTreeNode::pdf :232-245)."""
+    (DTree::pdf, guided_path.cpp:415-421; QuadTreeNode::pdf :232-245).
+    Static-trip-count scan, one packed gather per level."""
     p = dir_to_canonical(d_world)
     mean = sdt.ds_sum[dtree_id] * INV_FOURPI / jnp.maximum(sdt.ds_statw[dtree_id], 1e-38)
     uniform = ~(mean > 0) | (sdt.ds_statw[dtree_id] <= 0)
 
-    def cond(st):
-        node, p, acc, dead, done = st
-        return jnp.any(~done)
-
-    def body(st):
-        node, p, acc, dead, done = st
-        q, p2 = _quad_index(p)
-        s = sdt.qs_sum[node]  # [L,4]
-        sq = jnp.take_along_axis(s, q[:, None], axis=1)[:, 0]
-        total = jnp.sum(s, axis=-1)
+    def body(carry, _):
+        node, p, acc, dead, done = carry
+        sums, kids = _unpack(sdt.qs_pack[node])
+        bx = p[..., 0] >= 0.5
+        by = p[..., 1] >= 0.5
+        _, p2 = _quad_index(p)
+        sq = _sel4(sums, bx, by)
+        total = jnp.sum(sums, axis=-1)
         ok = sq > 0
         factor = jnp.where(ok, 4.0 * sq / jnp.maximum(total, 1e-38), 0.0)
-        child = sdt.qs_child[node, q]
+        child = _sel4(kids, bx, by)
         leaf = child < 0
         acc = jnp.where(done, acc, acc * factor)
         dead = dead | (~done & ~ok)
@@ -171,12 +186,12 @@ def pdf_dir(sdt: SDTreeArrays, dtree_id, d_world):
             acc,
             dead,
             done2,
-        )
+        ), None
 
     L = p.shape[0]
     root = sdt.ds_root[jnp.maximum(dtree_id, 0)]
     st = (root, p, jnp.ones(L, jnp.float32), jnp.zeros(L, bool), jnp.zeros(L, bool))
-    _, _, acc, dead, _ = jax.lax.while_loop(cond, body, st)
+    (_, _, acc, dead, _), _ = jax.lax.scan(body, st, None, length=sdt.q_depth)
     pdf = jnp.where(dead, 0.0, acc * INV_FOURPI)
     return jnp.where(uniform, INV_FOURPI, pdf)
 
@@ -191,14 +206,14 @@ def sample_dir(sdt: SDTreeArrays, dtree_id, key_or_u):
     uniform = ~(mean > 0) | (sdt.ds_statw[dtree_id] <= 0)
     root = sdt.ds_root[jnp.maximum(dtree_id, 0)]
 
-    def body(level, st):
-        node, origin, scale, done = st
-        s = sdt.qs_sum[node]
-        top_left, top_right, bottom_left, bottom_right = s[:, 0], s[:, 1], s[:, 2], s[:, 3]
+    def body(carry, sm):
+        node, origin, scale, done = carry
+        sums, kids = _unpack(sdt.qs_pack[node])
+        top_left, top_right = sums[:, 0], sums[:, 1]
+        bottom_left = sums[:, 2]
         partial = top_left + bottom_left
-        total = jnp.sum(s, axis=-1)
+        total = jnp.sum(sums, axis=-1)
         degenerate = ~(total > 0)
-        sm = u[:, level]
         boundary = partial / jnp.maximum(total, 1e-38)
         go_right = sm >= boundary
         sm1 = jnp.where(
@@ -213,17 +228,22 @@ def sample_dir(sdt: SDTreeArrays, dtree_id, key_or_u):
         ox = jnp.where(go_right, 0.5, 0.0)
         oy = jnp.where(go_down, 0.5, 0.0)
 
-        child = sdt.qs_child[jnp.arange(L) * 0 + node, idx]
+        child = _sel4(kids, go_right, go_down)
         leaf = child < 0
         step = ~done & ~degenerate
-        origin = origin + jnp.where(step[:, None], scale[:, None] * jnp.stack([ox, oy], -1), 0.0)
+        origin = origin + jnp.where(
+            step[:, None], scale[:, None] * jnp.stack([ox, oy], -1), 0.0
+        )
         scale = jnp.where(step, scale * 0.5, scale)
         node = jnp.where(step & ~leaf, child, node)
         done = done | leaf | degenerate | ~step
-        return node, origin, scale, done
+        return (node, origin, scale, done), None
 
-    st = (root, jnp.zeros((L, 2), jnp.float32), jnp.ones(L, jnp.float32), jnp.zeros(L, bool))
-    node, origin, scale, done = jax.lax.fori_loop(0, MAX_Q_DEPTH, body, st)
+    st = (root, jnp.zeros((L, 2), jnp.float32), jnp.ones(L, jnp.float32),
+          jnp.zeros(L, bool))
+    (node, origin, scale, done), _ = jax.lax.scan(
+        body, st, u[:, :sdt.q_depth].T
+    )
     # final jitter inside the chosen cell (leaf 'origin + 0.5*next2D()')
     p = origin + scale[:, None] * u[:, MAX_Q_DEPTH : MAX_Q_DEPTH + 2]
     p = jnp.clip(p, 0.0, 1.0)
@@ -246,28 +266,25 @@ S_STACK = 24  # spatial box-filter stack capacity per record
 S_TARGETS = 16  # max spatial leaves one record can splat into
 
 
-def _depth_at(q_child, root, p):
+def _depth_at(q_child, root, p, n_steps=MAX_Q_DEPTH):
     """Leaf depth (root leaf = 1) at canonical point p (DTree::depthAt)."""
 
-    def cond(st):
-        _, _, _, done = st
-        return jnp.any(~done)
-
-    def body(st):
-        node, p, depth, done = st
+    def body(carry, _):
+        node, p, depth, done = carry
+        row = q_child[node]
         q, p2 = _quad_index(p)
-        child = q_child[node, q]
+        child = _sel4(row, p[..., 0] >= 0.5, p[..., 1] >= 0.5)
         leaf = child < 0
         return (
             jnp.where(done | leaf, node, child),
             jnp.where((done | leaf)[..., None], p, p2),
             jnp.where(done, depth, depth + 1),
             done | leaf,
-        )
+        ), None
 
     L = p.shape[0]
     st = (root, p, jnp.zeros(L, jnp.int32), jnp.zeros(L, bool))
-    _, _, depth, _ = jax.lax.while_loop(cond, body, st)
+    (_, _, depth, _), _ = jax.lax.scan(body, st, None, length=n_steps)
     return depth
 
 
@@ -490,20 +507,24 @@ def splat_records(sdt: SDTreeArrays, rec, spatial_filter="nearest",
     rec_ok = valid_e & ~is_delta & jnp.isfinite(stat_w) & (stat_w > 0)
     irr_ok = rec_ok & jnp.isfinite(irradiance) & (irradiance > 0)
 
+    from ..ops.reduce import bincount_add
+
     # statistical weight always accumulates for non-delta records (:395-397)
-    db_statw = sdt.db_statw.at[dtree_id].add(jnp.where(rec_ok, stat_w, 0.0))
+    db_statw = bincount_add(
+        sdt.db_statw, dtree_id, jnp.where(rec_ok, stat_w, 0.0)
+    )
 
     pc = dir_to_canonical(d)
     root = sdt.db_root[dtree_id]
     amount = jnp.where(irr_ok, irradiance * stat_w, 0.0)
     if directional_filter == "box":
-        depth = _depth_at(sdt.qb_child, root, pc)
+        depth = _depth_at(sdt.qb_child, root, pc, sdt.q_depth)
         qb_flat = dtree_box_splat(
             sdt.qb_sum.reshape(-1), sdt.qb_child, root, pc, amount, depth
         )
     else:
-        node, quad, _ = descend_to_leaf(sdt.qb_child, root, pc)
-        qb_flat = sdt.qb_sum.reshape(-1).at[node * 4 + quad].add(amount)
+        node, quad, _ = descend_to_leaf(sdt.qb_child, root, pc, sdt.q_depth)
+        qb_flat = bincount_add(sdt.qb_sum.reshape(-1), node * 4 + quad, amount)
 
     out = {f: getattr(sdt, f) for f in SDTreeArrays.FIELDS}
     out["db_statw"] = db_statw
@@ -521,8 +542,11 @@ def splat_records(sdt: SDTreeArrays, rec, spatial_filter="nearest",
         opt_ok = valid_e & (product > 0) & jnp.isfinite(dloss_dvar)
         g = jnp.where(opt_ok, dloss_dvar * stat_w, 0.0)
         w = jnp.where(opt_ok, stat_w, 0.0)
-        bgrad = sdt.opt_bgrad.at[dtree_id].add(g)
-        bweight = sdt.opt_bweight.at[dtree_id].add(w)
+        from ..ops.reduce import bincount_add2
+
+        bgrad, bweight = bincount_add2(
+            (sdt.opt_bgrad, sdt.opt_bweight), dtree_id, g, w
+        )
 
         # batched Adam step (batchSize=1 in the reference -> step whenever
         # accumulated weight exceeds 1; here once per splat batch)

@@ -50,9 +50,12 @@ def _render_chunk(scene, cfg, sensor, film, chunk, buffers, key, pix_start,
     out = trace_paths(scene, cfg, key, o, d, tmin, tmax, sdtree=sdtree)
     li = out["li"]
     valid = ids < W * sensor.H
-    li = jnp.where(valid[..., None], li, 0.0)
-    pos = jnp.where(valid[..., None], pos, -100.0)
-    buffers = film.splat(buffers, pos, li)
+    if film.rfilter == "box":
+        buffers = film.splat_box_linear(buffers, pix_start, li, valid)
+    else:
+        li = jnp.where(valid[..., None], li, 0.0)
+        pos = jnp.where(valid[..., None], pos, -100.0)
+        buffers = film.splat(buffers, pos, li)
     return buffers, out["vertices"]
 
 
@@ -65,8 +68,8 @@ def render(sc, spp, seed=0, chunk=1 << 16, cfg=None, scene_dev=None,
     W, H = sc.film["width"], sc.film["height"]
     sensor = PerspectiveSensor(sc.sensor, sc.film)
     film = Film(W, H, sc.film.get("rfilter", "box"))
-    buffers = film.zeros()
-    sq_buffers = film.zeros() if squared else None
+    is_box = film.rfilter == "box"
+    buffers = film.zeros_flat(chunk) if is_box else film.zeros()
 
     n_chunks = (W * H + chunk - 1) // chunk
     base = jax.random.key(seed)
@@ -77,5 +80,7 @@ def render(sc, spp, seed=0, chunk=1 << 16, cfg=None, scene_dev=None,
                 dev, cfg, sensor, film, chunk, buffers, key,
                 jnp.int32(c * chunk),
             )
+    if is_box:
+        buffers = film.unflatten(buffers)
     img = np.asarray(Film.develop(buffers))
     return img

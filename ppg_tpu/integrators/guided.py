@@ -52,10 +52,14 @@ def _guided_chunk(scene, cfg, sensor, film, chunk, film_buf, sq_buf, sdtree,
     out = trace_paths(scene, cfg, key, o, d, tmin, tmax, sdtree=sdtree)
     li = out["li"]
     valid = ids < W * sensor.H
-    li = jnp.where(valid[..., None], li, 0.0)
-    pos = jnp.where(valid[..., None], pos, -100.0)
-    film_buf = film.splat(film_buf, pos, li)
-    sq_buf = film.splat(sq_buf, pos, li * li)
+    if film.rfilter == "box":
+        film_buf = film.splat_box_linear(film_buf, pix_start, li, valid)
+        sq_buf = film.splat_box_linear(sq_buf, pix_start, li * li, valid)
+    else:
+        li = jnp.where(valid[..., None], li, 0.0)
+        pos = jnp.where(valid[..., None], pos, -100.0)
+        film_buf = film.splat(film_buf, pos, li)
+        sq_buf = film.splat(sq_buf, pos, li * li)
 
     if cfg.record_vertices and out["vertices"] is not None:
         stat_w = 0.5 if (cfg.do_nee and not cfg.nee_always) else 1.0
@@ -128,11 +132,21 @@ class GuidedPathTracer:
         )
 
     # -- one performRenderPasses call ---------------------------------------
+    def _zeros(self):
+        if self.film.rfilter == "box":
+            return self.film.zeros_flat(self.chunk)
+        return self.film.zeros()
+
+    def _to_image_buffers(self, buf):
+        if self.film.rfilter == "box":
+            return self.film.unflatten(buf)
+        return buf
+
     def _render_passes(self, n_passes, sdtree, is_built, do_nee, is_final,
                        film_buf, seed_base):
         W, H = self.film.W, self.film.H
-        img_buf = self.film.zeros()
-        sq_buf = self.film.zeros()
+        img_buf = self._zeros()
+        sq_buf = self._zeros()
         cfg = self._cfg(is_built, do_nee, is_final)
         n_chunks = (W * H + self.chunk - 1) // self.chunk
         t0 = time.time()
@@ -155,8 +169,10 @@ class GuidedPathTracer:
 
         # variance of the pass batch (:1300-1313)
         N = n_passes * self.spp_per_pass
-        img_sum = np.asarray(img_buf[0])
-        sq_sum = np.asarray(sq_buf[0])
+        img2d = self._to_image_buffers(img_buf)
+        sq2d = self._to_image_buffers(sq_buf)
+        img_sum = np.asarray(img2d[0])
+        sq_sum = np.asarray(sq2d[0])
         local_var = sq_sum - img_sum * img_sum / max(N, 1)
         lum = (
             0.212671 * local_var[..., 0]
@@ -173,7 +189,7 @@ class GuidedPathTracer:
                                variance=variance, ttuv=ttuv, stuv=stuv))
         log(f"  {seconds:.2f}s, {n_passes} passes, var {variance:.6f}, "
             f"TTUV {ttuv:.6f}, STUV {stuv:.6f}")
-        image = img_sum / np.maximum(np.asarray(img_buf[1])[..., None], 1e-20)
+        image = img_sum / np.maximum(np.asarray(img2d[1])[..., None], 1e-20)
         return sdtree, film_buf, image, variance
 
     # -- the full render loop ------------------------------------------------
@@ -189,7 +205,7 @@ class GuidedPathTracer:
         passes_rendered = 0
         it = 0
         images, variances = [], []
-        film_buf = self.film.zeros()
+        film_buf = self._zeros()
         cur_var_at_end = np.inf
         final_image = None
 
@@ -206,7 +222,7 @@ class GuidedPathTracer:
             log(f"ITERATION {it}, {passes_this_iter} passes "
                 f"(final={is_final}, nee={do_nee}, built={is_built})")
 
-            film_buf = self.film.zeros()
+            film_buf = self._zeros()
             # resetSDTree (:1108-1113)
             if sdtree is not None:
                 self.host_tree.pull(sdtree)
@@ -265,7 +281,7 @@ class GuidedPathTracer:
                 wi * im for wi, im in zip(w, images[-k:])
             ).astype(np.float32)
         else:
-            final_image = np.asarray(Film.develop(film_buf))
+            final_image = np.asarray(Film.develop(self._to_image_buffers(film_buf)))
         self.sdtree = sdtree
         return final_image
 
@@ -279,7 +295,7 @@ class GuidedPathTracer:
         passes_rendered = 0
         it = 0
         images, variances = [], []
-        film_buf = self.film.zeros()
+        film_buf = self._zeros()
         cur_var_at_end = np.inf
         start = time.time()
         elapsed = 0.0
@@ -291,7 +307,7 @@ class GuidedPathTracer:
             log(f"ITERATION {it}, {passes_this_iter} passes (time budget)")
 
             iter_start = time.time()
-            film_buf = self.film.zeros()
+            film_buf = self._zeros()
             if sdtree is not None:
                 self.host_tree.pull(sdtree)
             self.host_tree.refine_and_reset(
@@ -352,7 +368,7 @@ class GuidedPathTracer:
             final = sum(wi * im for wi, im in zip(w, images[-k:]))
             final_image = final.astype(np.float32)
         else:
-            final_image = np.asarray(Film.develop(film_buf))
+            final_image = np.asarray(Film.develop(self._to_image_buffers(film_buf)))
         self.sdtree = sdtree
         return final_image
 

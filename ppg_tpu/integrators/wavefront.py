@@ -175,7 +175,7 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
 
         mid = scene.tri_mat[tri]
         params = B.gather_params(scene.mats, mid)
-        smooth, delta_only, _ = B.lane_flags(params)
+        smooth, delta_only, _, transmissive = B.lane_flags(params)
 
         s_ax, t_ax = build_frame(sh_n)
         wi = to_local(s_ax, t_ax, sh_n, -d)
@@ -196,14 +196,14 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
             frac = jnp.full(L, cfg.bsdf_fraction)
 
         # -- sampleMat: one-sample MIS of BSDF and guided sampling ----------
-        u_bsdf = _rand(key, j, 0, (L, 2))
+        u_bsdf = _rand(key, j, 0, (L, 3))
         if guide and cfg.is_built:
             use_guide_mix = (dtree_id >= 0) & ~delta_only
             pick_bsdf = u_bsdf[:, 0] < frac
             # branch a: bsdf with rescaled sample
             ua = jnp.stack(
                 [jnp.clip(u_bsdf[:, 0] / jnp.maximum(frac, 1e-9), 0.0, 1.0 - 1e-7),
-                 u_bsdf[:, 1]], -1)
+                 u_bsdf[:, 1], u_bsdf[:, 2]], -1)
             wo_a, w_a, pdf_a, delta_a, eta_a = B.sample_bsdf(params, wi, ua)
             # branch b: sample the directional quadtree (one uniform per
             # level + 2 for the leaf cell, QuadTreeNode::sample :257-301)
@@ -253,7 +253,6 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
         nee_rec = None
         if cfg.do_nee:
             u_nee = _rand(key, j, 2, (L, 2))
-            transmissive = jnp.zeros(L, bool)  # set per-material when added
             ref_n = jnp.where(transmissive[..., None], 0.0, sh_n)
             ds = E.sample_direct(scene.emitters, p, ref_n, u_nee)
             nee_ok = act & smooth & (ds["pdf"] > 0)

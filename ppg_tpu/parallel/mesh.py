@@ -25,6 +25,12 @@ from jax.sharding import Mesh, PartitionSpec as P
 def make_mesh(n_devices=None, axis="tiles"):
     devs = jax.devices()
     n = n_devices or len(devs)
+    if len(devs) < n:
+        raise RuntimeError(
+            f"requested a {n}-device mesh but only {len(devs)} devices are "
+            "visible (set XLA_FLAGS=--xla_force_host_platform_device_count "
+            "and JAX_PLATFORMS=cpu for virtual-device testing)"
+        )
     return Mesh(np.array(devs[:n]), (axis,))
 
 

@@ -107,6 +107,46 @@ class Film:
                 wsum = wsum.at[cy, cx].add(w)
         return rgb, wsum
 
+    def zeros_flat(self, chunk):
+        """Flat film buffers padded to a whole number of chunks, for the
+        scatter-free contiguous splat path."""
+        import numpy as np
+
+        P = ((self.W * self.H + chunk - 1) // chunk) * chunk
+        return (
+            jnp.zeros((P, 3), jnp.float32),
+            jnp.zeros((P,), jnp.float32),
+        )
+
+    @staticmethod
+    def splat_box_linear(buffers, start, values, valid):
+        """Scatter-free box-filter splat for a CONTIGUOUS pixel chunk:
+        with the box filter (radius 0.5) a sample jittered within its pixel
+        always lands in that pixel, so the chunk update is a dynamic-slice
+        add — no scatter (TPU scatter serializes on duplicates).
+
+        buffers: from zeros_flat; start: int32 linear pixel offset (chunk
+        aligned); values [C,3]; valid [C]."""
+        import jax
+
+        rgb_flat, w_flat = buffers
+        C = values.shape[0]
+        vals = jnp.where(valid[:, None], values, 0.0)
+        w = jnp.where(valid, 1.0, 0.0)
+        cur = jax.lax.dynamic_slice(rgb_flat, (start, 0), (C, 3))
+        rgb_flat = jax.lax.dynamic_update_slice(rgb_flat, cur + vals, (start, 0))
+        curw = jax.lax.dynamic_slice(w_flat, (start,), (C,))
+        w_flat = jax.lax.dynamic_update_slice(w_flat, curw + w, (start,))
+        return rgb_flat, w_flat
+
+    def unflatten(self, buffers):
+        rgb_flat, w_flat = buffers
+        n = self.W * self.H
+        return (
+            rgb_flat[:n].reshape(self.H, self.W, 3),
+            w_flat[:n].reshape(self.H, self.W),
+        )
+
     @staticmethod
     def develop(buffers):
         rgb, wsum = buffers

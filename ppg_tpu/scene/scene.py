@@ -102,6 +102,15 @@ class MaterialTable:
     tex_alpha: np.ndarray
     tex_bump: np.ndarray
     exponent: np.ndarray  # phong
+    # derived quantities (filled by _derive): relative IOR, 1/eta^2,
+    # smooth-plastic internal diffuse Fresnel reflectance, specular sampling
+    # weight, rough transmittance table + its internal diffuse average
+    eta_rel: np.ndarray = None
+    inv_eta2: np.ndarray = None
+    fdr_int: np.ndarray = None
+    spec_weight: np.ndarray = None
+    rt_ext: np.ndarray = None
+    rt_fdr_int: np.ndarray = None
 
     @staticmethod
     def empty():
@@ -110,7 +119,8 @@ class MaterialTable:
         zi = np.zeros((0,), np.int32)
         zb = np.zeros((0,), bool)
         return MaterialTable(
-            zi, zb, z3, z3, z3, z3, z3, z, z, z, z, zi, zb, z3, zi, zi, zi, zi, zi, z
+            zi, zb, z3, z3, z3, z3, z3, z, z, z, z, zi, zb, z3, zi, zi, zi, zi,
+            zi, z, z, z, z, z, np.zeros((0, 64)), z
         )
 
 
@@ -247,6 +257,11 @@ class MaterialBuilder:
         def col(name, dtype=np.float64):
             return np.array([r[name] for r in self.rows], dtype)
 
+        table = self._make_table(col)
+        _derive(table)
+        return table
+
+    def _make_table(self, col):
         return MaterialTable(
             mtype=col("mtype", np.int32),
             twosided=col("twosided", bool),
@@ -269,6 +284,43 @@ class MaterialBuilder:
             tex_bump=col("tex_bump", np.int32),
             exponent=col("exponent"),
         )
+
+
+def _derive(t: MaterialTable):
+    """Fill the derived per-material quantities (plastic/roughplastic energy
+    bookkeeping; reference rtrans.h + plastic.cpp:167-180 m_fdrInt etc.)."""
+    from ..bsdf.derived import (
+        RT_BINS,
+        diffuse_transmittance,
+        rough_transmittance_table,
+    )
+    from ..bsdf.fresnel import fresnel_diffuse_reflectance
+
+    M = len(t.mtype)
+    t.eta_rel = t.int_ior / np.maximum(t.ext_ior, 1e-9)
+    t.inv_eta2 = 1.0 / np.maximum(t.eta_rel, 1e-9) ** 2
+    t.fdr_int = np.zeros(M)
+    t.spec_weight = np.zeros(M)
+    t.rt_ext = np.ones((M, RT_BINS))
+    t.rt_fdr_int = np.zeros(M)
+
+    for i in range(M):
+        mt = t.mtype[i]
+        if mt == MAT_PLASTIC:
+            t.fdr_int[i] = fresnel_diffuse_reflectance(1.0 / t.eta_rel[i])
+            s_avg = t.specular[i].mean()
+            d_avg = t.reflectance[i].mean()
+            t.spec_weight[i] = s_avg / max(d_avg + s_avg, 1e-9)
+        elif mt == MAT_ROUGHPLASTIC:
+            dist = int(t.dist[i])
+            alpha = float(t.alpha_u[i])
+            eta = float(t.eta_rel[i])
+            t.rt_ext[i] = rough_transmittance_table(dist, alpha, eta)
+            rt_int = rough_transmittance_table(dist, alpha, 1.0 / eta)
+            t.rt_fdr_int[i] = 1.0 - diffuse_transmittance(rt_int)
+            s_avg = t.specular[i].mean()
+            d_avg = t.reflectance[i].mean()
+            t.spec_weight[i] = s_avg / max(d_avg + s_avg, 1e-9)
 
 
 class TextureBuilder:

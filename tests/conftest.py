@@ -3,12 +3,18 @@ run without TPU hardware. Must run before jax initializes."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# the container's sitecustomize pre-imports jax with platforms=axon;
+# override via config (env alone is read too early to take effect)
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import sys
 

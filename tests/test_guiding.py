@@ -52,7 +52,7 @@ def test_quadtree_sums_propagate_after_reset():
     host = fresh()
     sdt = host.push()
     rng = np.random.default_rng(0)
-    n = 20000
+    n = 8000
     d = rng.normal(size=(n, 3))
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
     p = rng.random((n, 3))
@@ -87,7 +87,7 @@ def test_dtree_sample_matches_pdf_chi2():
     sdt = host.push()
     rng = np.random.default_rng(1)
     # anisotropic target: directions clustered toward +z
-    n = 60000
+    n = 8000
     d = rng.normal(size=(n, 3)) + [0, 0, 2.5]
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
     p = rng.random((n, 3))
@@ -103,7 +103,7 @@ def test_dtree_sample_matches_pdf_chi2():
         host.build()
     sdt = host.push()
 
-    m = 200000
+    m = 80000
     key = jax.random.key(0)
     u = jax.random.uniform(key, (m, G.MAX_Q_DEPTH + 2))
     tid = jnp.zeros(m, jnp.int32)
