@@ -68,41 +68,84 @@ TRANSMISSIVE_TYPES = (
 
 
 class MaterialArrays:
-    """Pytree of per-material parameter arrays (rows = material ids)."""
+    """Per-material parameters PACKED into one [M, WIDTH] f32 matrix.
 
-    FIELDS = (
-        "mtype", "twosided", "reflectance", "specular", "transmittance",
-        "eta", "k", "int_ior", "ext_ior", "alpha_u", "alpha_v", "dist",
-        "nonlinear", "opacity", "nested", "exponent",
-        "eta_rel", "inv_eta2", "fdr_int", "spec_weight", "rt_ext",
-        "rt_fdr_int",
-    )
+    TPU gather cost is per-op, not per-byte, so fetching a lane's whole
+    material record costs ONE row gather instead of 22 field gathers.
+    Integer fields (mtype/dist/nested) are stored bit-exactly via
+    float32 bitcast; bools as 0.0/1.0.
+    """
 
-    def __init__(self, **kw):
-        for f in self.FIELDS:
-            setattr(self, f, kw[f])
+    # field -> (offset, width, kind); kind in {f, f3, i, b, tab}
+    SLOTS = {
+        "mtype": (0, 1, "i"),
+        "twosided": (1, 1, "b"),
+        "reflectance": (2, 3, "f3"),
+        "specular": (5, 3, "f3"),
+        "transmittance": (8, 3, "f3"),
+        "eta": (11, 3, "f3"),
+        "k": (14, 3, "f3"),
+        "int_ior": (17, 1, "f"),
+        "ext_ior": (18, 1, "f"),
+        "alpha_u": (19, 1, "f"),
+        "alpha_v": (20, 1, "f"),
+        "dist": (21, 1, "i"),
+        "nonlinear": (22, 1, "b"),
+        "opacity": (23, 3, "f3"),
+        "nested": (26, 1, "i"),
+        "exponent": (27, 1, "f"),
+        "eta_rel": (28, 1, "f"),
+        "inv_eta2": (29, 1, "f"),
+        "fdr_int": (30, 1, "f"),
+        "spec_weight": (31, 1, "f"),
+        "rt_fdr_int": (32, 1, "f"),
+        "rt_ext": (33, RT_BINS, "tab"),
+    }
+    WIDTH = 33 + RT_BINS
+
+    def __init__(self, packed):
+        self.packed = packed
 
     @classmethod
     def from_table(cls, table):
-        kw = {}
-        for f in cls.FIELDS:
-            arr = getattr(table, f)
-            if str(arr.dtype).startswith(("int", "bool")):
-                kw[f] = jnp.asarray(arr)
+        import numpy as np
+
+        M = len(table.mtype)
+        packed = np.zeros((max(M, 1), cls.WIDTH), np.float32)
+        for f, (off, w, kind) in cls.SLOTS.items():
+            arr = np.asarray(getattr(table, f))[:M]
+            if kind == "i":
+                packed[:M, off] = arr.astype(np.int32).view(np.float32)
+            elif kind == "b":
+                packed[:M, off] = arr.astype(np.float32)
+            elif kind == "f":
+                packed[:M, off] = arr.astype(np.float32)
             else:
-                kw[f] = jnp.asarray(arr, jnp.float32)
-        return cls(**kw)
+                packed[:M, off : off + w] = arr.astype(np.float32).reshape(M, w)
+        return cls(jnp.asarray(packed))
 
 
 jax.tree_util.register_pytree_node(
     MaterialArrays,
-    lambda m: (tuple(getattr(m, f) for f in MaterialArrays.FIELDS), None),
-    lambda aux, ch: MaterialArrays(**dict(zip(MaterialArrays.FIELDS, ch))),
+    lambda m: ((m.packed,), None),
+    lambda aux, ch: MaterialArrays(ch[0]),
 )
 
 
 def gather_params(mats: MaterialArrays, mid):
-    return {f: getattr(mats, f)[mid] for f in MaterialArrays.FIELDS}
+    """One packed row gather -> dict of per-lane parameter views."""
+    row = mats.packed[mid]
+    out = {}
+    for f, (off, w, kind) in MaterialArrays.SLOTS.items():
+        if kind == "i":
+            out[f] = jax.lax.bitcast_convert_type(row[..., off], jnp.int32)
+        elif kind == "b":
+            out[f] = row[..., off] > 0.5
+        elif kind == "f":
+            out[f] = row[..., off]
+        else:
+            out[f] = row[..., off : off + w]
+    return out
 
 
 def lane_flags(p):

@@ -21,10 +21,14 @@ from ..core.vecmath import dot, normalize
 
 
 class EmitterArrays:
+    """Emitter sampling tables. Per-emitter-triangle geometry is packed
+    into one [TE, 19] row (p0,e1,e2,n0,n1,n2,cdf) indexed by the LOCAL
+    emitter-triangle slot — one gather per NEE sample instead of seven
+    (TPU gather cost is per-op, not per-byte)."""
+
     FIELDS = (
-        "radiance", "tri_offset", "tri_count", "tri_ids", "tri_cdf", "inv_area",
-        # per-triangle sampling geometry (gathered from scene by tri id)
-        "tp0", "te1", "te2", "tn0", "tn1", "tn2",
+        "radiance", "tri_offset", "tri_count", "inv_area",
+        "etri",  # [TE, 19] packed per-emitter-triangle rows
     )
 
     def __init__(self, **kw):
@@ -34,19 +38,29 @@ class EmitterArrays:
 
     @classmethod
     def from_scene(cls, sc):
+        import numpy as np
+
         em = sc.emitters
-        v = sc.positions[sc.faces]
-        n = sc.normals[sc.faces]
+        ids = np.asarray(em.tri_ids)
+        v = sc.positions[sc.faces][ids] if len(ids) else np.zeros((0, 3, 3))
+        n = sc.normals[sc.faces][ids] if len(ids) else np.zeros((0, 3, 3))
+        TE = len(ids)
+        etri = np.zeros((max(TE, 1), 19), np.float32)
+        if TE:
+            etri[:TE, 0:3] = v[:, 0]
+            etri[:TE, 3:6] = v[:, 1] - v[:, 0]
+            etri[:TE, 6:9] = v[:, 2] - v[:, 0]
+            etri[:TE, 9:12] = n[:, 0]
+            etri[:TE, 12:15] = n[:, 1]
+            etri[:TE, 15:18] = n[:, 2]
+            etri[:TE, 18] = np.asarray(em.tri_cdf, np.float32)
         f32 = lambda x: jnp.asarray(x, jnp.float32)
         return cls(
             radiance=f32(em.radiance),
             tri_offset=jnp.asarray(em.tri_offset),
             tri_count=jnp.asarray(em.tri_count),
-            tri_ids=jnp.asarray(em.tri_ids),
-            tri_cdf=f32(em.tri_cdf),
             inv_area=f32(em.inv_area),
-            tp0=f32(v[:, 0]), te1=f32(v[:, 1] - v[:, 0]), te2=f32(v[:, 2] - v[:, 0]),
-            tn0=f32(n[:, 0]), tn1=f32(n[:, 1]), tn2=f32(n[:, 2]),
+            etri=jnp.asarray(etri),
         )
 
 
@@ -81,35 +95,37 @@ def sample_direct(em: EmitterArrays, ref_p, ref_n, u2):
     eid = jnp.clip(xe.astype(jnp.int32), 0, E - 1)
     x1 = xe - eid  # reused uniform
 
-    # triangle pick by per-emitter area CDF with reuse of u2.y
+    # triangle pick by per-emitter area CDF with reuse of u2.y; binary
+    # search over the packed cdf column (log2(TE) single-scalar gathers)
     off = em.tri_offset[eid]
     cnt = em.tri_count[eid]
-    maxc = int(em.tri_count.max()) if em.tri_count.shape[0] else 1
+    TE = em.etri.shape[0]
     u = u2[..., 1]
-    # binary-search-free: linear scan bounded by max triangle count per emitter
-    # (bundled scenes: emitters are 2-triangle quads)
-    idx = jnp.zeros_like(eid)
-    prev_cdf = jnp.zeros_like(u)
-    found = jnp.zeros_like(eid, dtype=bool)
-    for k in range(maxc):
-        c = em.tri_cdf[jnp.minimum(off + k, em.tri_cdf.shape[0] - 1)]
-        take = (~found) & (u <= c) & (k < cnt)
-        idx = jnp.where(take, k, idx)
-        found = found | take
-        prev_cdf = jnp.where(found, prev_cdf, c)
-    idx = jnp.where(found, idx, cnt - 1)
-    lo = jnp.where(idx > 0, em.tri_cdf[jnp.minimum(off + idx - 1, em.tri_cdf.shape[0] - 1)], 0.0)
-    hi = em.tri_cdf[jnp.minimum(off + idx, em.tri_cdf.shape[0] - 1)]
+    lo_i = jnp.zeros_like(eid)
+    hi_i = jnp.maximum(cnt - 1, 0)
+    n_steps = max(1, int(np.ceil(np.log2(max(int(TE), 2)))))
+    for _ in range(n_steps):
+        active = lo_i < hi_i
+        mid = (lo_i + hi_i) >> 1
+        c = em.etri[jnp.minimum(off + mid, TE - 1), 18]
+        go_hi = u > c
+        lo_i = jnp.where(active & go_hi, mid + 1, lo_i)
+        hi_i = jnp.where(active & ~go_hi, mid, hi_i)
+    idx = jnp.clip(lo_i, 0, jnp.maximum(cnt - 1, 0))
+
+    row = em.etri[jnp.minimum(off + idx, TE - 1)]  # one packed gather
+    prev = em.etri[jnp.minimum(off + jnp.maximum(idx - 1, 0), TE - 1), 18]
+    lo = jnp.where(idx > 0, prev, 0.0)
+    hi = row[:, 18]
     x2 = jnp.clip((u - lo) / jnp.maximum(hi - lo, 1e-20), 0.0, 1.0)
 
-    tri = em.tri_ids[jnp.minimum(off + idx, em.tri_ids.shape[0] - 1)]
     bary = warp.square_to_uniform_triangle(jnp.stack([x1, x2], -1))
     b1, b2 = bary[..., 0], bary[..., 1]
-    p = em.tp0[tri] + b1[..., None] * em.te1[tri] + b2[..., None] * em.te2[tri]
+    p = row[:, 0:3] + b1[..., None] * row[:, 3:6] + b2[..., None] * row[:, 6:9]
     n = normalize(
-        em.tn0[tri] * (1 - b1 - b2)[..., None]
-        + em.tn1[tri] * b1[..., None]
-        + em.tn2[tri] * b2[..., None]
+        row[:, 9:12] * (1 - b1 - b2)[..., None]
+        + row[:, 12:15] * b1[..., None]
+        + row[:, 15:18] * b2[..., None]
     )
 
     d = p - ref_p

@@ -54,10 +54,15 @@ class PTConfig:
 
 
 class DeviceScene:
-    """All per-scene device arrays consumed by the tracer (pytree)."""
+    """All per-scene device arrays consumed by the tracer (pytree).
 
-    FIELDS = ("geom", "mats", "emitters", "n0", "n1", "n2", "geo_n",
-              "tri_mat", "tri_emitter", "eps")
+    Per-triangle shading data is PACKED into one [T, 17] f32 row in BVH
+    leaf order (see accel.traverse): n0(3) n1(3) n2(3) geo_n(3)
+    bitcast(mat) bitcast(emitter) radiance(3) — one gather per hit
+    replaces seven (TPU gather cost is per-op, not per-byte).
+    """
+
+    FIELDS = ("geom", "mats", "emitters", "shade", "eps")
 
     def __init__(self, **kw):
         for f in self.FIELDS:
@@ -70,20 +75,33 @@ class DeviceScene:
         from ..accel.traverse import build_geometry
 
         geom = build_geometry(sc.positions, sc.faces)
-        n = sc.normals[sc.faces]
-        v = sc.positions[sc.faces]
+        perm = np.asarray(geom.perm)
+        n = sc.normals[sc.faces][perm]
+        v = sc.positions[sc.faces][perm]
         gn = np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0])
         gn /= np.maximum(np.linalg.norm(gn, axis=-1, keepdims=True), 1e-20)
+        T = len(perm)
+        shade = np.zeros((max(T, 1), 17), np.float32)
+        if T:
+            shade[:T, 0:3] = n[:, 0]
+            shade[:T, 3:6] = n[:, 1]
+            shade[:T, 6:9] = n[:, 2]
+            shade[:T, 9:12] = gn
+            shade[:T, 12] = sc.tri_mat[perm].astype(np.int32).view(np.float32)
+            eid = sc.tri_emitter[perm].astype(np.int32)
+            shade[:T, 13] = eid.view(np.float32)
+            if sc.emitters.num:
+                shade[:T, 14:17] = np.where(
+                    (eid >= 0)[:, None],
+                    sc.emitters.radiance[np.maximum(eid, 0)],
+                    0.0,
+                )
         diag = float(np.linalg.norm(sc.aabb_max - sc.aabb_min))
-        f32 = lambda x: jnp.asarray(x, jnp.float32)
         return cls(
             geom=geom,
             mats=B.MaterialArrays.from_table(sc.materials),
             emitters=E.EmitterArrays.from_scene(sc),
-            n0=f32(n[:, 0]), n1=f32(n[:, 1]), n2=f32(n[:, 2]),
-            geo_n=f32(gn),
-            tri_mat=jnp.asarray(sc.tri_mat),
-            tri_emitter=jnp.asarray(sc.tri_emitter),
+            shade=jnp.asarray(shade),
             eps=jnp.float32(max(diag, 1.0) * 1e-5),
         )
 
@@ -95,19 +113,25 @@ jax.tree_util.register_pytree_node(
 )
 
 
+def fetch_hit(scene: DeviceScene, tri, bu, bv):
+    """One packed gather -> interpolated shading normal, geometric normal,
+    material id, emitter id, emitted radiance."""
+    row = scene.shade[tri]
+    w0 = (1.0 - bu - bv)[..., None]
+    sh_n = normalize(
+        row[:, 0:3] * w0 + row[:, 3:6] * bu[..., None] + row[:, 6:9] * bv[..., None]
+    )
+    geo_n = row[:, 9:12]
+    mid = jax.lax.bitcast_convert_type(row[:, 12], jnp.int32)
+    eid = jax.lax.bitcast_convert_type(row[:, 13], jnp.int32)
+    rad = row[:, 14:17]
+    return sh_n, geo_n, mid, eid, rad
+
+
 def mi_weight(pdf_a, pdf_b):
     """Power heuristic (guided_path.cpp:2247-2250)."""
     a2, b2 = pdf_a * pdf_a, pdf_b * pdf_b
     return jnp.where(a2 > 0, a2 / jnp.maximum(a2 + b2, 1e-38), 0.0)
-
-
-def _shading_normal(scene, tri, u, v):
-    n = (
-        scene.n0[tri] * (1 - u - v)[..., None]
-        + scene.n1[tri] * u[..., None]
-        + scene.n2[tri] * v[..., None]
-    )
-    return normalize(n)
 
 
 def _rand(key, j, tag, shape):
@@ -134,10 +158,9 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
     # depth-0 emitter / environment contribution (guided_path.cpp:1902-1919)
     c0 = f3()
     if not cfg.hide_emitters:
-        tri_s = jnp.maximum(tri, 0)
-        sh_n0 = _shading_normal(scene, tri_s, bu, bv)
-        le = E.eval_radiance(scene.emitters, jnp.where(hit, scene.tri_emitter[tri_s], -1), sh_n0, -d)
-        c0 = jnp.where(hit[..., None], le, 0.0)
+        sh_n0, _, _, eid0, rad0 = fetch_hit(scene, jnp.maximum(tri, 0), bu, bv)
+        front0 = dot(sh_n0, -d) > 0
+        c0 = jnp.where((hit & (eid0 >= 0) & front0)[..., None], rad0, 0.0)
         # environment emitter on miss would be added here (none in cbox)
 
     if J == 0:
@@ -163,8 +186,7 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
         eta = carry["eta"]
 
         p = o + carry["t"][..., None] * d
-        sh_n = _shading_normal(scene, tri, carry["bu"], carry["bv"])
-        geo_n = scene.geo_n[tri]
+        sh_n, geo_n, mid, _, _ = fetch_hit(scene, tri, carry["bu"], carry["bv"])
         # flip geometric normal toward the incident side, as Mitsuba's
         # Intersection does via the shading frame side convention
         wi_dot_geo = -dot(geo_n, d)
@@ -173,7 +195,6 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
         if cfg.strict_normals:
             act = act & (wi_dot_geo * wi_dot_sh >= 0)
 
-        mid = scene.tri_mat[tri]
         params = B.gather_params(scene.mats, mid)
         smooth, delta_only, _, transmissive = B.lane_flags(params)
 
@@ -309,9 +330,10 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
         )
         hit2 = (tri2 >= 0) & act_c
         tri2s = jnp.maximum(tri2, 0)
-        em2 = jnp.where(hit2, scene.tri_emitter[tri2s], -1)
-        sh_n2 = _shading_normal(scene, tri2s, bu2, bv2)
-        le2 = E.eval_radiance(scene.emitters, em2, sh_n2, -d2)
+        sh_n2, _, _, eid2, rad2 = fetch_hit(scene, tri2s, bu2, bv2)
+        em2 = jnp.where(hit2, eid2, -1)
+        front2 = dot(sh_n2, -d2) > 0
+        le2 = jnp.where((hit2 & (eid2 >= 0) & front2)[..., None], rad2, 0.0)
         hit_emitter = jnp.any(le2 > 0, axis=-1)
         p2 = o2 + t2[..., None] * d2
 
