@@ -24,7 +24,44 @@ MAX_LEAF = 4
 N_BINS = 16
 
 
-def build_bvh(positions, faces, max_leaf=MAX_LEAF):
+def _build_native(positions, faces, max_leaf):
+    """C++ builder (native/bvh_builder.cpp); None if unavailable."""
+    import ctypes
+    import os
+
+    from .native import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    verts = np.ascontiguousarray(positions, np.float32)
+    f = np.ascontiguousarray(faces, np.int32)
+    F = len(f)
+    n_threads = min(os.cpu_count() or 1, 16)
+    fp = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    ip = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    n = lib.ppg_bvh_build(fp(verts), len(verts), ip(f), F, max_leaf, n_threads)
+    if n <= 0:
+        return None
+    node_min = np.empty((n, 3), np.float32)
+    node_max = np.empty((n, 3), np.float32)
+    is_leaf = np.empty(n, np.uint8)
+    leaf_off = np.empty(n, np.int32)
+    leaf_cnt = np.empty(n, np.int32)
+    miss = np.empty(n, np.int32)
+    prim_ids = np.empty(F, np.int32)
+    lib.ppg_bvh_copy(
+        fp(node_min), fp(node_max),
+        is_leaf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ip(leaf_off), ip(leaf_cnt), ip(miss), ip(prim_ids),
+    )
+    return dict(
+        node_min=node_min, node_max=node_max, is_leaf=is_leaf.astype(bool),
+        leaf_off=leaf_off, leaf_cnt=leaf_cnt, miss=miss, prim_ids=prim_ids,
+    )
+
+
+def build_bvh(positions, faces, max_leaf=MAX_LEAF, allow_native=True):
     F = len(faces)
     if F == 0:
         return dict(
@@ -36,6 +73,10 @@ def build_bvh(positions, faces, max_leaf=MAX_LEAF):
             miss=np.array([1], np.int32),
             prim_ids=np.zeros(0, np.int32),
         )
+    if allow_native:
+        out = _build_native(positions, faces, max_leaf)
+        if out is not None:
+            return out
     v = positions[faces]  # [F, 3, 3]
     tmin = v.min(axis=1)
     tmax = v.max(axis=1)

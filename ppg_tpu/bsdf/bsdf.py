@@ -99,9 +99,11 @@ class MaterialArrays:
         "fdr_int": (30, 1, "f"),
         "spec_weight": (31, 1, "f"),
         "rt_fdr_int": (32, 1, "f"),
-        "rt_ext": (33, RT_BINS, "tab"),
+        "tex_reflectance": (33, 1, "i"),
+        "tex_opacity": (34, 1, "i"),
+        "rt_ext": (35, RT_BINS, "tab"),
     }
-    WIDTH = 33 + RT_BINS
+    WIDTH = 35 + RT_BINS
 
     def __init__(self, packed):
         self.packed = packed

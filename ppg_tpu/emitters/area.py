@@ -81,19 +81,29 @@ def eval_radiance(em: EmitterArrays, emitter_id, sh_n, wo_world):
     return jnp.where(ok[..., None], rad, 0.0)
 
 
-def sample_direct(em: EmitterArrays, ref_p, ref_n, u2):
+def sample_direct(em: EmitterArrays, ref_p, ref_n, u2, slot=None, x1=None,
+                  n_slots=None):
     """NEE direct sample toward the emitter set.
 
     ref_n: shading normal of the query point, or 0 for transmissive
     surfaces (records.inl:160-164). Returns a dict with d, dist, pdf
     (solid angle, including the 1/numEmitters pick), value = Le/pdf,
     and the sampled point for visibility rays.
+
+    slot/x1/n_slots: when the scene also has an environment emitter the
+    caller picks the slot among n_slots = num_area + 1 uniform choices
+    (Scene::sampleEmitterDirect's uniform m_emitterPDF) and passes the
+    pre-picked area emitter index + rescaled uniform here.
     """
     E = em.num
-    # uniform emitter pick with sample reuse (DiscretePDF::sampleReuse)
-    xe = u2[..., 0] * E
-    eid = jnp.clip(xe.astype(jnp.int32), 0, E - 1)
-    x1 = xe - eid  # reused uniform
+    if slot is None:
+        # uniform emitter pick with sample reuse (DiscretePDF::sampleReuse)
+        xe = u2[..., 0] * E
+        eid = jnp.clip(xe.astype(jnp.int32), 0, E - 1)
+        x1 = xe - eid  # reused uniform
+    else:
+        eid = jnp.clip(slot, 0, E - 1)
+    n_slots = E if n_slots is None else n_slots
 
     # triangle pick by per-emitter area CDF with reuse of u2.y; binary
     # search over the packed cdf column (log2(TE) single-scalar gathers)
@@ -135,7 +145,7 @@ def sample_direct(em: EmitterArrays, ref_p, ref_n, u2):
 
     dp = jnp.abs(dot(d, n))
     pdf_area = em.inv_area[eid]
-    pdf_sa = jnp.where(dp != 0.0, pdf_area * dist2 / dp, 0.0) / E
+    pdf_sa = jnp.where(dp != 0.0, pdf_area * dist2 / dp, 0.0) / n_slots
 
     ok = (dot(d, ref_n) >= 0) & (dot(d, n) < 0) & (pdf_sa > 0)
     value = jnp.where(
@@ -144,14 +154,16 @@ def sample_direct(em: EmitterArrays, ref_p, ref_n, u2):
     return dict(d=d, dist=dist, pdf=jnp.where(ok, pdf_sa, 0.0), value=value, p=p, n=n)
 
 
-def pdf_direct(em: EmitterArrays, emitter_id, hit_p, hit_n, ref_p):
+def pdf_direct(em: EmitterArrays, emitter_id, hit_p, hit_n, ref_p,
+               n_slots=None):
     """Solid-angle pdf of having NEE-sampled the point hit by a BSDF ray
     (pdfEmitterDirect, scene.cpp:949-961)."""
     E = em.num
+    n_slots = E if n_slots is None else n_slots
     eid = jnp.maximum(emitter_id, 0)
     d = hit_p - ref_p
     dist2 = dot(d, d)
     d = d / jnp.sqrt(jnp.maximum(dist2, 1e-30))[..., None]
     dp = jnp.abs(dot(d, hit_n))
-    pdf = jnp.where(dp != 0.0, em.inv_area[eid] * dist2 / dp, 0.0) / E
+    pdf = jnp.where(dp != 0.0, em.inv_area[eid] * dist2 / dp, 0.0) / n_slots
     return jnp.where(emitter_id >= 0, pdf, 0.0)

@@ -21,6 +21,10 @@ from .wavefront import DeviceScene, PTConfig, trace_paths
 
 
 def make_config(sc, **overrides) -> PTConfig:
+    import numpy as np
+
+    from ..scene.scene import MAT_MASK
+
     ip = sc.integrator
     nee = str(ip.get("nee", "never"))
     kw = dict(
@@ -31,6 +35,12 @@ def make_config(sc, **overrides) -> PTConfig:
         do_nee=nee != "never",
         nee_always=nee == "always",
         bsdf_fraction=float(ip.get("bsdfSamplingFraction", 0.5)),
+        has_env=sc.env_emitter is not None,
+        has_tex=bool(sc.textures is not None and sc.textures.specs),
+        has_mask=bool(
+            sc.materials is not None
+            and np.any(np.asarray(sc.materials.mtype) == MAT_MASK)
+        ),
     )
     kw.update(overrides)
     return PTConfig(**kw)

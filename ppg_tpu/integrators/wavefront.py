@@ -27,9 +27,16 @@ from ..accel.traverse import closest_hit
 from ..bsdf import bsdf as B
 from ..core.vecmath import build_frame, dot, normalize, to_local, to_world
 from ..emitters import area as E
+from ..emitters import envmap as EV
+from ..scene.scene import MAT_MASK
+from ..scene.textures import TextureAtlas, sample_atlas
 
 SHADOW_EPS = 1e-3  # relative end offset, mirrors Mitsuba's ShadowEpsilon
-MAX_BOUNCES_CAP = 32  # MAX_NUM_VERTICES analog (guided_path.cpp:1771)
+# MAX_NUM_VERTICES analog (guided_path.cpp:1771). The reference caps at 32;
+# we cap the *sampled* bounce scan at 16: RR (rrDepth 5, q <= 0.95) makes
+# deeper-path energy negligible, compile time grows linearly with the scan
+# length, and >24 unrolled bounces crash the current TPU runtime.
+MAX_BOUNCES_CAP = 16
 
 
 @dataclass(frozen=True)
@@ -45,6 +52,9 @@ class PTConfig:
     is_built: bool = False  # sampling tree valid (m_isBuilt)
     record_vertices: bool = False  # produce training records
     learn_fraction: bool = False  # bsdfSamplingFractionLoss != none
+    has_env: bool = False  # scene has an environment emitter
+    has_tex: bool = False  # scene has bitmap textures
+    has_mask: bool = False  # scene has mask (opacity) BSDFs
 
     @property
     def n_bounces(self):
@@ -56,13 +66,14 @@ class PTConfig:
 class DeviceScene:
     """All per-scene device arrays consumed by the tracer (pytree).
 
-    Per-triangle shading data is PACKED into one [T, 17] f32 row in BVH
+    Per-triangle shading data is PACKED into one [T, 23] f32 row in BVH
     leaf order (see accel.traverse): n0(3) n1(3) n2(3) geo_n(3)
-    bitcast(mat) bitcast(emitter) radiance(3) — one gather per hit
-    replaces seven (TPU gather cost is per-op, not per-byte).
+    bitcast(mat) bitcast(emitter) radiance(3) uv0(2) uv1(2) uv2(2) — one
+    gather per hit replaces many (TPU gather cost is per-op, not
+    per-byte).
     """
 
-    FIELDS = ("geom", "mats", "emitters", "shade", "eps")
+    FIELDS = ("geom", "mats", "emitters", "shade", "eps", "env", "tex")
 
     def __init__(self, **kw):
         for f in self.FIELDS:
@@ -81,7 +92,7 @@ class DeviceScene:
         gn = np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0])
         gn /= np.maximum(np.linalg.norm(gn, axis=-1, keepdims=True), 1e-20)
         T = len(perm)
-        shade = np.zeros((max(T, 1), 17), np.float32)
+        shade = np.zeros((max(T, 1), 23), np.float32)
         if T:
             shade[:T, 0:3] = n[:, 0]
             shade[:T, 3:6] = n[:, 1]
@@ -96,6 +107,28 @@ class DeviceScene:
                     sc.emitters.radiance[np.maximum(eid, 0)],
                     0.0,
                 )
+            if sc.texcoords is not None and len(sc.texcoords):
+                uvf = sc.texcoords[sc.faces][perm]  # [T, 3, 2]
+                shade[:T, 17:23] = uvf.reshape(T, 6)
+
+        env = None
+        if sc.env_emitter is not None:
+            from ..emitters.envmap import build_env_from_spec
+
+            scene_dir = sc.textures.scene_xml.dir if sc.textures else "."
+            env = build_env_from_spec(
+                sc.env_emitter, scene_dir, sc.aabb_min, sc.aabb_max
+            )
+        if env is None:
+            env = EV.EnvmapArrays.dummy()
+
+        if sc.textures is not None and sc.textures.specs:
+            tex = TextureAtlas.build(
+                [s.props for s in sc.textures.specs], sc.textures.scene_xml.dir
+            )
+        else:
+            tex = TextureAtlas.empty()
+
         diag = float(np.linalg.norm(sc.aabb_max - sc.aabb_min))
         return cls(
             geom=geom,
@@ -103,6 +136,8 @@ class DeviceScene:
             emitters=E.EmitterArrays.from_scene(sc),
             shade=jnp.asarray(shade),
             eps=jnp.float32(max(diag, 1.0) * 1e-5),
+            env=env,
+            tex=tex,
         )
 
 
@@ -115,7 +150,7 @@ jax.tree_util.register_pytree_node(
 
 def fetch_hit(scene: DeviceScene, tri, bu, bv):
     """One packed gather -> interpolated shading normal, geometric normal,
-    material id, emitter id, emitted radiance."""
+    material id, emitter id, emitted radiance, interpolated uv."""
     row = scene.shade[tri]
     w0 = (1.0 - bu - bv)[..., None]
     sh_n = normalize(
@@ -125,7 +160,12 @@ def fetch_hit(scene: DeviceScene, tri, bu, bv):
     mid = jax.lax.bitcast_convert_type(row[:, 12], jnp.int32)
     eid = jax.lax.bitcast_convert_type(row[:, 13], jnp.int32)
     rad = row[:, 14:17]
-    return sh_n, geo_n, mid, eid, rad
+    uv = (
+        row[:, 17:19] * w0
+        + row[:, 19:21] * bu[..., None]
+        + row[:, 21:23] * bv[..., None]
+    )
+    return sh_n, geo_n, mid, eid, rad, uv
 
 
 def mi_weight(pdf_a, pdf_b):
@@ -158,10 +198,11 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
     # depth-0 emitter / environment contribution (guided_path.cpp:1902-1919)
     c0 = f3()
     if not cfg.hide_emitters:
-        sh_n0, _, _, eid0, rad0 = fetch_hit(scene, jnp.maximum(tri, 0), bu, bv)
+        sh_n0, _, _, eid0, rad0, _ = fetch_hit(scene, jnp.maximum(tri, 0), bu, bv)
         front0 = dot(sh_n0, -d) > 0
         c0 = jnp.where((hit & (eid0 >= 0) & front0)[..., None], rad0, 0.0)
-        # environment emitter on miss would be added here (none in cbox)
+        if cfg.has_env:
+            c0 = c0 + jnp.where(hit[..., None], 0.0, EV.eval_env(scene.env, d))
 
     if J == 0:
         return dict(li=c0, vertices=None, n_rays=jnp.int32(L))
@@ -186,7 +227,7 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
         eta = carry["eta"]
 
         p = o + carry["t"][..., None] * d
-        sh_n, geo_n, mid, _, _ = fetch_hit(scene, tri, carry["bu"], carry["bv"])
+        sh_n, geo_n, mid, _, _, uv = fetch_hit(scene, tri, carry["bu"], carry["bv"])
         # flip geometric normal toward the incident side, as Mitsuba's
         # Intersection does via the shading frame side convention
         wi_dot_geo = -dot(geo_n, d)
@@ -196,7 +237,74 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
             act = act & (wi_dot_geo * wi_dot_sh >= 0)
 
         params = B.gather_params(scene.mats, mid)
+
+        def tex_override(pr):
+            """Replace textured parameters with atlas lookups."""
+            if not cfg.has_tex:
+                return pr
+            for field, slot in (("reflectance", "tex_reflectance"),
+                                ("opacity", "tex_opacity")):
+                tid = pr[slot]
+                val = sample_atlas(scene.tex, tid + 1, uv)
+                pr[field] = jnp.where((tid >= 0)[..., None], val, pr[field])
+            return pr
+
+        params = tex_override(params)
         smooth, delta_only, _, transmissive = B.lane_flags(params)
+
+        # -- mask (opacity) BSDF: stochastic nested/pass-through select
+        #    (src/bsdfs/mask.cpp sample/eval/pdf semantics) ----------------
+        if cfg.has_mask:
+            is_mask = params["mtype"] == MAT_MASK
+            opacity = params["opacity"]
+            prob = jnp.clip(
+                opacity[..., 0] * 0.212671 + opacity[..., 1] * 0.715160
+                + opacity[..., 2] * 0.072169, 1e-6, 1.0 - 1e-6)
+            u_m = _rand(key, j, 7, (L,))
+            go_nested = is_mask & (u_m < prob)
+            pass_thru = is_mask & (u_m >= prob)
+            mid_n = jnp.where(is_mask, jnp.maximum(params["nested"], 0), mid)
+            params_n = tex_override(B.gather_params(scene.mats, mid_n))
+            params = jax.tree.map(
+                lambda a, b: jnp.where(
+                    is_mask.reshape(is_mask.shape + (1,) * (a.ndim - 1)), a, b
+                ),
+                params_n, params)
+            sm_n, do_n, _, _ = B.lane_flags(params)
+            smooth = jnp.where(is_mask, sm_n, smooth)
+            delta_only = jnp.where(is_mask, do_n, delta_only)
+            transmissive = transmissive | is_mask
+            # eval/pdf multipliers: f *= opacity, pdf *= prob on mask lanes
+            f_scale = jnp.where(is_mask[..., None], opacity, 1.0)
+            p_scale = jnp.where(is_mask, prob, 1.0)
+        else:
+            is_mask = pass_thru = go_nested = None
+            f_scale = p_scale = opacity = prob = None
+
+        def mask_sample(wo_t, w_t, pdf_t, delta_t, eta_t, wi_local):
+            """Adjust a BSDF sample for mask lanes (mask.cpp:sample)."""
+            if not cfg.has_mask:
+                return wo_t, w_t, pdf_t, delta_t, eta_t
+            w_t = jnp.where(
+                go_nested[..., None],
+                w_t * opacity / jnp.maximum(prob, 1e-9)[..., None], w_t)
+            pdf_t = jnp.where(go_nested, pdf_t * prob, pdf_t)
+            wo_t = jnp.where(pass_thru[..., None], -wi_local, wo_t)
+            w_t = jnp.where(
+                pass_thru[..., None],
+                (1.0 - opacity) / jnp.maximum(1.0 - prob, 1e-9)[..., None], w_t)
+            pdf_t = jnp.where(pass_thru, 1.0 - prob, pdf_t)
+            delta_t = delta_t | pass_thru
+            eta_t = jnp.where(pass_thru, 1.0, eta_t)
+            return wo_t, w_t, pdf_t, delta_t, eta_t
+
+        def eval_b(wi_l, wo_l):
+            f = B.eval_bsdf(params, wi_l, wo_l)
+            return f * f_scale if cfg.has_mask else f
+
+        def pdf_b(wi_l, wo_l):
+            q = B.pdf_bsdf(params, wi_l, wo_l)
+            return q * p_scale if cfg.has_mask else q
 
         s_ax, t_ax = build_frame(sh_n)
         wi = to_local(s_ax, t_ax, sh_n, -d)
@@ -225,7 +333,8 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
             ua = jnp.stack(
                 [jnp.clip(u_bsdf[:, 0] / jnp.maximum(frac, 1e-9), 0.0, 1.0 - 1e-7),
                  u_bsdf[:, 1], u_bsdf[:, 2]], -1)
-            wo_a, w_a, pdf_a, delta_a, eta_a = B.sample_bsdf(params, wi, ua)
+            wo_a, w_a, pdf_a, delta_a, eta_a = mask_sample(
+                *B.sample_bsdf(params, wi, ua), wi)
             # branch b: sample the directional quadtree (one uniform per
             # level + 2 for the leaf cell, QuadTreeNode::sample :257-301)
             u_tree = _rand(key, j, 1, (L, G.MAX_Q_DEPTH + 2))
@@ -236,8 +345,8 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
             sampled_delta = jnp.where(use_guide_mix, delta_a & pick_bsdf, delta_a)
             eta_s = jnp.where(use_guide_mix & ~pick_bsdf, 1.0, eta_a)
 
-            bsdf_pdf = B.pdf_bsdf(params, wi, wo)
-            f_cos = B.eval_bsdf(params, wi, wo)
+            bsdf_pdf = pdf_b(wi, wo)
+            f_cos = eval_b(wi, wo)
             wo_world = to_world(s_ax, t_ax, sh_n, wo)
             dtree_pdf = G.pdf_dir(sdtree, jnp.maximum(dtree_id, 0), wo_world)
             wo_pdf = frac * bsdf_pdf + (1 - frac) * dtree_pdf
@@ -261,8 +370,8 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
             bsdf_pdf = jnp.where(use_guide_mix, plain_pdf, bsdf_pdf)
             dtree_pdf = jnp.where(use_guide_mix, dtree_pdf, 0.0)
         else:
-            wo, bsdf_weight, bsdf_pdf, sampled_delta, eta_s = B.sample_bsdf(
-                params, wi, u_bsdf
+            wo, bsdf_weight, bsdf_pdf, sampled_delta, eta_s = mask_sample(
+                *B.sample_bsdf(params, wi, u_bsdf), wi
             )
             wo_pdf = bsdf_pdf
             dtree_pdf = jnp.zeros(L)
@@ -275,14 +384,43 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
         if cfg.do_nee:
             u_nee = _rand(key, j, 2, (L, 2))
             ref_n = jnp.where(transmissive[..., None], 0.0, sh_n)
-            ds = E.sample_direct(scene.emitters, p, ref_n, u_nee)
+            n_em = scene.emitters.num
+            if cfg.has_env:
+                # uniform slot pick over area emitters + the environment
+                # (Scene::sampleEmitterDirect, uniform m_emitterPDF)
+                n_slots = n_em + 1
+                xe = u_nee[..., 0] * n_slots
+                slot = jnp.clip(xe.astype(jnp.int32), 0, n_slots - 1)
+                xr = xe - slot
+                pick_env = slot >= n_em
+                ds_e = EV.sample_direct(
+                    scene.env, p, jnp.stack([xr, u_nee[..., 1]], -1))
+                pdf_env = ds_e["pdf"] / n_slots
+                val_env = ds_e["value"] * n_slots
+                if n_em > 0:
+                    ds_a = E.sample_direct(
+                        scene.emitters, p, ref_n, u_nee,
+                        slot=slot, x1=xr, n_slots=n_slots)
+                    sel = pick_env
+                    ds = dict(
+                        d=jnp.where(sel[..., None], ds_e["d"], ds_a["d"]),
+                        dist=jnp.where(sel, ds_e["dist"], ds_a["dist"]),
+                        pdf=jnp.where(sel, pdf_env, ds_a["pdf"]),
+                        value=jnp.where(sel[..., None], val_env, ds_a["value"]),
+                    )
+                else:
+                    ds = dict(d=ds_e["d"], dist=ds_e["dist"], pdf=pdf_env,
+                              value=val_env)
+            else:
+                n_slots = n_em
+                ds = E.sample_direct(scene.emitters, p, ref_n, u_nee)
             nee_ok = act & smooth & (ds["pdf"] > 0)
             wo_nee = to_local(s_ax, t_ax, sh_n, ds["d"])
             if cfg.strict_normals:
                 nee_ok = nee_ok & (dot(geo_n, ds["d"]) * wo_nee[..., 2] > 0)
-            f_nee = B.eval_bsdf(params, wi, wo_nee)
+            f_nee = eval_b(wi, wo_nee)
             # pdf of generating that direction via path sampling (for MIS)
-            bsdf_pdf_nee = B.pdf_bsdf(params, wi, wo_nee)
+            bsdf_pdf_nee = pdf_b(wi, wo_nee)
             if guide and cfg.is_built:
                 dtree_pdf_nee = G.pdf_dir(sdtree, jnp.maximum(dtree_id, 0), ds["d"])
                 wo_pdf_nee = jnp.where(
@@ -329,20 +467,32 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
             scene.geom, o2, d2, jnp.zeros(L), jnp.full(L, 3.4e38)
         )
         hit2 = (tri2 >= 0) & act_c
+        escaped = act_c & (tri2 < 0)
         tri2s = jnp.maximum(tri2, 0)
-        sh_n2, _, _, eid2, rad2 = fetch_hit(scene, tri2s, bu2, bv2)
+        sh_n2, _, _, eid2, rad2, _ = fetch_hit(scene, tri2s, bu2, bv2)
         em2 = jnp.where(hit2, eid2, -1)
         front2 = dot(sh_n2, -d2) > 0
         le2 = jnp.where((hit2 & (eid2 >= 0) & front2)[..., None], rad2, 0.0)
+        if cfg.has_env:
+            le2 = le2 + jnp.where(
+                escaped[..., None], EV.eval_env(scene.env, d2), 0.0)
         hit_emitter = jnp.any(le2 > 0, axis=-1)
         p2 = o2 + t2[..., None] * d2
 
         if cfg.do_nee:
+            n_pdf_slots = scene.emitters.num + (1 if cfg.has_env else 0)
             em_pdf = jnp.where(
                 hit_emitter & ~sampled_delta,
-                E.pdf_direct(scene.emitters, em2, p2, sh_n2, p),
+                E.pdf_direct(scene.emitters, em2, p2, sh_n2, p,
+                             n_slots=n_pdf_slots),
                 0.0,
             )
+            if cfg.has_env:
+                em_pdf = jnp.where(
+                    escaped & hit_emitter & ~sampled_delta,
+                    EV.pdf_direct(scene.env, d2) / n_pdf_slots,
+                    em_pdf,
+                )
         else:
             em_pdf = jnp.zeros(L)
         w_mis2 = mi_weight(wo_pdf, em_pdf)

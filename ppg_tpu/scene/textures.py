@@ -1,0 +1,137 @@
+"""Bitmap texture atlas: host packing + device bilinear sampling.
+
+The reference's bitmap texture plugin (mitsuba/src/textures/bitmap.cpp)
+MIP-maps each image and filters with EWA/trilinear using ray
+differentials. The wavefront tracer doesn't carry differentials, so we
+sample the base level bilinearly with repeat wrapping (the plugin's
+default wrapMode) — unbiased point sampling of the same texture signal.
+
+8-bit PNG/JPG sources are converted sRGB -> linear exactly as
+Bitmap::setGamma/fromLinearRGB does for gamma=-1 (srgb).
+
+All textures live in ONE flat [sumPixels, 3] device array; a [N, 3] i32
+table stores (offset, width, height). A lane's lookup is 4 single-row
+gathers (bilinear corners) — TPU gather cost is per-op, not per-byte.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _srgb_to_linear(x):
+    return np.where(x <= 0.04045, x / 12.92, ((x + 0.055) / 1.055) ** 2.4)
+
+
+def load_texture(path, gamma=0.0):
+    """Decode an image file to linear float32 RGB [H, W, 3]."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".exr":
+        from ..io.exr import read_exr
+
+        img = read_exr(path)
+        return np.asarray(img, np.float32)
+    from PIL import Image
+
+    im = Image.open(path)
+    arr = np.asarray(im)
+    if arr.ndim == 2:
+        arr = arr[..., None].repeat(3, -1)
+    arr = arr[..., :3]
+    if arr.dtype == np.uint8:
+        x = arr.astype(np.float64) / 255.0
+        if gamma == 0.0 or gamma == -1.0:  # srgb (bitmap.cpp default)
+            x = _srgb_to_linear(x)
+        elif gamma != 1.0:
+            x = x ** gamma
+        return x.astype(np.float32)
+    return arr.astype(np.float32)
+
+
+class TextureAtlas:
+    """Device-side packed texture set (pytree).
+
+    pixels [P, 3] f32; meta [N, 3] i32 = (offset, W, H);
+    uvx [N, 4] f32 = (uscale, vscale, uoffset, voffset). Slot 0 is a
+    1x1 white dummy; material rows store spec-index + 1 (0 = none).
+    """
+
+    FIELDS = ("pixels", "meta", "uvx")
+
+    def __init__(self, pixels, meta, uvx):
+        self.pixels = pixels
+        self.meta = meta
+        self.uvx = uvx
+
+    @classmethod
+    def build(cls, specs, scene_dir):
+        """specs: list of texture Properties dicts ({filename, gamma,
+        uscale, vscale, uoffset, voffset})."""
+        imgs = [np.ones((1, 1, 3), np.float32)]  # dummy slot 0
+        uvx = [np.array([1.0, 1.0, 0.0, 0.0], np.float32)]
+        for p in specs:
+            fn = p.get("filename", "")
+            path = fn if os.path.isabs(fn) else os.path.join(scene_dir, fn)
+            imgs.append(load_texture(path, float(p.get("gamma", 0.0))))
+            uvx.append(np.array([
+                float(p.get("uscale", 1.0)), float(p.get("vscale", 1.0)),
+                float(p.get("uoffset", 0.0)), float(p.get("voffset", 0.0)),
+            ], np.float32))
+        meta = np.zeros((len(imgs), 3), np.int32)
+        off = 0
+        flats = []
+        for i, im in enumerate(imgs):
+            H, W = im.shape[:2]
+            meta[i] = (off, W, H)
+            flats.append(im.reshape(-1, 3))
+            off += H * W
+        return cls(jnp.asarray(np.concatenate(flats, 0)),
+                   jnp.asarray(meta), jnp.asarray(np.stack(uvx)))
+
+    @classmethod
+    def empty(cls):
+        return cls(jnp.ones((1, 3), jnp.float32),
+                   jnp.asarray([[0, 1, 1]], jnp.int32),
+                   jnp.asarray([[1.0, 1.0, 0.0, 0.0]], jnp.float32))
+
+
+jax.tree_util.register_pytree_node(
+    TextureAtlas,
+    lambda t: (tuple(getattr(t, f) for f in TextureAtlas.FIELDS), None),
+    lambda aux, ch: TextureAtlas(*ch),
+)
+
+
+def sample_atlas(atlas: TextureAtlas, tex_id, uv):
+    """Bilinear lookup with repeat wrap. tex_id [L] i32 (PLUS ONE vs the
+    builder's spec index; <=0 lanes return white), uv [L, 2]."""
+    tid = jnp.clip(tex_id, 0, atlas.meta.shape[0] - 1)
+    m = atlas.meta[tid]
+    x4 = atlas.uvx[tid]
+    off, W, H = m[..., 0], m[..., 1], m[..., 2]
+    Wf = W.astype(jnp.float32)
+    Hf = H.astype(jnp.float32)
+    # bitmap.cpp eval: uv transform, then pixel space, half-texel centered
+    u = uv[..., 0] * x4[..., 0] + x4[..., 2]
+    v = uv[..., 1] * x4[..., 1] + x4[..., 3]
+    x = u * Wf - 0.5
+    y = v * Hf - 0.5
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    dx = (x - x0)[..., None]
+    dy = (y - y0)[..., None]
+
+    def tex(xi, yi):
+        xi = jnp.remainder(xi, W)
+        yi = jnp.remainder(yi, H)
+        return atlas.pixels[off + yi * W + xi]
+
+    v = (tex(x0, y0) * (1 - dx) * (1 - dy)
+         + tex(x0 + 1, y0) * dx * (1 - dy)
+         + tex(x0, y0 + 1) * (1 - dx) * dy
+         + tex(x0 + 1, y0 + 1) * dx * dy)
+    return jnp.where((tex_id > 0)[..., None], v, 1.0)
