@@ -22,6 +22,120 @@ import numpy as np
 
 MAX_LEAF = 4
 N_BINS = 16
+B8_LEAF_BIT = np.int32(1 << 30)
+B8_MAX_TRIS = 6
+
+
+def build_bvh8(positions, faces):
+    """8-wide BVH with packed 64-float rows (see native/bvh_builder.cpp
+    for the layout). Returns dict(rows [N8,64] f32, prim_ids [T]).
+    Uses the C++ builder when available, else collapses the numpy BVH2."""
+    F = len(faces)
+    if F == 0:
+        rows = np.zeros((1, 64), np.float32)  # empty leaf row (cnt 0)
+        return dict(rows=rows, prim_ids=np.zeros(0, np.int32))
+    out = _build8_native(positions, faces)
+    if out is not None:
+        return out
+    return _collapse8(positions, faces)
+
+
+def _build8_native(positions, faces):
+    import ctypes
+    import os
+
+    from .native import get_lib
+
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "ppg_bvh8_build"):
+        return None
+    verts = np.ascontiguousarray(positions, np.float32)
+    f = np.ascontiguousarray(faces, np.int32)
+    n_threads = min(os.cpu_count() or 1, 16)
+    fp = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    ip = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    n = lib.ppg_bvh8_build(fp(verts), len(verts), ip(f), len(f), n_threads)
+    if n <= 0:
+        return None
+    rows = np.empty((n, 64), np.float32)
+    prim_ids = np.empty(len(f), np.int32)
+    lib.ppg_bvh8_copy(fp(rows), ip(prim_ids))
+    return dict(rows=rows, prim_ids=prim_ids)
+
+
+def _collapse8(positions, faces):
+    """Pure-python fallback: binary build then 8-wide collapse."""
+    bvh = build_bvh(positions, faces, max_leaf=B8_MAX_TRIS,
+                    allow_native=False)
+    is_leaf = np.asarray(bvh["is_leaf"], bool)
+    N = len(is_leaf)
+    nmin, nmax = bvh["node_min"], bvh["node_max"]
+    miss = np.asarray(bvh["miss"], np.int64)
+    loff = np.asarray(bvh["leaf_off"], np.int64)
+    lcnt = np.asarray(bvh["leaf_cnt"], np.int64)
+    pids = np.asarray(bvh["prim_ids"], np.int64)
+    v = positions[faces].astype(np.float64)
+
+    def area(i):
+        d = np.maximum(nmax[i] - nmin[i], 0)
+        return d[0] * d[1] + d[1] * d[2] + d[0] * d[2]
+
+    rows = []
+    prim_out = []
+
+    def emit_leaf(i):
+        row = np.zeros(64, np.float32)
+        base = len(prim_out)
+        for k in range(int(lcnt[i])):
+            fid = pids[loff[i] + k]
+            p = v[fid]
+            row[9 * k: 9 * k + 3] = p[0]
+            row[9 * k + 3: 9 * k + 6] = p[1] - p[0]
+            row[9 * k + 6: 9 * k + 9] = p[2] - p[0]
+            prim_out.append(fid)
+        row[54] = np.int32(lcnt[i]).view(np.float32)
+        row[55] = np.int32(base).view(np.float32)
+        rows.append(row)
+        return len(rows) - 1
+
+    def emit(i):
+        if is_leaf[i]:
+            return emit_leaf(i)
+        slots = [i + 1, int(miss[i + 1])]
+        while len(slots) < 8:
+            cands = [s for s in slots if not is_leaf[s]]
+            if not cands:
+                break
+            pick = max(cands, key=area)
+            slots[slots.index(pick)] = pick + 1
+            slots.append(int(miss[pick + 1]))
+        ri = len(rows)
+        rows.append(np.zeros(64, np.float32))
+        child_rows = [emit(s) for s in slots]
+        row = rows[ri]
+        for k in range(8):
+            if k < len(slots):
+                s = slots[k]
+                row[0 + k], row[8 + k], row[16 + k] = nmin[s]
+                row[24 + k], row[32 + k], row[40 + k] = nmax[s]
+                info = np.int32(child_rows[k])
+                if is_leaf[s]:
+                    info = info | B8_LEAF_BIT
+                row[48 + k] = np.int32(info).view(np.float32)
+            else:
+                row[0 + k] = row[8 + k] = row[16 + k] = np.nan
+                row[24 + k] = row[32 + k] = row[40 + k] = np.nan
+        return ri
+
+    import sys
+
+    old = sys.getrecursionlimit()
+    sys.setrecursionlimit(100000)
+    try:
+        emit(0)
+    finally:
+        sys.setrecursionlimit(old)
+    return dict(rows=np.stack(rows), prim_ids=np.array(prim_out, np.int32))
 
 
 def _build_native(positions, faces, max_leaf):

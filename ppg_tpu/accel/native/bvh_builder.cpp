@@ -264,6 +264,122 @@ void flatten(const Builder &b, int root, int sentinel, Flat &f) {
 
 Flat *g_flat = nullptr;
 
+// ---------------------------------------------------------------------------
+// BVH8 emission: collapse the binary tree into 8-wide nodes, one packed
+// 64-float row per node (CWBVH-flavored layout for single-gather TPU
+// traversal):
+//   internal row: minx[8] miny[8] minz[8] maxx[8] maxy[8] maxz[8] (SoA,
+//     cols 0-47), child info i32 bitcast (cols 48-55; 0 = empty slot,
+//     bit30 = leaf), pad (56-63)
+//   leaf row: up to 6 woop triangles (p0,e1,e2) x 9 floats (cols 0-53),
+//     count (col 54, i32), packed tri base index (col 55, i32)
+// ---------------------------------------------------------------------------
+
+constexpr int B8_LEAF_BIT = 1 << 30;
+constexpr int B8_MAX_TRIS = 6;
+
+struct Bvh8Out {
+  std::vector<float> rows;
+  std::vector<int32_t> prim_out;
+};
+
+struct Bvh8Emitter {
+  const Builder &b;
+  const float *verts;
+  const int *faces;
+  Bvh8Out out;
+
+  explicit Bvh8Emitter(const Builder &bb, const float *v, const int *f)
+      : b(bb), verts(v), faces(f) {}
+
+  int alloc_row() {
+    out.rows.resize(out.rows.size() + 64, 0.0f);
+    return (int)out.rows.size() / 64 - 1;
+  }
+
+  int emit_leaf(const BuildNode &n) {
+    int r = alloc_row();
+    float *row = out.rows.data() + 64 * r;
+    int base = (int)out.prim_out.size();
+    for (int i = 0; i < n.count; ++i) {
+      int id = b.prim_ids[n.first + i];
+      const float *p0 = verts + 3 * faces[3 * id + 0];
+      const float *p1 = verts + 3 * faces[3 * id + 1];
+      const float *p2 = verts + 3 * faces[3 * id + 2];
+      float *t = row + 9 * i;
+      for (int k = 0; k < 3; ++k) {
+        t[k] = p0[k];
+        t[3 + k] = p1[k] - p0[k];
+        t[6 + k] = p2[k] - p0[k];
+      }
+      out.prim_out.push_back(id);
+    }
+    int32_t cnt = n.count, bs = base;
+    std::memcpy(row + 54, &cnt, 4);
+    std::memcpy(row + 55, &bs, 4);
+    return r;
+  }
+
+  // Collapse: expand the internal node with the largest surface area until
+  // 8 slots are filled or all slots are leaves/unexpandable.
+  int emit_node(const BuildNode &n) {
+    if (n.left < 0) return emit_leaf(n);
+    int slots[8];
+    int n_slots = 0;
+    slots[n_slots++] = n.left;
+    slots[n_slots++] = n.right;
+    while (n_slots < 8) {
+      int pick = -1;
+      float best = -1.f;
+      for (int i = 0; i < n_slots; ++i) {
+        const BuildNode &s = b.nodes[slots[i]];
+        if (s.left < 0) continue;
+        float a = s.box.area();
+        if (a > best) {
+          best = a;
+          pick = i;
+        }
+      }
+      if (pick < 0) break;
+      const BuildNode &s = b.nodes[slots[pick]];
+      slots[pick] = s.left;
+      slots[n_slots++] = s.right;
+    }
+    int r = alloc_row();
+    // recurse AFTER allocating this row so children land later; row data
+    // written after children exist (need their row indices)
+    int child_rows[8];
+    for (int i = 0; i < n_slots; ++i)
+      child_rows[i] = emit_node(b.nodes[slots[i]]);
+    float *row = out.rows.data() + 64 * r;  // re-fetch: vector reallocated
+    for (int i = 0; i < 8; ++i) {
+      if (i < n_slots) {
+        const AABB &bx = b.nodes[slots[i]].box;
+        row[0 + i] = bx.lo.x;
+        row[8 + i] = bx.lo.y;
+        row[16 + i] = bx.lo.z;
+        row[24 + i] = bx.hi.x;
+        row[32 + i] = bx.hi.y;
+        row[40 + i] = bx.hi.z;
+        int32_t info = child_rows[i];
+        if (b.nodes[slots[i]].left < 0) info |= B8_LEAF_BIT;
+        std::memcpy(row + 48 + i, &info, 4);
+      } else {
+        // NaN boxes fail every slab comparison; info==0 marks empty
+        // (row 0 is always the root, never a child)
+        float qnan = std::numeric_limits<float>::quiet_NaN();
+        row[0 + i] = row[8 + i] = row[16 + i] = qnan;
+        row[24 + i] = row[32 + i] = row[40 + i] = qnan;
+        int32_t zero = 0;
+        std::memcpy(row + 48 + i, &zero, 4);
+      }
+    }
+    return r;
+  }
+};
+
+Bvh8Out *g_bvh8 = nullptr;
+
 }  // namespace
 
 extern "C" {
@@ -306,6 +422,61 @@ int32_t ppg_bvh_build(const float *verts, int32_t n_verts, const int32_t *faces,
   g_flat->node_min.reserve(3 * n_total);
   flatten(b, root, n_total, *g_flat);
   return (int)g_flat->is_leaf.size();
+}
+
+// Builds a BVH8 (collapsed from a binary SAH build with <=6-triangle
+// leaves); returns the row count. Copy out with ppg_bvh8_copy.
+int32_t ppg_bvh8_build(const float *verts, int32_t n_verts,
+                       const int32_t *faces, int32_t n_faces,
+                       int32_t n_threads) {
+  (void)n_verts;
+  delete g_bvh8;
+  g_bvh8 = nullptr;
+  if (n_faces <= 0) return 0;
+
+  Builder b;
+  b.verts = verts;
+  b.faces = faces;
+  b.max_leaf = B8_MAX_TRIS;
+  b.max_threads = std::max(1, (int)n_threads);
+  b.centroid.resize(n_faces);
+  b.prim_box.resize(n_faces);
+  b.prim_ids.resize(n_faces);
+  AABB root_box;
+  for (int i = 0; i < n_faces; ++i) {
+    b.prim_ids[i] = i;
+    AABB bb;
+    for (int k = 0; k < 3; ++k) {
+      const float *p = verts + 3 * faces[3 * i + k];
+      bb.grow(V3(p[0], p[1], p[2]));
+    }
+    b.prim_box[i] = bb;
+    b.centroid[i] = V3(0.5f * (bb.lo.x + bb.hi.x), 0.5f * (bb.lo.y + bb.hi.y),
+                       0.5f * (bb.lo.z + bb.hi.z));
+    root_box.grow(bb);
+  }
+  b.nodes.reserve(2 * n_faces / B8_MAX_TRIS + 16);
+  int root = b.alloc_node();
+  b.build_range(root, 0, n_faces, root_box, 0);
+
+  Bvh8Emitter em(b, verts, faces);
+  em.out.rows.reserve((size_t)b.nodes.size() * 16);
+  em.out.prim_out.reserve(n_faces);
+  if (b.nodes[root].left < 0) {
+    em.emit_leaf(b.nodes[root]);
+  } else {
+    em.emit_node(b.nodes[root]);
+  }
+  g_bvh8 = new Bvh8Out(std::move(em.out));
+  return (int32_t)(g_bvh8->rows.size() / 64);
+}
+
+void ppg_bvh8_copy(float *rows, int32_t *prim_ids) {
+  std::memcpy(rows, g_bvh8->rows.data(), g_bvh8->rows.size() * 4);
+  std::memcpy(prim_ids, g_bvh8->prim_out.data(),
+              g_bvh8->prim_out.size() * 4);
+  delete g_bvh8;
+  g_bvh8 = nullptr;
 }
 
 void ppg_bvh_copy(float *node_min, float *node_max, uint8_t *is_leaf,

@@ -94,6 +94,10 @@ class DeviceScene:
         T = len(perm)
         shade = np.zeros((max(T, 1), 23), np.float32)
         if T:
+            # flat-shaded shapes (faceNormals=true) carry zero vertex
+            # normals; substitute the geometric normal per corner
+            flat = (n * n).sum(-1) < 1e-12  # [T, 3]
+            n = np.where(flat[..., None], gn[:, None, :], n)
             shade[:T, 0:3] = n[:, 0]
             shade[:T, 3:6] = n[:, 1]
             shade[:T, 6:9] = n[:, 2]
