@@ -41,6 +41,7 @@ def make_config(sc, **overrides) -> PTConfig:
             sc.materials is not None
             and np.any(np.asarray(sc.materials.mtype) == MAT_MASK)
         ),
+        sampler=str(sc.sampler.get("type", "independent")),
     )
     kw.update(overrides)
     return PTConfig(**kw)
@@ -49,15 +50,21 @@ def make_config(sc, **overrides) -> PTConfig:
 @partial(jax.jit, static_argnames=("cfg", "sensor", "film", "chunk"),
          donate_argnames=("buffers",))
 def _render_chunk(scene, cfg, sensor, film, chunk, buffers, key, pix_start,
-                  sdtree=None):
+                  sdtree=None, sample_idx=0):
     W = sensor.W
     ids = pix_start + jnp.arange(chunk)
     px = (ids % W).astype(jnp.float32)
     py = (ids // W).astype(jnp.float32)
-    jit2 = jax.random.uniform(jax.random.fold_in(key, 17), (chunk, 2))
+    if cfg.sampler != "independent":
+        from ..render import samplers as S
+
+        jit2 = S.draw(cfg.sampler, ids, sample_idx, 0, key, (chunk, 2))
+    else:
+        jit2 = jax.random.uniform(jax.random.fold_in(key, 17), (chunk, 2))
     pos = jnp.stack([px, py], -1) + jit2
     o, d, tmin, tmax = sensor.sample_rays(pos)
-    out = trace_paths(scene, cfg, key, o, d, tmin, tmax, sdtree=sdtree)
+    out = trace_paths(scene, cfg, key, o, d, tmin, tmax, sdtree=sdtree,
+                      pixel_ids=ids, sample_idx=sample_idx)
     li = out["li"]
     valid = ids < W * sensor.H
     if film.rfilter == "box":
@@ -88,7 +95,7 @@ def render(sc, spp, seed=0, chunk=1 << 16, cfg=None, scene_dev=None,
             key = jax.random.fold_in(jax.random.fold_in(base, s), c)
             buffers, _ = _render_chunk(
                 dev, cfg, sensor, film, chunk, buffers, key,
-                jnp.int32(c * chunk),
+                jnp.int32(c * chunk), sample_idx=jnp.int32(s),
             )
     if is_box:
         buffers = film.unflatten(buffers)

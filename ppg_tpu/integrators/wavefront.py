@@ -55,6 +55,7 @@ class PTConfig:
     has_env: bool = False  # scene has an environment emitter
     has_tex: bool = False  # scene has bitmap textures
     has_mask: bool = False  # scene has mask (opacity) BSDFs
+    sampler: str = "independent"  # sampler plugin type (render/samplers.py)
 
     @property
     def n_bounces(self):
@@ -182,9 +183,19 @@ def _rand(key, j, tag, shape):
     return jax.random.uniform(jax.random.fold_in(jax.random.fold_in(key, j), tag), shape)
 
 
+# per-bounce QMC dimension block: 2 camera dims, then 32 dims per bounce
+# (bsdf 0-2, guiding-tree 3-24, nee 25-26, rr 27, mask 28)
+DIM_BLOCK = 32
+_TAG_DIM = {0: 0, 1: 3, 2: 25, 3: 27, 7: 28}
+
+
 def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
-                sdtree=None):
+                sdtree=None, pixel_ids=None, sample_idx=0):
     """Trace a wavefront of L camera rays to completion.
+
+    pixel_ids/sample_idx feed the deterministic QMC samplers
+    (cfg.sampler != "independent"); with the default independent sampler
+    randomness is counter-based threefry on `key` alone.
 
     Returns dict with:
       li      [L,3]  pixel radiance estimates
@@ -214,6 +225,16 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
     guide = cfg.guiding and sdtree is not None
     if guide:
         from ..guiding import sdtree as G
+
+    use_qmc = cfg.sampler != "independent" and pixel_ids is not None
+    if use_qmc:
+        from ..render import samplers as S
+
+    def draw(j, tag, shape):
+        if not use_qmc:
+            return _rand(key, j, tag, shape)
+        dim = 2 + (j - 1) * DIM_BLOCK + _TAG_DIM[tag]
+        return S.draw(cfg.sampler, pixel_ids, sample_idx, dim, key, shape)
 
     carry = dict(
         active=hit,
@@ -264,7 +285,7 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
             prob = jnp.clip(
                 opacity[..., 0] * 0.212671 + opacity[..., 1] * 0.715160
                 + opacity[..., 2] * 0.072169, 1e-6, 1.0 - 1e-6)
-            u_m = _rand(key, j, 7, (L,))
+            u_m = draw(j, 7, (L,))
             go_nested = is_mask & (u_m < prob)
             pass_thru = is_mask & (u_m >= prob)
             mid_n = jnp.where(is_mask, jnp.maximum(params["nested"], 0), mid)
@@ -329,7 +350,7 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
             frac = jnp.full(L, cfg.bsdf_fraction)
 
         # -- sampleMat: one-sample MIS of BSDF and guided sampling ----------
-        u_bsdf = _rand(key, j, 0, (L, 3))
+        u_bsdf = draw(j, 0, (L, 3))
         if guide and cfg.is_built:
             use_guide_mix = (dtree_id >= 0) & ~delta_only
             pick_bsdf = u_bsdf[:, 0] < frac
@@ -341,7 +362,7 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
                 *B.sample_bsdf(params, wi, ua), wi)
             # branch b: sample the directional quadtree (one uniform per
             # level + 2 for the leaf cell, QuadTreeNode::sample :257-301)
-            u_tree = _rand(key, j, 1, (L, G.MAX_Q_DEPTH + 2))
+            u_tree = draw(j, 1, (L, G.MAX_Q_DEPTH + 2))
             d_tree = G.sample_dir(sdtree, jnp.maximum(dtree_id, 0), u_tree)
             wo_b = to_local(s_ax, t_ax, sh_n, d_tree)
 
@@ -386,7 +407,7 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
         # -- next-event estimation (guided_path.cpp:1967-2021) --------------
         nee_rec = None
         if cfg.do_nee:
-            u_nee = _rand(key, j, 2, (L, 2))
+            u_nee = draw(j, 2, (L, 2))
             ref_n = jnp.where(transmissive[..., None], 0.0, sh_n)
             n_em = scene.emitters.num
             if cfg.has_env:
@@ -535,7 +556,7 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
         else:
             # unguided baseline (path.cpp): throughput-based RR
             sp = jnp.minimum(jnp.max(thr2, axis=-1) * eta2 * eta2, 0.95)
-        u_rr = _rand(key, j, 3, (L,))
+        u_rr = draw(j, 3, (L,))
         sp_eff = jnp.where(rr_on, sp, 1.0)
         act_n = act_n & (u_rr < sp_eff)
         thr2 = thr2 / jnp.maximum(sp_eff, 1e-9)[..., None]
