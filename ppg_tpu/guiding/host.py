@@ -77,21 +77,30 @@ class HostSDTree:
             setattr(self, f, np.asarray(getattr(sdt, f), np.float64)[: self.num_dtrees])
         self.opt_iter = np.asarray(sdt.opt_iter, np.int64)[: self.num_dtrees]
 
-    def push(self, pad_pow2=True) -> SDTreeArrays:
-        """Upload as padded device arrays."""
+    def push(self, pad_pow2=True, min_caps=None, fixed_depths=None) -> SDTreeArrays:
+        """Upload as padded device arrays.
 
-        def pad_to(n):
+        min_caps / fixed_depths keep array shapes and descent trip counts
+        STABLE across refinement iterations: every distinct shape or trip
+        count is a fresh XLA compile (~25-30 s on the TPU tunnel), which
+        dominated whole renders when the tree grew through power-of-two
+        buckets each iteration. The guided driver passes generous fixed
+        capacities so the whole render compiles once per config.
+        """
+        caps = min_caps or {}
+
+        def pad_to(n, mini=256):
             if not pad_pow2:
                 return n
-            p = 256
+            p = mini
             while p < n:
                 p *= 2
             return p
 
-        S = pad_to(len(self.s_child))
-        T = pad_to(self.num_dtrees)
-        Qb = pad_to(len(self.qb_sum))
-        Qs = pad_to(len(self.qs_sum))
+        S = pad_to(len(self.s_child), caps.get("S", 256))
+        T = pad_to(self.num_dtrees, caps.get("T", 256))
+        Qb = pad_to(len(self.qb_sum), caps.get("Q", 256))
+        Qs = pad_to(len(self.qs_sum), caps.get("Q", 256))
 
         def pad(a, n, fill=0):
             out = np.full((n,) + a.shape[1:], fill, a.dtype)
@@ -123,6 +132,9 @@ class HostSDTree:
             ),
             MAX_Q_DEPTH,
         )
+        if fixed_depths is not None:
+            s_depth = max(s_depth, min(fixed_depths[0], MAX_S_DEPTH))
+            q_depth = max(q_depth, min(fixed_depths[1], MAX_Q_DEPTH))
 
         return SDTreeArrays(
             s_depth=s_depth,

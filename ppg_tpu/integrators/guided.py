@@ -108,8 +108,19 @@ class GuidedPathTracer:
             sc.film["width"], sc.film["height"], sc.film.get("rfilter", "box")
         )
         self.host_tree = HostSDTree(sc.aabb_min, sc.aabb_max)
+        # fixed device capacities + descent trip counts: keeps SDTreeArrays
+        # shapes identical across refinement iterations so XLA compiles each
+        # render config ONCE (a fresh compile costs ~25-30 s; growing
+        # through pow2 buckets every iteration dominated whole renders)
+        self.tree_caps = {"S": 1 << 13, "T": 1 << 12, "Q": 1 << 16}
+        self.tree_depths = None  # depth ladder (multiples of 4) — few
+        # recompiles as trees deepen, but shallow early descents stay cheap
 
         self.stats = []  # per-call telemetry: seconds, variance, ttuv, stuv
+
+    def _push(self):
+        return self.host_tree.push(
+            min_caps=self.tree_caps, fixed_depths=self.tree_depths)
 
     # -- nee schedule (doNeeWithSpp, :1331-1340) ----------------------------
     def _do_nee(self, spp_rendered):
@@ -230,7 +241,7 @@ class GuidedPathTracer:
                 it, self.spp_per_pass, self.s_tree_threshold,
                 self.d_tree_threshold, self.sd_tree_max_mb,
             )
-            sdtree = self.host_tree.push()
+            sdtree = self._push()
 
             sdtree, film_buf, image, variance = self._render_passes(
                 passes_this_iter, sdtree, is_built, do_nee, is_final,
@@ -266,7 +277,7 @@ class GuidedPathTracer:
             # buildSDTree (:1115-1189)
             self.host_tree.pull(sdtree)
             self.host_tree.build()
-            sdtree = self.host_tree.push()
+            sdtree = self._push()
             is_built = True
 
             if self.dump_sdtree and passes_rendered < n_passes:
@@ -314,7 +325,7 @@ class GuidedPathTracer:
                 it, self.spp_per_pass, self.s_tree_threshold,
                 self.d_tree_threshold, self.sd_tree_max_mb,
             )
-            sdtree = self.host_tree.push()
+            sdtree = self._push()
 
             sdtree, film_buf, image, variance = self._render_passes(
                 passes_this_iter, sdtree, is_built, do_nee, False,
@@ -354,7 +365,7 @@ class GuidedPathTracer:
 
             self.host_tree.pull(sdtree)
             self.host_tree.build()
-            sdtree = self.host_tree.push()
+            sdtree = self._push()
             is_built = True
             if self.dump_sdtree:
                 self._dump(it)

@@ -27,7 +27,8 @@ def bincount_add(target_flat, idx, val):
     m = target_flat.shape[0]
     bins = jnp.arange(m, dtype=si.dtype)
     r = jnp.searchsorted(si, bins, side="right")
-    l = jnp.searchsorted(si, bins, side="left")
+    # consecutive integer bins: left edge of bin m == right edge of m-1
+    l = jnp.concatenate([jnp.zeros(1, r.dtype), r[:-1]])
     upper = jnp.where(r > 0, c[jnp.maximum(r - 1, 0)], 0.0)
     lower = jnp.where(l > 0, c[jnp.maximum(l - 1, 0)], 0.0)
     return target_flat + jnp.where(r > l, upper - lower, 0.0)
@@ -42,7 +43,7 @@ def bincount_add2(target_flat, idx, val_a, val_b):
     m = target_flat[0].shape[0]
     bins = jnp.arange(m, dtype=si.dtype)
     r = jnp.searchsorted(si, bins, side="right")
-    l = jnp.searchsorted(si, bins, side="left")
+    l = jnp.concatenate([jnp.zeros(1, r.dtype), r[:-1]])
 
     def tot(c):
         upper = jnp.where(r > 0, c[jnp.maximum(r - 1, 0)], 0.0)
