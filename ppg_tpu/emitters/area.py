@@ -34,7 +34,9 @@ class EmitterArrays:
     def __init__(self, **kw):
         for f in self.FIELDS:
             setattr(self, f, kw[f])
-        self.num = self.radiance.shape[0]
+        # num is STATIC metadata (drives slot counts at trace time); rows
+        # may be padded, so it travels as pytree aux data
+        self.num = kw.get("num", self.radiance.shape[0])
 
     @classmethod
     def from_scene(cls, sc):
@@ -54,20 +56,28 @@ class EmitterArrays:
             etri[:TE, 12:15] = n[:, 1]
             etri[:TE, 15:18] = n[:, 2]
             etri[:TE, 18] = np.asarray(em.tri_cdf, np.float32)
-        f32 = lambda x: jnp.asarray(x, jnp.float32)
-        return cls(
-            radiance=f32(em.radiance),
-            tri_offset=jnp.asarray(em.tri_offset),
-            tri_count=jnp.asarray(em.tri_count),
-            inv_area=f32(em.inv_area),
+        def pad1(a, w=None):
+            """Emitterless scenes keep 1 dummy row so gathers stay legal."""
+            a = np.asarray(a)
+            if len(a):
+                return a
+            return np.zeros((1,) + a.shape[1:], a.dtype)
+
+        out = cls(
+            radiance=jnp.asarray(pad1(em.radiance), jnp.float32),
+            tri_offset=jnp.asarray(pad1(em.tri_offset), jnp.int32),
+            tri_count=jnp.asarray(pad1(em.tri_count), jnp.int32),
+            inv_area=jnp.asarray(pad1(em.inv_area), jnp.float32),
             etri=jnp.asarray(etri),
         )
+        out.num = em.num
+        return out
 
 
 jax.tree_util.register_pytree_node(
     EmitterArrays,
-    lambda e: (tuple(getattr(e, f) for f in EmitterArrays.FIELDS), None),
-    lambda aux, ch: EmitterArrays(**dict(zip(EmitterArrays.FIELDS, ch))),
+    lambda e: (tuple(getattr(e, f) for f in EmitterArrays.FIELDS), e.num),
+    lambda aux, ch: EmitterArrays(num=aux, **dict(zip(EmitterArrays.FIELDS, ch))),
 )
 
 

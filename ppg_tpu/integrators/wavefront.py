@@ -27,6 +27,7 @@ from ..accel.traverse import closest_hit
 from ..bsdf import bsdf as B
 from ..core.vecmath import build_frame, dot, normalize, to_local, to_world
 from ..emitters import area as E
+from ..emitters import delta as DE
 from ..emitters import envmap as EV
 from ..scene.scene import MAT_MASK
 from ..scene.textures import TextureAtlas, sample_atlas
@@ -74,7 +75,8 @@ class DeviceScene:
     per-byte).
     """
 
-    FIELDS = ("geom", "mats", "emitters", "shade", "eps", "env", "tex")
+    FIELDS = ("geom", "mats", "emitters", "shade", "eps", "env", "tex",
+              "delta")
 
     def __init__(self, **kw):
         for f in self.FIELDS:
@@ -134,6 +136,12 @@ class DeviceScene:
         else:
             tex = TextureAtlas.empty()
 
+        if getattr(sc, "delta_emitters", None):
+            delta = DE.DeltaEmitterArrays.from_table(
+                sc.delta_emitters, sc.aabb_min, sc.aabb_max)
+        else:
+            delta = DE.DeltaEmitterArrays.empty()
+
         diag = float(np.linalg.norm(sc.aabb_max - sc.aabb_min))
         return cls(
             geom=geom,
@@ -143,6 +151,7 @@ class DeviceScene:
             eps=jnp.float32(max(diag, 1.0) * 1e-5),
             env=env,
             tex=tex,
+            delta=delta,
         )
 
 
@@ -187,6 +196,58 @@ def _rand(key, j, tag, shape):
 # (bsdf 0-2, guiding-tree 3-24, nee 25-26, rr 27, mask 28)
 DIM_BLOCK = 32
 _TAG_DIM = {0: 0, 1: 3, 2: 25, 3: 27, 7: 28}
+
+
+def _sample_emitters(scene: DeviceScene, cfg: PTConfig, p, ref_n, u_nee):
+    """Uniform-slot NEE sample over the scene's emitter set: area
+    emitters, the environment, and delta (point/spot/directional)
+    emitters (Scene::sampleEmitterDirect's uniform m_emitterPDF).
+    Returns (ds dict with d/dist/pdf/value/discrete, n_slots)."""
+    n_area = scene.emitters.num
+    n_env = 1 if cfg.has_env else 0
+    n_delta = scene.delta.num
+    n_slots = n_area + n_env + n_delta
+    L = u_nee.shape[0]
+
+    if n_env + n_delta == 0:
+        ds = E.sample_direct(scene.emitters, p, ref_n, u_nee)
+        ds["discrete"] = jnp.zeros(L, bool)
+        return ds, n_slots
+
+    xe = u_nee[..., 0] * n_slots
+    slot = jnp.clip(xe.astype(jnp.int32), 0, n_slots - 1)
+    xr = xe - slot
+    parts = []
+    if n_area:
+        ds_a = E.sample_direct(scene.emitters, p, ref_n, u_nee,
+                               slot=slot, x1=xr, n_slots=n_slots)
+        ds_a["discrete"] = jnp.zeros(L, bool)
+        parts.append((slot < n_area, ds_a))
+    if n_env:
+        ds_e = EV.sample_direct(scene.env, p,
+                                jnp.stack([xr, u_nee[..., 1]], -1))
+        ds_e = dict(d=ds_e["d"], dist=ds_e["dist"],
+                    pdf=ds_e["pdf"] / n_slots,
+                    value=ds_e["value"] * n_slots,
+                    discrete=jnp.zeros(L, bool))
+        parts.append((slot == n_area, ds_e))
+    if n_delta:
+        ds_d = DE.sample_direct(scene.delta, slot - n_area - n_env, p)
+        ds_d = dict(d=ds_d["d"], dist=ds_d["dist"],
+                    pdf=ds_d["pdf"] / n_slots,
+                    value=ds_d["value"] * n_slots,
+                    discrete=ds_d["discrete"])
+        parts.append((slot >= n_area + n_env, ds_d))
+
+    sel_mask, ds = parts[-1]
+    for mask, part in reversed(parts[:-1]):
+        ds = {
+            k: jnp.where(
+                mask.reshape(mask.shape + (1,) * (part[k].ndim - 1)),
+                part[k], ds[k])
+            for k in ds
+        }
+    return ds, n_slots
 
 
 def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
@@ -409,36 +470,7 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
         if cfg.do_nee:
             u_nee = draw(j, 2, (L, 2))
             ref_n = jnp.where(transmissive[..., None], 0.0, sh_n)
-            n_em = scene.emitters.num
-            if cfg.has_env:
-                # uniform slot pick over area emitters + the environment
-                # (Scene::sampleEmitterDirect, uniform m_emitterPDF)
-                n_slots = n_em + 1
-                xe = u_nee[..., 0] * n_slots
-                slot = jnp.clip(xe.astype(jnp.int32), 0, n_slots - 1)
-                xr = xe - slot
-                pick_env = slot >= n_em
-                ds_e = EV.sample_direct(
-                    scene.env, p, jnp.stack([xr, u_nee[..., 1]], -1))
-                pdf_env = ds_e["pdf"] / n_slots
-                val_env = ds_e["value"] * n_slots
-                if n_em > 0:
-                    ds_a = E.sample_direct(
-                        scene.emitters, p, ref_n, u_nee,
-                        slot=slot, x1=xr, n_slots=n_slots)
-                    sel = pick_env
-                    ds = dict(
-                        d=jnp.where(sel[..., None], ds_e["d"], ds_a["d"]),
-                        dist=jnp.where(sel, ds_e["dist"], ds_a["dist"]),
-                        pdf=jnp.where(sel, pdf_env, ds_a["pdf"]),
-                        value=jnp.where(sel[..., None], val_env, ds_a["value"]),
-                    )
-                else:
-                    ds = dict(d=ds_e["d"], dist=ds_e["dist"], pdf=pdf_env,
-                              value=val_env)
-            else:
-                n_slots = n_em
-                ds = E.sample_direct(scene.emitters, p, ref_n, u_nee)
+            ds, n_slots = _sample_emitters(scene, cfg, p, ref_n, u_nee)
             nee_ok = act & smooth & (ds["pdf"] > 0)
             wo_nee = to_local(s_ax, t_ax, sh_n, ds["d"])
             if cfg.strict_normals:
@@ -465,7 +497,10 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
                 jnp.full(L, 0.0), ds["dist"] * (1 - SHADOW_EPS) - scene.eps,
             )
             nee_ok = nee_ok & ~occluded
-            w_mis = mi_weight(ds["pdf"], wo_pdf_nee)
+            # delta emitters sample in the discrete measure: no heuristic
+            # (miWeight applies only to solid-angle measures)
+            w_mis = jnp.where(ds["discrete"], 1.0,
+                              mi_weight(ds["pdf"], wo_pdf_nee))
             l_nee = thr * ds["value"] * f_nee * w_mis[..., None]
             l_nee = jnp.where(nee_ok[..., None], l_nee, 0.0)
             slot = slot + l_nee
@@ -505,7 +540,8 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
         p2 = o2 + t2[..., None] * d2
 
         if cfg.do_nee:
-            n_pdf_slots = scene.emitters.num + (1 if cfg.has_env else 0)
+            n_pdf_slots = (scene.emitters.num + (1 if cfg.has_env else 0)
+                           + scene.delta.num)
             em_pdf = jnp.where(
                 hit_emitter & ~sampled_delta,
                 E.pdf_direct(scene.emitters, em2, p2, sh_n2, p,

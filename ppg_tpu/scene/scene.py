@@ -363,6 +363,7 @@ class SceneData:
     integrator: dict = field(default_factory=dict)
     sampler: dict = field(default_factory=dict)
     env_emitter: object = None
+    delta_emitters: list = field(default_factory=list)
     aabb_min: np.ndarray = None
     aabb_max: np.ndarray = None
 
@@ -406,8 +407,37 @@ def build_scene(xml: SceneXML, missing_ok=True) -> SceneData:
     vert_base = 0
 
     env_emitter = None
+    delta_emitters = []
     for em in xml.root.children_of("emitter"):
-        env_emitter = em  # envmap / sunsky / constant, handled by emitters module
+        t = em.otype
+        p = em.props
+        if t in ("envmap", "constant", "sky", "sun", "sunsky"):
+            env_emitter = em  # handled by emitters.envmap / sunsky
+        elif t == "point":
+            delta_emitters.append(dict(
+                type=0,
+                position=_rgb(p.get("position"), [0, 0, 0]),
+                intensity=_rgb(p.get("intensity"), [1, 1, 1]),
+            ))
+        elif t == "spot":
+            M = np.asarray(p.get("toWorld", np.eye(4)))
+            cut = float(p.get("cutoffAngle", 20.0))
+            delta_emitters.append(dict(
+                type=1,
+                position=M[:3, 3],
+                direction=M[:3, :3] @ np.array([0.0, 0.0, 1.0]),
+                intensity=_rgb(p.get("intensity"), [1, 1, 1]),
+                cutoff_deg=cut,
+                beamwidth_deg=float(p.get("beamWidth", cut * 3.0 / 4.0)),
+            ))
+        elif t == "directional":
+            delta_emitters.append(dict(
+                type=2,
+                direction=_rgb(p.get("direction"), [0, 0, 1]),
+                intensity=_rgb(p.get("irradiance"), [1, 1, 1]),
+            ))
+        else:
+            raise NotImplementedError(f"scene-level emitter {t!r}")
 
     for shape in xml.root.children_of("shape"):
         try:
@@ -539,6 +569,7 @@ def build_scene(xml: SceneXML, missing_ok=True) -> SceneData:
             else {"type": "independent", "sampleCount": 4}
         ),
         env_emitter=env_emitter,
+        delta_emitters=delta_emitters,
         aabb_min=aabb_min,
         aabb_max=aabb_max,
     )
