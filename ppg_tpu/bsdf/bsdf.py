@@ -213,6 +213,51 @@ def _diffuse_ep(p, wi, wo):
     )
 
 
+def _roughdiffuse_ep(p, wi, wo):
+    """Oren-Nayar (qualitative model), src/bsdfs/roughdiffuse.cpp with
+    useFastApprox semantics; sampled with the cosine hemisphere like the
+    reference, so pdf is the plain cosine pdf."""
+    both = (wi[..., 2] > 0) & (wo[..., 2] > 0)
+    ci = jnp.clip(wi[..., 2], 1e-6, 1.0)
+    co = jnp.clip(wo[..., 2], 1e-6, 1.0)
+    # conversion from the slope-area alpha to the ON sigma (roughdiffuse.cpp:
+    # sigma = alpha / sqrt(2))
+    sigma = p["alpha_u"] * 0.70710678
+    s2 = sigma * sigma
+    a = 1.0 - 0.5 * s2 / (s2 + 0.33)
+    b = 0.45 * s2 / (s2 + 0.09)
+    si = jnp.sqrt(jnp.clip(1 - ci * ci, 0.0, 1.0))
+    so = jnp.sqrt(jnp.clip(1 - co * co, 0.0, 1.0))
+    # cos(phi_i - phi_o) from the projected directions
+    denom = jnp.maximum(si * so, 1e-9)
+    cos_dphi = jnp.clip(
+        (wi[..., 0] * wo[..., 0] + wi[..., 1] * wo[..., 1]) / denom, -1, 1)
+    max_cos = jnp.maximum(cos_dphi, 0.0)
+    sin_alpha = jnp.maximum(si, so)
+    tan_beta = jnp.minimum(si / ci, so / co)
+    f = p["reflectance"] * (
+        INV_PI * co * (a + b * max_cos * sin_alpha * tan_beta))[..., None]
+    pdf = warp.square_to_cosine_hemisphere_pdf(wo)
+    return jnp.where(both[..., None], f, 0.0), jnp.where(both, pdf, 0.0)
+
+
+def _phong_ep(p, wi, wo):
+    """Modified Phong (src/bsdfs/phong.cpp): diffuse + normalized cosine
+    lobe around the mirror direction, sampled as a weighted mixture."""
+    both = (wi[..., 2] > 0) & (wo[..., 2] > 0)
+    e = p["exponent"]
+    refl = _reflect(wi)
+    alpha = jnp.clip(jnp.sum(refl * wo, -1), 0.0, 1.0)
+    spec = (alpha ** e) * (e + 2) * (0.5 * INV_PI)
+    co = jnp.maximum(wo[..., 2], 0.0)
+    f = (p["reflectance"] * (INV_PI * co)[..., None]
+         + p["specular"] * (spec * co)[..., None])
+    w_s = p["spec_weight"]
+    pdf_spec = (alpha ** e) * (e + 1) * (0.5 * INV_PI)
+    pdf = w_s * pdf_spec + (1 - w_s) * warp.square_to_cosine_hemisphere_pdf(wo)
+    return jnp.where(both[..., None], f, 0.0), jnp.where(both, pdf, 0.0)
+
+
 def _roughconductor_ep(p, wi, wo):
     both = (wi[..., 2] > 0) & (wo[..., 2] > 0)
     h = _half(wi, wo)
@@ -340,7 +385,8 @@ def _roughdielectric_ep(p, wi, wo):
 
 _SMOOTH_EP = {
     MAT_DIFFUSE: _diffuse_ep,
-    MAT_ROUGHDIFFUSE: _diffuse_ep,  # Oren-Nayar falls back to Lambert for now
+    MAT_ROUGHDIFFUSE: _roughdiffuse_ep,
+    MAT_PHONG: _phong_ep,
     MAT_ROUGHCONDUCTOR: _roughconductor_ep,
     MAT_PLASTIC: _plastic_ep,
     MAT_ROUGHPLASTIC: _roughplastic_ep,
@@ -412,10 +458,49 @@ def sample_bsdf(p, wi, u2):
     pdf_d = warp.square_to_cosine_hemisphere_pdf(wo_d)
     ok_d = ci > 0
     put(
-        (mt == MAT_DIFFUSE) | (mt == MAT_ROUGHDIFFUSE),
+        mt == MAT_DIFFUSE,
         wo_d,
         jnp.where(ok_d[..., None], p["reflectance"], 0.0),
         jnp.where(ok_d, pdf_d, 0.0),
+    )
+
+    # --- roughdiffuse (Oren-Nayar): cosine sample, weight = f/pdf ----------
+    f_on, pdf_on = _roughdiffuse_ep(p, wi_l, wo_d)
+    put(
+        mt == MAT_ROUGHDIFFUSE,
+        wo_d,
+        jnp.where((ok_d & (pdf_on > 0))[..., None],
+                  f_on / jnp.maximum(pdf_on, 1e-30)[..., None], 0.0),
+        jnp.where(ok_d, pdf_on, 0.0),
+    )
+
+    # --- phong: diffuse/specular mixture (phong.cpp:sample) ----------------
+    e = p["exponent"]
+    refl_m = _reflect(wi_l)
+    cos_a = jnp.clip(u1, 1e-9, 1.0) ** (1.0 / (e + 1.0))
+    sin_a = jnp.sqrt(jnp.clip(1 - cos_a * cos_a, 0.0, 1.0))
+    phi_s = 2 * jnp.pi * u2b
+    # orthonormal frame around the mirror direction
+    up = jnp.where((jnp.abs(refl_m[..., 2]) < 0.999)[..., None],
+                   jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), refl_m.shape),
+                   jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0]), refl_m.shape))
+    sx = jnp.cross(up, refl_m)
+    sx = sx / jnp.maximum(
+        jnp.linalg.norm(sx, axis=-1, keepdims=True), 1e-12)
+    sy = jnp.cross(refl_m, sx)
+    wo_sp = (sx * (sin_a * jnp.cos(phi_s))[..., None]
+             + sy * (sin_a * jnp.sin(phi_s))[..., None]
+             + refl_m * cos_a[..., None])
+    pick_spec = u3 < p["spec_weight"]
+    wo_ph = jnp.where(pick_spec[..., None], wo_sp, wo_d)
+    f_ph, pdf_ph = _phong_ep(p, wi_l, wo_ph)
+    ok_ph = ok_d & (pdf_ph > 0) & (wo_ph[..., 2] > 0)
+    put(
+        mt == MAT_PHONG,
+        wo_ph,
+        jnp.where(ok_ph[..., None],
+                  f_ph / jnp.maximum(pdf_ph, 1e-30)[..., None], 0.0),
+        jnp.where(ok_ph, pdf_ph, 0.0),
     )
 
     # --- conductor (delta) --------------------------------------------------

@@ -45,6 +45,7 @@ FAMILIES = [
     ("roughplastic", {"alpha": 0.25, "distribution": "beckmann"}, ()),
     ("roughdielectric", {"alpha": 0.3, "distribution": "beckmann"}, ()),
     ("phong", {"exponent": 20.0}, ()),
+    ("roughdiffuse", {"alpha": 0.4}, ()),
 ]
 
 DELTA_FAMILIES = [
