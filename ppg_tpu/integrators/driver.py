@@ -41,6 +41,7 @@ def make_config(sc, **overrides) -> PTConfig:
             sc.materials is not None
             and np.any(np.asarray(sc.materials.mtype) == MAT_MASK)
         ),
+        has_media=bool(getattr(sc, "media", None)),
         sampler=str(sc.sampler.get("type", "independent")),
     )
     kw.update(overrides)

@@ -56,6 +56,7 @@ class PTConfig:
     has_env: bool = False  # scene has an environment emitter
     has_tex: bool = False  # scene has bitmap textures
     has_mask: bool = False  # scene has mask (opacity) BSDFs
+    has_media: bool = False  # scene has participating media
     sampler: str = "independent"  # sampler plugin type (render/samplers.py)
 
     @property
@@ -76,7 +77,7 @@ class DeviceScene:
     """
 
     FIELDS = ("geom", "mats", "emitters", "shade", "eps", "env", "tex",
-              "delta")
+              "delta", "media")
 
     def __init__(self, **kw):
         for f in self.FIELDS:
@@ -95,7 +96,8 @@ class DeviceScene:
         gn = np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0])
         gn /= np.maximum(np.linalg.norm(gn, axis=-1, keepdims=True), 1e-20)
         T = len(perm)
-        shade = np.zeros((max(T, 1), 23), np.float32)
+        shade = np.zeros((max(T, 1), 24), np.float32)
+        shade[:, 23] = np.float32(np.int32(-1).view(np.float32))  # medium id
         if T:
             # flat-shaded shapes (faceNormals=true) carry zero vertex
             # normals; substitute the geometric normal per corner
@@ -117,6 +119,9 @@ class DeviceScene:
             if sc.texcoords is not None and len(sc.texcoords):
                 uvf = sc.texcoords[sc.faces][perm]  # [T, 3, 2]
                 shade[:T, 17:23] = uvf.reshape(T, 6)
+            tri_med = getattr(sc, "tri_medium", None)
+            if tri_med is not None and len(tri_med):
+                shade[:T, 23] = tri_med[perm].astype(np.int32).view(np.float32)
 
         env = None
         if sc.env_emitter is not None:
@@ -142,6 +147,13 @@ class DeviceScene:
         else:
             delta = DE.DeltaEmitterArrays.empty()
 
+        from ..media import MediaArrays
+
+        if getattr(sc, "media", None):
+            media = MediaArrays.from_table(sc.media)
+        else:
+            media = MediaArrays.empty()
+
         diag = float(np.linalg.norm(sc.aabb_max - sc.aabb_min))
         return cls(
             geom=geom,
@@ -152,6 +164,7 @@ class DeviceScene:
             env=env,
             tex=tex,
             delta=delta,
+            media=media,
         )
 
 
@@ -179,7 +192,8 @@ def fetch_hit(scene: DeviceScene, tri, bu, bv):
         + row[:, 19:21] * bu[..., None]
         + row[:, 21:23] * bv[..., None]
     )
-    return sh_n, geo_n, mid, eid, rad, uv
+    med = jax.lax.bitcast_convert_type(row[:, 23], jnp.int32)
+    return sh_n, geo_n, mid, eid, rad, uv, med
 
 
 def mi_weight(pdf_a, pdf_b):
@@ -192,10 +206,11 @@ def _rand(key, j, tag, shape):
     return jax.random.uniform(jax.random.fold_in(jax.random.fold_in(key, j), tag), shape)
 
 
-# per-bounce QMC dimension block: 2 camera dims, then 32 dims per bounce
-# (bsdf 0-2, guiding-tree 3-24, nee 25-26, rr 27, mask 28)
-DIM_BLOCK = 32
-_TAG_DIM = {0: 0, 1: 3, 2: 25, 3: 27, 7: 28}
+# per-bounce QMC dimension block: 2 camera dims, then 36 dims per bounce
+# (bsdf 0-2, guiding-tree 3-24, nee 25-26, rr 27, mask 28,
+#  medium-distance 29-30, phase 31-32)
+DIM_BLOCK = 36
+_TAG_DIM = {0: 0, 1: 3, 2: 25, 3: 27, 7: 28, 8: 29, 9: 31}
 
 
 def _sample_emitters(scene: DeviceScene, cfg: PTConfig, p, ref_n, u_nee):
@@ -274,7 +289,7 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
     # depth-0 emitter / environment contribution (guided_path.cpp:1902-1919)
     c0 = f3()
     if not cfg.hide_emitters:
-        sh_n0, _, _, eid0, rad0, _ = fetch_hit(scene, jnp.maximum(tri, 0), bu, bv)
+        sh_n0, _, _, eid0, rad0, _, _ = fetch_hit(scene, jnp.maximum(tri, 0), bu, bv)
         front0 = dot(sh_n0, -d) > 0
         c0 = jnp.where((hit & (eid0 >= 0) & front0)[..., None], rad0, 0.0)
         if cfg.has_env:
@@ -297,12 +312,17 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
         dim = 2 + (j - 1) * DIM_BLOCK + _TAG_DIM[tag]
         return S.draw(cfg.sampler, pixel_ids, sample_idx, dim, key, shape)
 
+    if cfg.has_media:
+        from .. import media as MED
+
     carry = dict(
         active=hit,
         o=o, d=d,
         tri=jnp.maximum(tri, 0), t=t, bu=bu, bv=bv,
         throughput=jnp.ones((L, 3), jnp.float32),
         eta=jnp.ones(L, jnp.float32),
+        med=jnp.full(L, -1, jnp.int32),       # sensor assumed in vacuum
+        in_medium=jnp.zeros(L, bool),
     )
 
     def body(carry, j):
@@ -312,15 +332,25 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
         thr = carry["throughput"]
         eta = carry["eta"]
 
+        # media lane state: in_medium lanes sit at a scattering event at
+        # distance t along the ray (guided_path.cpp:1803-1893 branch)
+        if cfg.has_media:
+            in_med = carry["in_medium"] & act
+            med = carry["med"]
+            m_sigma_t, m_albedo, m_g = MED.fetch(scene.media, med)
+        else:
+            in_med = jnp.zeros(L, bool)
+            med = jnp.full(L, -1, jnp.int32)
+
         p = o + carry["t"][..., None] * d
-        sh_n, geo_n, mid, _, _, uv = fetch_hit(scene, tri, carry["bu"], carry["bv"])
+        sh_n, geo_n, mid, _, _, uv, surf_med = fetch_hit(scene, tri, carry["bu"], carry["bv"])
         # flip geometric normal toward the incident side, as Mitsuba's
         # Intersection does via the shading frame side convention
         wi_dot_geo = -dot(geo_n, d)
         wi_dot_sh = -dot(sh_n, d)
 
         if cfg.strict_normals:
-            act = act & (wi_dot_geo * wi_dot_sh >= 0)
+            act = act & (in_med | (wi_dot_geo * wi_dot_sh >= 0))
 
         params = B.gather_params(scene.mats, mid)
 
@@ -395,10 +425,11 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
         s_ax, t_ax = build_frame(sh_n)
         wi = to_local(s_ax, t_ax, sh_n, -d)
 
-        # -- SD-tree lookup -------------------------------------------------
+        # -- SD-tree lookup (guiding ignores media: README "No Support for
+        #    Participating Media") --------------------------------------------
         if guide:
             dtree_id, voxel = G.lookup(sdtree, p)
-            has_tree = smooth
+            has_tree = smooth & ~in_med
             dtree_id = jnp.where(has_tree, dtree_id, -1)
             if cfg.learn_fraction:
                 frac = G.sampling_fraction(sdtree, dtree_id)
@@ -464,20 +495,40 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
             wo_world = to_world(s_ax, t_ax, sh_n, wo)
         wo_world = to_world(s_ax, t_ax, sh_n, wo)
 
+        # -- medium lanes: phase sampling replaces the BSDF ------------------
+        if cfg.has_media:
+            u_ph = draw(j, 9, (L, 2))
+            d_ph, pdf_ph = MED.hg_sample(m_g, d, u_ph)
+            wo_world = jnp.where(in_med[..., None], d_ph, wo_world)
+            bsdf_weight = jnp.where(in_med[..., None], 1.0, bsdf_weight)
+            wo_pdf = jnp.where(in_med, pdf_ph, wo_pdf)
+            bsdf_pdf = jnp.where(in_med, pdf_ph, bsdf_pdf)
+            sampled_delta = jnp.where(in_med, False, sampled_delta)
+            eta_s = jnp.where(in_med, 1.0, eta_s)
+            dtree_pdf = jnp.where(in_med, 0.0, dtree_pdf)
+
         slot = f3()
         # -- next-event estimation (guided_path.cpp:1967-2021) --------------
         nee_rec = None
         if cfg.do_nee:
             u_nee = draw(j, 2, (L, 2))
-            ref_n = jnp.where(transmissive[..., None], 0.0, sh_n)
+            ref_n = jnp.where((transmissive | in_med)[..., None], 0.0, sh_n)
             ds, n_slots = _sample_emitters(scene, cfg, p, ref_n, u_nee)
-            nee_ok = act & smooth & (ds["pdf"] > 0)
+            nee_ok = act & (smooth | in_med) & (ds["pdf"] > 0)
             wo_nee = to_local(s_ax, t_ax, sh_n, ds["d"])
             if cfg.strict_normals:
-                nee_ok = nee_ok & (dot(geo_n, ds["d"]) * wo_nee[..., 2] > 0)
+                nee_ok = nee_ok & (
+                    in_med | (dot(geo_n, ds["d"]) * wo_nee[..., 2] > 0))
             f_nee = eval_b(wi, wo_nee)
             # pdf of generating that direction via path sampling (for MIS)
             bsdf_pdf_nee = pdf_b(wi, wo_nee)
+            if cfg.has_media:
+                # in-medium NEE: the phase function is the "BSDF"
+                # (sigma_s is already folded into the throughput by the
+                # segment's distance-sampling weight)
+                ph_nee = MED.hg_eval_pdf(m_g, dot(d, ds["d"]))
+                f_nee = jnp.where(in_med[..., None], ph_nee[..., None], f_nee)
+                bsdf_pdf_nee = jnp.where(in_med, ph_nee, bsdf_pdf_nee)
             if guide and cfg.is_built:
                 dtree_pdf_nee = G.pdf_dir(sdtree, jnp.maximum(dtree_id, 0), ds["d"])
                 wo_pdf_nee = jnp.where(
@@ -490,6 +541,8 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
                 wo_pdf_nee = bsdf_pdf_nee
             # visibility
             so = p + jnp.sign(wi_dot_geo)[..., None] * geo_n * scene.eps
+            if cfg.has_media:
+                so = jnp.where(in_med[..., None], p, so)
             from ..accel.traverse import any_hit
 
             occluded = any_hit(
@@ -502,6 +555,11 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
             w_mis = jnp.where(ds["discrete"], 1.0,
                               mi_weight(ds["pdf"], wo_pdf_nee))
             l_nee = thr * ds["value"] * f_nee * w_mis[..., None]
+            if cfg.has_media:
+                # shadow-ray transmittance through the lane's current medium
+                # (approximation of sampleAttenuatedEmitterDirect: homogeneous
+                # attenuation along the whole shadow segment)
+                l_nee = l_nee * MED.transmittance(m_sigma_t, ds["dist"])
             l_nee = jnp.where(nee_ok[..., None], l_nee, 0.0)
             slot = slot + l_nee
             nee_rec = dict(
@@ -516,11 +574,13 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
         nonzero = jnp.any(bsdf_weight > 0, axis=-1) & (wo_pdf > 0)
         act_c = act & nonzero
         if cfg.strict_normals:
-            act_c = act_c & (dot(geo_n, wo_world) * wo[..., 2] > 0)
+            act_c = act_c & (in_med | (dot(geo_n, wo_world) * wo[..., 2] > 0))
 
         thr2 = thr * bsdf_weight
         eta2 = eta * eta_s
         o2 = p + jnp.sign(dot(geo_n, wo_world))[..., None] * geo_n * scene.eps
+        if cfg.has_media:
+            o2 = jnp.where(in_med[..., None], p, o2)
         d2 = wo_world
 
         tri2, t2, bu2, bv2 = closest_hit(
@@ -529,15 +589,42 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
         hit2 = (tri2 >= 0) & act_c
         escaped = act_c & (tri2 < 0)
         tri2s = jnp.maximum(tri2, 0)
-        sh_n2, _, _, eid2, rad2, _ = fetch_hit(scene, tri2s, bu2, bv2)
+        sh_n2, _, _, eid2, rad2, _, med_of_hit2 = fetch_hit(scene, tri2s, bu2, bv2)
         em2 = jnp.where(hit2, eid2, -1)
         front2 = dot(sh_n2, -d2) > 0
         le2 = jnp.where((hit2 & (eid2 >= 0) & front2)[..., None], rad2, 0.0)
         if cfg.has_env:
             le2 = le2 + jnp.where(
                 escaped[..., None], EV.eval_env(scene.env, d2), 0.0)
-        hit_emitter = jnp.any(le2 > 0, axis=-1)
         p2 = o2 + t2[..., None] * d2
+
+        # -- medium transitions + distance sampling on the new segment ------
+        if cfg.has_media:
+            # transmission through a boundary switches the lane's medium to
+            # the crossed surface's interior (outward geo normals) or vacuum
+            # transmission: wo leaves on the side the ray came FROM's
+            # opposite, i.e. dot(geo_n, wo) and wi_dot_geo = -dot(geo_n, d)
+            # share sign only on reflection
+            crossing = ~in_med & (dot(geo_n, wo_world) * wi_dot_geo < 0) & act
+
+            going_in = dot(geo_n, wo_world) < 0
+            med2 = jnp.where(
+                crossing, jnp.where(going_in, surf_med, -1), med)
+            s_t2, alb2, _ = MED.fetch(scene.media, med2)
+            u_dist = draw(j, 8, (L, 2))
+            t_for_sampling = jnp.where(hit2, t2, jnp.inf)
+            is_med2, t_eff, w_seg = MED.sample_distance(
+                s_t2, alb2, t_for_sampling, u_dist[:, 0], u_dist[:, 1])
+            is_med2 = is_med2 & act_c
+            thr2 = thr2 * w_seg
+            # emitter/env radiance only reaches lanes whose segment made it
+            # to the surface (the scatter event eats the rest)
+            le2 = jnp.where(is_med2[..., None], 0.0, le2)
+        else:
+            is_med2 = jnp.zeros(L, bool)
+            med2 = med
+            t_eff = t2
+        hit_emitter = jnp.any(le2 > 0, axis=-1)
 
         if cfg.do_nee:
             n_pdf_slots = (scene.emitters.num + (1 if cfg.has_env else 0)
@@ -580,7 +667,7 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
 
         # -- russian roulette (guided_path.cpp:2124-2142) --------------------
         depth = j  # rRec.depth at this iteration
-        act_n = act_c & hit2
+        act_n = act_c & (hit2 | is_med2)
         rr_on = depth >= cfg.rr_depth
         if cfg.guiding:
             has_tree_rr = (dtree_id >= 0) & ~sampled_delta
@@ -598,8 +685,10 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
         thr2 = thr2 / jnp.maximum(sp_eff, 1e-9)[..., None]
 
         new_carry = dict(
-            active=act_n, o=o2, d=d2, tri=tri2s, t=t2, bu=bu2, bv=bv2,
+            active=act_n, o=o2, d=d2, tri=tri2s,
+            t=t_eff if cfg.has_media else t2, bu=bu2, bv=bv2,
             throughput=thr2, eta=eta2,
+            med=med2, in_medium=is_med2,
         )
         n_rays = jnp.sum(act_c.astype(jnp.int32))
         if cfg.do_nee:

@@ -364,6 +364,8 @@ class SceneData:
     sampler: dict = field(default_factory=dict)
     env_emitter: object = None
     delta_emitters: list = field(default_factory=list)
+    media: list = field(default_factory=list)
+    tri_medium: np.ndarray = None  # [F] interior medium id, -1 = none
     aabb_min: np.ndarray = None
     aabb_max: np.ndarray = None
 
@@ -402,9 +404,32 @@ def build_scene(xml: SceneXML, missing_ok=True) -> SceneData:
     mats = MaterialBuilder(textures)
 
     all_pos, all_faces, all_norm, all_uv = [], [], [], []
-    tri_mat, tri_emitter = [], []
+    tri_mat, tri_emitter, tri_medium = [], [], []
     emitter_rows = []
+    media_rows = []
     vert_base = 0
+
+    def add_medium(spec):
+        """homogeneous medium (src/medium/homogeneous.cpp): sigmaS+sigmaA
+        or sigmaT+albedo, x scale; phase child (isotropic default, hg g)."""
+        if spec.otype != "homogeneous":
+            raise NotImplementedError(f"medium type {spec.otype!r}")
+        pr = spec.props
+        scale = float(pr.get("scale", 1.0))
+        if "sigmaT" in pr or "albedo" in pr:
+            st = _rgb(pr.get("sigmaT"), [1, 1, 1]) * scale
+            al = _rgb(pr.get("albedo"), [0.5, 0.5, 0.5])
+        else:
+            ss = _rgb(pr.get("sigmaS"), [0.5, 0.5, 0.5]) * scale
+            sa = _rgb(pr.get("sigmaA"), [0.5, 0.5, 0.5]) * scale
+            st = ss + sa
+            al = np.where(st > 0, ss / np.maximum(st, 1e-30), 0.0)
+        g = 0.0
+        ph = spec.child("phase")
+        if ph is not None and ph.otype == "hg":
+            g = float(ph.props.get("g", 0.8))
+        media_rows.append(dict(sigma_t=st, albedo=al, g=g))
+        return len(media_rows) - 1
 
     env_emitter = None
     delta_emitters = []
@@ -485,6 +510,9 @@ def build_scene(xml: SceneXML, missing_ok=True) -> SceneData:
         all_uv.append(uv)
         tri_mat.extend([mat_id] * F)
         tri_emitter.extend([emitter_id] * F)
+        med_spec = shape.child("medium")
+        med_id = add_medium(med_spec) if med_spec is not None else -1
+        tri_medium.extend([med_id] * F)
         vert_base += len(mesh.positions)
 
     positions = np.concatenate(all_pos) if all_pos else np.zeros((0, 3))
@@ -570,6 +598,8 @@ def build_scene(xml: SceneXML, missing_ok=True) -> SceneData:
         ),
         env_emitter=env_emitter,
         delta_emitters=delta_emitters,
+        media=media_rows,
+        tri_medium=np.array(tri_medium, np.int32),
         aabb_min=aabb_min,
         aabb_max=aabb_max,
     )

@@ -1,0 +1,124 @@
+"""Participating-media tests: Beer-Lambert attenuation through an
+absorbing slab, HG phase sample/pdf consistency, energy behavior of a
+scattering medium (reference src/medium/homogeneous.cpp +
+src/phase/hg.cpp; the integration point is guided_path.cpp:1803-1893)."""
+
+import os
+import tempfile
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ppg_tpu import media as MED
+from ppg_tpu.integrators.driver import make_config, render
+from ppg_tpu.scene.scene import load_scene
+
+
+class TestPhase:
+    def test_hg_pdf_normalized(self):
+        rng = np.random.default_rng(0)
+        for g in (0.0, 0.4, -0.6, 0.9):
+            v = rng.normal(size=(200_000, 3))
+            v /= np.linalg.norm(v, axis=-1, keepdims=True)
+            ct = v[:, 2].astype(np.float32)
+            pdf = np.asarray(MED.hg_eval_pdf(jnp.float32(g), jnp.asarray(ct)))
+            integral = pdf.mean() * 4 * np.pi
+            assert abs(integral - 1.0) < 0.02, (g, integral)
+
+    def test_hg_sample_matches_pdf(self):
+        rng = np.random.default_rng(1)
+        for g in (0.0, 0.5, -0.3):
+            d_in = jnp.asarray(np.tile([0.0, 0, 1], (100_000, 1)), jnp.float32)
+            u = jnp.asarray(rng.random((100_000, 2)), jnp.float32)
+            d_out, pdf = MED.hg_sample(jnp.float32(g), d_in, u)
+            ct = np.asarray(d_out[:, 2])
+            pdf2 = np.asarray(MED.hg_eval_pdf(jnp.float32(g), jnp.asarray(ct)))
+            rel = np.abs(np.asarray(pdf) - pdf2) / np.maximum(pdf2, 1e-6)
+            assert np.quantile(rel, 0.95) < 1e-3, g
+            # forward bias for g > 0
+            if g > 0:
+                assert ct.mean() > 0.3
+
+    def test_distance_sampling_unbiased(self):
+        """E[weight; surface] = T(t_surf) and the medium-event weights
+        integrate to sigma_s/sigma_t x (1 - T) per channel."""
+        rng = np.random.default_rng(2)
+        n = 400_000
+        sigma_t = jnp.asarray(np.tile([0.5, 1.0, 2.0], (n, 1)), jnp.float32)
+        albedo = jnp.asarray(np.tile([0.8, 0.8, 0.8], (n, 1)), jnp.float32)
+        t_surf = jnp.full(n, 1.7, jnp.float32)
+        u1 = jnp.asarray(rng.random(n), jnp.float32)
+        u2 = jnp.asarray(rng.random(n), jnp.float32)
+        is_med, t, w = MED.sample_distance(sigma_t, albedo, t_surf, u1, u2)
+        is_med = np.asarray(is_med)
+        w = np.asarray(w)
+        # surface estimator: mean of surface weights (zeros elsewhere)
+        est_surface = np.where(~is_med[:, None], w, 0).mean(axis=0)
+        expect_surface = np.exp(-np.array([0.5, 1.0, 2.0]) * 1.7)
+        assert np.allclose(est_surface, expect_surface, rtol=0.02), (
+            est_surface, expect_surface)
+        # medium estimator integrates sigma_s T over [0, t_surf]
+        est_medium = np.where(is_med[:, None], w, 0).mean(axis=0)
+        expect_medium = 0.8 * (1 - expect_surface)
+        assert np.allclose(est_medium, expect_medium, rtol=0.02), (
+            est_medium, expect_medium)
+
+
+_SLAB = """<scene version="0.5.0">
+<integrator type="path"><integer name="maxDepth" value="{md}"/></integrator>
+<sensor type="perspective"><float name="fov" value="40"/>
+ <transform name="toWorld">
+  <lookat origin="0, 0, 4" target="0, 0, 0" up="0, 1, 0"/></transform>
+ <sampler type="independent"><integer name="sampleCount" value="16"/></sampler>
+ <film type="hdrfilm"><integer name="width" value="24"/>
+  <integer name="height" value="24"/><rfilter type="box"/></film></sensor>
+<shape type="cube">
+ <bsdf type="null"/>
+ <medium name="interior" type="homogeneous">
+  <rgb name="sigmaA" value="{sa}, {sa}, {sa}"/>
+  <rgb name="sigmaS" value="{ss}, {ss}, {ss}"/>
+ </medium>
+</shape>
+<shape type="rectangle"><transform name="toWorld">
+  <translate z="-2"/></transform>
+ <emitter type="area"><rgb name="radiance" value="5, 5, 5"/></emitter>
+ <bsdf type="diffuse"/></shape>
+</scene>"""
+
+
+def _render_slab(sa, ss, md=6, spp=64):
+    with tempfile.NamedTemporaryFile("w", suffix=".xml", delete=False) as f:
+        f.write(_SLAB.format(sa=sa, ss=ss, md=md))
+        path = f.name
+    try:
+        sc = load_scene(path)
+        cfg = make_config(sc, guiding=False)
+        return render(sc, spp=spp, chunk=576, cfg=cfg)
+    finally:
+        os.unlink(path)
+
+
+class TestMediumRender:
+    def test_beer_lambert_absorption(self):
+        """Pure absorber (albedo 0) in a unit cube: the emitter seen
+        through it must attenuate by exp(-sigma_a * path length). The
+        distance-sampling estimator realizes T as a survival fraction, so
+        average a pixel block at decent spp."""
+        clear = _render_slab(sa=0.0, ss=0.0, spp=128)
+        foggy = _render_slab(sa=0.7, ss=0.0, spp=128)
+        c = clear[10:14, 10:14, 0].mean()
+        f = foggy[10:14, 10:14, 0].mean()
+        # center rays pass through the cube (side 2 -> path length ~2)
+        expect = np.exp(-0.7 * 2.0)
+        assert abs(c - 5.0) / 5.0 < 0.05, c  # sanity: emitter radiance
+        assert abs(f / c - expect) / expect < 0.12, (f / c, expect)
+
+    def test_scattering_dims_not_brightens(self):
+        """With scattering (no absorption) the directly-seen emitter dims
+        and light scatters around it; total energy must not increase."""
+        clear = _render_slab(sa=0.0, ss=0.0)
+        scat = _render_slab(sa=0.0, ss=0.8, md=8)
+        assert scat[12, 12, 0] < clear[12, 12, 0]
+        assert scat.mean() <= clear.mean() * 1.05
