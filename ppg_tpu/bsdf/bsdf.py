@@ -27,6 +27,7 @@ from ..core import warp
 from ..scene.scene import (
     MAT_CONDUCTOR,
     MAT_DIELECTRIC,
+    MAT_DIFFTRANS,
     MAT_DIFFUSE,
     MAT_MASK,
     MAT_NULL,
@@ -37,6 +38,7 @@ from ..scene.scene import (
     MAT_ROUGHDIFFUSE,
     MAT_ROUGHPLASTIC,
     MAT_THINDIELECTRIC,
+    MAT_WARD,
 )
 from . import microfacet as MF
 from .fresnel import fresnel_conductor_exact, fresnel_dielectric_ext
@@ -53,6 +55,8 @@ SMOOTH_TYPES = (
     MAT_PLASTIC,
     MAT_ROUGHPLASTIC,
     MAT_PHONG,
+    MAT_WARD,
+    MAT_DIFFTRANS,
 )
 # delta-only families: guiding bypassed (guided_path.cpp:1654)
 DELTA_TYPES = (MAT_CONDUCTOR, MAT_DIELECTRIC, MAT_THINDIELECTRIC)
@@ -64,6 +68,7 @@ TRANSMISSIVE_TYPES = (
     MAT_ROUGHDIELECTRIC,
     MAT_MASK,
     MAT_NULL,
+    MAT_DIFFTRANS,
 )
 
 
@@ -241,6 +246,48 @@ def _roughdiffuse_ep(p, wi, wo):
     return jnp.where(both[..., None], f, 0.0), jnp.where(both, pdf, 0.0)
 
 
+def _ward_ep(p, wi, wo):
+    """Anisotropic Ward model (src/bsdfs/ward.cpp, classic 'ward'
+    variant): diffuse + gaussian-exponential specular on the half vector,
+    sampled as a diffuse/specular mixture with the Ward half-vector
+    warp."""
+    both = (wi[..., 2] > 0) & (wo[..., 2] > 0)
+    ci = jnp.clip(wi[..., 2], 1e-6, 1.0)
+    co = jnp.clip(wo[..., 2], 1e-6, 1.0)
+    h = wi + wo
+    hz2 = jnp.maximum(h[..., 2] * h[..., 2], 1e-12)
+    au = jnp.maximum(p["alpha_u"], 1e-4)
+    av = jnp.maximum(p["alpha_v"], 1e-4)
+    expo = jnp.exp(-((h[..., 0] / au) ** 2 + (h[..., 1] / av) ** 2) / hz2)
+    spec = expo / (4.0 * jnp.pi * au * av * jnp.sqrt(ci * co))
+    f = (p["reflectance"] * (INV_PI * co)[..., None]
+         + p["specular"] * (spec * co)[..., None])
+    # specular pdf: half-vector gaussian warped to wo (ward.cpp pdf)
+    hn = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-12)
+    chz2 = jnp.maximum(hn[..., 2] * hn[..., 2], 1e-12)
+    exph = jnp.exp(-((hn[..., 0] / au) ** 2 + (hn[..., 1] / av) ** 2) / chz2)
+    pdf_h = exph / (4.0 * jnp.pi * au * av *
+                    jnp.maximum(hn[..., 2] ** 3, 1e-12))
+    dwh_dwo = 1.0 / jnp.maximum(
+        4.0 * jnp.abs(jnp.sum(wo * hn, -1)), 1e-12)
+    w_s = p["spec_weight"]
+    pdf = (w_s * pdf_h * dwh_dwo
+           + (1 - w_s) * warp.square_to_cosine_hemisphere_pdf(wo))
+    return jnp.where(both[..., None], f, 0.0), jnp.where(both, pdf, 0.0)
+
+
+def _difftrans_ep(p, wi, wo):
+    """Diffuse transmitter (src/bsdfs/difftrans.cpp): Lambertian lobe on
+    the OPPOSITE hemisphere."""
+    through = (wi[..., 2] > 0) & (wo[..., 2] < 0) | \
+        (wi[..., 2] < 0) & (wo[..., 2] > 0)
+    aco = jnp.abs(wo[..., 2])
+    f = p["transmittance"] * (INV_PI * aco)[..., None]
+    pdf = aco * INV_PI
+    return (jnp.where(through[..., None], f, 0.0),
+            jnp.where(through, pdf, 0.0))
+
+
 def _phong_ep(p, wi, wo):
     """Modified Phong (src/bsdfs/phong.cpp): diffuse + normalized cosine
     lobe around the mirror direction, sampled as a weighted mixture."""
@@ -387,6 +434,8 @@ _SMOOTH_EP = {
     MAT_DIFFUSE: _diffuse_ep,
     MAT_ROUGHDIFFUSE: _roughdiffuse_ep,
     MAT_PHONG: _phong_ep,
+    MAT_WARD: _ward_ep,
+    MAT_DIFFTRANS: _difftrans_ep,
     MAT_ROUGHCONDUCTOR: _roughconductor_ep,
     MAT_PLASTIC: _plastic_ep,
     MAT_ROUGHPLASTIC: _roughplastic_ep,
@@ -501,6 +550,40 @@ def sample_bsdf(p, wi, u2):
         jnp.where(ok_ph[..., None],
                   f_ph / jnp.maximum(pdf_ph, 1e-30)[..., None], 0.0),
         jnp.where(ok_ph, pdf_ph, 0.0),
+    )
+
+    # --- ward: diffuse/specular mixture with the Ward half-vector warp ------
+    au = jnp.maximum(p["alpha_u"], 1e-4)
+    av = jnp.maximum(p["alpha_v"], 1e-4)
+    phi_w = 2 * jnp.pi * u2b
+    hx = au * jnp.cos(phi_w)
+    hy = av * jnp.sin(phi_w)
+    inv_n = 1.0 / jnp.sqrt(jnp.maximum(hx * hx + hy * hy, 1e-20))
+    cph, sph = hx * inv_n, hy * inv_n
+    tan2_th = -jnp.log(jnp.clip(u1, 1e-9, 1.0)) / jnp.maximum(
+        (cph / au) ** 2 + (sph / av) ** 2, 1e-12)
+    cos_th = 1.0 / jnp.sqrt(1.0 + tan2_th)
+    sin_th = jnp.sqrt(jnp.clip(1.0 - cos_th**2, 0.0, 1.0))
+    h_w = jnp.stack([sin_th * cph, sin_th * sph, cos_th], -1)
+    wo_ws = _reflect_m(wi_l, h_w)
+    wo_w = jnp.where(pick_spec[..., None], wo_ws, wo_d)
+    f_w, pdf_w = _ward_ep(p, wi_l, wo_w)
+    ok_w = ok_d & (pdf_w > 0) & (wo_w[..., 2] > 0)
+    put(
+        mt == MAT_WARD,
+        wo_w,
+        jnp.where(ok_w[..., None],
+                  f_w / jnp.maximum(pdf_w, 1e-30)[..., None], 0.0),
+        jnp.where(ok_w, pdf_w, 0.0),
+    )
+
+    # --- difftrans: cosine lobe on the opposite hemisphere ------------------
+    wo_dt = wo_d * jnp.asarray([1.0, 1.0, -1.0])
+    put(
+        mt == MAT_DIFFTRANS,
+        wo_dt,
+        jnp.where(ok_d[..., None], p["transmittance"], 0.0),
+        jnp.where(ok_d, pdf_d, 0.0),
     )
 
     # --- conductor (delta) --------------------------------------------------

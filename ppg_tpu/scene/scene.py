@@ -30,6 +30,8 @@ MAT_MASK = 8
 MAT_NULL = 9
 MAT_PHONG = 10
 MAT_ROUGHDIFFUSE = 11
+MAT_WARD = 12
+MAT_DIFFTRANS = 13
 
 MAT_NAMES = {
     "diffuse": MAT_DIFFUSE,
@@ -44,6 +46,8 @@ MAT_NAMES = {
     "null": MAT_NULL,
     "phong": MAT_PHONG,
     "roughdiffuse": MAT_ROUGHDIFFUSE,
+    "ward": MAT_WARD,
+    "difftrans": MAT_DIFFTRANS,
 }
 
 DIST_BECKMANN = 0
@@ -247,6 +251,13 @@ class MaterialBuilder:
             d["exponent"] = float(p.get("exponent", 30.0))
             d["reflectance"] = _rgb(p.get("diffuseReflectance"), [0.5, 0.5, 0.5])
             d["specular"] = _rgb(p.get("specularReflectance"), [0.2, 0.2, 0.2])
+        elif t == "ward":
+            d["reflectance"] = _rgb(p.get("diffuseReflectance"), [0.5, 0.5, 0.5])
+            d["specular"] = _rgb(p.get("specularReflectance"), [0.2, 0.2, 0.2])
+            d["alpha_u"] = float(p.get("alphaU", p.get("alpha", 0.1)))
+            d["alpha_v"] = float(p.get("alphaV", p.get("alpha", 0.1)))
+        elif t == "difftrans":
+            d["transmittance"] = _rgb(p.get("transmittance"), [0.5, 0.5, 0.5])
         self.rows.append(d)
         return len(self.rows) - 1
 

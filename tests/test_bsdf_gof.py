@@ -46,6 +46,8 @@ FAMILIES = [
     ("roughdielectric", {"alpha": 0.3, "distribution": "beckmann"}, ()),
     ("phong", {"exponent": 20.0}, ()),
     ("roughdiffuse", {"alpha": 0.4}, ()),
+    ("ward", {"alphaU": 0.15, "alphaV": 0.3}, ()),
+    ("difftrans", {}, ()),
 ]
 
 DELTA_FAMILIES = [
