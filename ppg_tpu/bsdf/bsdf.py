@@ -106,9 +106,11 @@ class MaterialArrays:
         "rt_fdr_int": (32, 1, "f"),
         "tex_reflectance": (33, 1, "i"),
         "tex_opacity": (34, 1, "i"),
-        "rt_ext": (35, RT_BINS, "tab"),
+        "tex_bump": (35, 1, "i"),
+        "bump_is_normal": (36, 1, "b"),
+        "rt_ext": (37, RT_BINS, "tab"),
     }
-    WIDTH = 35 + RT_BINS
+    WIDTH = 37 + RT_BINS
 
     def __init__(self, packed):
         self.packed = packed

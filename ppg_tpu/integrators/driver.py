@@ -42,6 +42,10 @@ def make_config(sc, **overrides) -> PTConfig:
             and np.any(np.asarray(sc.materials.mtype) == MAT_MASK)
         ),
         has_media=bool(getattr(sc, "media", None)),
+        has_bump=bool(
+            sc.materials is not None
+            and np.any(np.asarray(sc.materials.tex_bump) >= 0)
+        ),
         sampler=str(sc.sampler.get("type", "independent")),
     )
     kw.update(overrides)

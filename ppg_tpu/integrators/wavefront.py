@@ -57,6 +57,7 @@ class PTConfig:
     has_tex: bool = False  # scene has bitmap textures
     has_mask: bool = False  # scene has mask (opacity) BSDFs
     has_media: bool = False  # scene has participating media
+    has_bump: bool = False  # scene has bump/normal-mapped materials
     sampler: str = "independent"  # sampler plugin type (render/samplers.py)
 
     @property
@@ -96,7 +97,7 @@ class DeviceScene:
         gn = np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0])
         gn /= np.maximum(np.linalg.norm(gn, axis=-1, keepdims=True), 1e-20)
         T = len(perm)
-        shade = np.zeros((max(T, 1), 24), np.float32)
+        shade = np.zeros((max(T, 1), 30), np.float32)
         shade[:, 23] = np.float32(np.int32(-1).view(np.float32))  # medium id
         if T:
             # flat-shaded shapes (faceNormals=true) carry zero vertex
@@ -122,6 +123,29 @@ class DeviceScene:
             tri_med = getattr(sc, "tri_medium", None)
             if tri_med is not None and len(tri_med):
                 shade[:T, 23] = tri_med[perm].astype(np.int32).view(np.float32)
+            # uv tangents for bump/normal mapping (Mitsuba's its.dpdu/dpdv)
+            if sc.texcoords is not None and len(sc.texcoords):
+                uvf = sc.texcoords[sc.faces][perm].astype(np.float64)
+                e1 = (v[:, 1] - v[:, 0]).astype(np.float64)
+                e2 = (v[:, 2] - v[:, 0]).astype(np.float64)
+                du1 = uvf[:, 1, 0] - uvf[:, 0, 0]
+                dv1 = uvf[:, 1, 1] - uvf[:, 0, 1]
+                du2 = uvf[:, 2, 0] - uvf[:, 0, 0]
+                dv2 = uvf[:, 2, 1] - uvf[:, 0, 1]
+                det = du1 * dv2 - du2 * dv1
+                ok = np.abs(det) > 1e-12
+                inv = np.where(ok, 1.0 / np.where(ok, det, 1.0), 0.0)
+                dpdu = (e1 * dv2[:, None] - e2 * dv1[:, None]) * inv[:, None]
+                dpdv = (e2 * du1[:, None] - e1 * du2[:, None]) * inv[:, None]
+                # degenerate uv: any tangent orthogonal-ish to the normal
+                fallback = np.where(
+                    (np.abs(gn[:, 2:3]) < 0.9),
+                    np.cross(gn, np.array([0.0, 0, 1.0])),
+                    np.cross(gn, np.array([1.0, 0, 0.0])))
+                dpdu = np.where(ok[:, None], dpdu, fallback)
+                dpdv = np.where(ok[:, None], dpdv, np.cross(gn, fallback))
+                shade[:T, 24:27] = dpdu
+                shade[:T, 27:30] = dpdv
 
         env = None
         if sc.env_emitter is not None:
@@ -193,7 +217,9 @@ def fetch_hit(scene: DeviceScene, tri, bu, bv):
         + row[:, 21:23] * bv[..., None]
     )
     med = jax.lax.bitcast_convert_type(row[:, 23], jnp.int32)
-    return sh_n, geo_n, mid, eid, rad, uv, med
+    dpdu = row[:, 24:27]
+    dpdv = row[:, 27:30]
+    return sh_n, geo_n, mid, eid, rad, uv, med, dpdu, dpdv
 
 
 def mi_weight(pdf_a, pdf_b):
@@ -289,7 +315,7 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
     # depth-0 emitter / environment contribution (guided_path.cpp:1902-1919)
     c0 = f3()
     if not cfg.hide_emitters:
-        sh_n0, _, _, eid0, rad0, _, _ = fetch_hit(scene, jnp.maximum(tri, 0), bu, bv)
+        sh_n0, _, _, eid0, rad0, *_ = fetch_hit(scene, jnp.maximum(tri, 0), bu, bv)
         front0 = dot(sh_n0, -d) > 0
         c0 = jnp.where((hit & (eid0 >= 0) & front0)[..., None], rad0, 0.0)
         if cfg.has_env:
@@ -343,7 +369,7 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
             med = jnp.full(L, -1, jnp.int32)
 
         p = o + carry["t"][..., None] * d
-        sh_n, geo_n, mid, _, _, uv, surf_med = fetch_hit(scene, tri, carry["bu"], carry["bv"])
+        sh_n, geo_n, mid, _, _, uv, surf_med, dpdu, dpdv = fetch_hit(scene, tri, carry["bu"], carry["bv"])
         # flip geometric normal toward the incident side, as Mitsuba's
         # Intersection does via the shading frame side convention
         wi_dot_geo = -dot(geo_n, d)
@@ -366,6 +392,13 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
             return pr
 
         params = tex_override(params)
+        if cfg.has_bump:
+            from ..scene.textures import perturb_normal
+
+            sh_n = perturb_normal(
+                scene.tex, params["tex_bump"] + 1, params["bump_is_normal"],
+                uv, sh_n, dpdu, dpdv)
+            wi_dot_sh = -dot(sh_n, d)
         smooth, delta_only, _, transmissive = B.lane_flags(params)
 
         # -- mask (opacity) BSDF: stochastic nested/pass-through select
@@ -589,7 +622,7 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
         hit2 = (tri2 >= 0) & act_c
         escaped = act_c & (tri2 < 0)
         tri2s = jnp.maximum(tri2, 0)
-        sh_n2, _, _, eid2, rad2, _, med_of_hit2 = fetch_hit(scene, tri2s, bu2, bv2)
+        sh_n2, _, _, eid2, rad2, _, med_of_hit2, *_ = fetch_hit(scene, tri2s, bu2, bv2)
         em2 = jnp.where(hit2, eid2, -1)
         front2 = dot(sh_n2, -d2) > 0
         le2 = jnp.where((hit2 & (eid2 >= 0) & front2)[..., None], rad2, 0.0)

@@ -106,6 +106,7 @@ class MaterialTable:
     tex_alpha: np.ndarray
     tex_bump: np.ndarray
     exponent: np.ndarray  # phong
+    bump_is_normal: np.ndarray = None  # tex_bump holds a normal map
     # derived quantities (filled by _derive): relative IOR, 1/eta^2,
     # smooth-plastic internal diffuse Fresnel reflectance, specular sampling
     # weight, rough transmittance table + its internal diffuse average
@@ -124,7 +125,7 @@ class MaterialTable:
         zb = np.zeros((0,), bool)
         return MaterialTable(
             zi, zb, z3, z3, z3, z3, z3, z, z, z, z, zi, zb, z3, zi, zi, zi, zi,
-            zi, z, z, z, z, z, np.zeros((0, 64)), z
+            zi, z, zb, z, z, z, z, np.zeros((0, 64)), z
         )
 
 
@@ -155,10 +156,19 @@ class MaterialBuilder:
             if inner is None:
                 raise ValueError("twosided: missing nested bsdf")
             return self._build(inner, twosided=True)
-        if spec.otype == "bumpmap":
-            # nested bsdf with a bump texture; geometry effect deferred
+        if spec.otype in ("bumpmap", "normalmap"):
+            # nested bsdf with a bump-height / normal texture: clone the
+            # nested row and attach the perturbation texture
             inner = spec.child("bsdf")
-            return self._build(inner, twosided=twosided)
+            nested_row = self._build(inner, twosided=twosided)
+            tex_spec = spec.child("texture")
+            row = dict(self.rows[nested_row])
+            if tex_spec is not None:
+                tid = self.textures.add(tex_spec)
+                row["tex_bump"] = tid
+                row["bump_is_normal"] = spec.otype == "normalmap"
+            self.rows.append(row)
+            return len(self.rows) - 1
 
         d = dict(
             mtype=MAT_NAMES.get(spec.otype),
@@ -181,6 +191,7 @@ class MaterialBuilder:
             tex_alpha=-1,
             tex_bump=-1,
             exponent=30.0,
+            bump_is_normal=False,
         )
         if d["mtype"] is None:
             raise NotImplementedError(f"bsdf type {spec.otype!r}")
@@ -294,6 +305,7 @@ class MaterialBuilder:
             tex_alpha=col("tex_alpha", np.int32),
             tex_bump=col("tex_bump", np.int32),
             exponent=col("exponent"),
+            bump_is_normal=col("bump_is_normal", bool),
         )
 
 

@@ -135,3 +135,43 @@ def sample_atlas(atlas: TextureAtlas, tex_id, uv):
          + tex(x0, y0 + 1) * (1 - dx) * dy
          + tex(x0 + 1, y0 + 1) * dx * dy)
     return jnp.where((tex_id > 0)[..., None], v, 1.0)
+
+
+def perturb_normal(atlas: TextureAtlas, tex_id, is_normalmap, uv,
+                   sh_n, dpdu, dpdv):
+    """Shading-normal perturbation for bumpmap/normalmap wrappers
+    (src/bsdfs/{bumpmap,normalmap}.cpp). Bump maps use a one-texel
+    finite-difference height gradient; normal maps decode tangent-space
+    normals (2c - 1). Lanes with tex_id <= 0 keep sh_n."""
+    tid = jnp.clip(tex_id, 0, atlas.meta.shape[0] - 1)
+    m = atlas.meta[tid]
+    eps_u = 1.0 / jnp.maximum(m[..., 1].astype(jnp.float32), 2.0)
+    eps_v = 1.0 / jnp.maximum(m[..., 2].astype(jnp.float32), 2.0)
+
+    def lum(c):
+        return c[..., 0] * 0.212671 + c[..., 1] * 0.715160 + c[..., 2] * 0.072169
+
+    h0 = lum(sample_atlas(atlas, tex_id, uv))
+    hu = lum(sample_atlas(
+        atlas, tex_id, uv + jnp.stack([eps_u, jnp.zeros_like(eps_u)], -1)))
+    hv = lum(sample_atlas(
+        atlas, tex_id, uv + jnp.stack([jnp.zeros_like(eps_v), eps_v], -1)))
+    dhdu = (hu - h0) / eps_u
+    dhdv = (hv - h0) / eps_v
+    n_bump = jnp.cross(dpdu + sh_n * dhdu[..., None],
+                       dpdv + sh_n * dhdv[..., None])
+
+    # orthonormal TBN for normal maps
+    t = dpdu - sh_n * jnp.sum(sh_n * dpdu, -1, keepdims=True)
+    t = t / jnp.maximum(jnp.linalg.norm(t, axis=-1, keepdims=True), 1e-12)
+    b = jnp.cross(sh_n, t)
+    c = sample_atlas(atlas, tex_id, uv) * 2.0 - 1.0
+    n_nm = (t * c[..., 0:1] + b * c[..., 1:2] + sh_n * c[..., 2:3])
+
+    n_new = jnp.where(is_normalmap[..., None], n_nm, n_bump)
+    n_new = n_new / jnp.maximum(
+        jnp.linalg.norm(n_new, axis=-1, keepdims=True), 1e-12)
+    # stay in the original hemisphere
+    n_new = jnp.where(
+        (jnp.sum(n_new * sh_n, -1) < 0)[..., None], -n_new, n_new)
+    return jnp.where((tex_id > 0)[..., None], n_new, sh_n)
