@@ -39,7 +39,7 @@ def main():
     sensor = PerspectiveSensor(sc.sensor, sc.film)
     cfg = make_config(sc, guiding=False, record_vertices=False)
     W, H = sc.film["width"], sc.film["height"]
-    CHUNK = 1 << 18
+    CHUNK = 1 << 16  # sweet spot: larger wavefronts spill state arrays to HBM
 
     @jax.jit
     def pass_fn(key, start):
@@ -52,21 +52,23 @@ def main():
         return jnp.sum(out["li"]), out["n_rays"]
 
     key = jax.random.key(0)
-    # warmup + compile
-    s, n = pass_fn(key, jnp.int32(0))
+    # compile + THOROUGH warmup: the first post-compile executions on the
+    # TPU tunnel run ~4x slower until the program is resident
+    n_chunks = (W * H + CHUNK - 1) // CHUNK
+    for w in range(2 * n_chunks):
+        s, n = pass_fn(jax.random.fold_in(key, 7777 + w), jnp.int32(0))
     jax.block_until_ready(s)
 
-    n_chunks = (W * H + CHUNK - 1) // CHUNK
-    reps = 3
-    total_rays = 0
+    reps = 6
     t0 = time.time()
-    acc = 0.0
+    outs = []
     for r in range(reps):
         for c in range(n_chunks):
             s, n = pass_fn(jax.random.fold_in(key, r * 131 + c), jnp.int32(c * CHUNK))
-            acc += float(s)
-            total_rays += int(n)
+            outs.append((s, n))  # no host sync inside the timing loop
+    jax.block_until_ready(outs[-1][0])
     dt = time.time() - t0
+    total_rays = sum(int(n) for _, n in outs)
     mrays = total_rays / dt / 1e6
 
     print(json.dumps({

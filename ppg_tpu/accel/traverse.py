@@ -158,9 +158,18 @@ def brute_force_closest(geom: GeometryArrays, o, d, t_min, t_max):
         jnp.zeros(L),
         jnp.int32(0),
     )
-    (best_t, best_i, best_u, best_v, _), _ = jax.lax.scan(
-        step, init, geom.tri[:, :9]
-    )
+    T = geom.tri.shape[0]
+    if T <= 64:
+        # unrolled: XLA fuses the whole sweep into a few large kernels,
+        # avoiding ~T tiny per-step scan launches
+        state = init
+        for k in range(T):
+            state, _ = step(state, geom.tri[k, :9])
+        best_t, best_i, best_u, best_v, _ = state
+    else:
+        (best_t, best_i, best_u, best_v, _), _ = jax.lax.scan(
+            step, init, geom.tri[:, :9]
+        )
     valid = best_i >= 0
     return best_i, jnp.where(valid, best_t, INF), best_u, best_v
 

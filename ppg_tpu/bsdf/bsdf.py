@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from ..core import warp
 from ..scene.scene import (
+    MAT_NAMES,
     MAT_CONDUCTOR,
     MAT_DIELECTRIC,
     MAT_DIFFTRANS,
@@ -112,8 +113,14 @@ class MaterialArrays:
     }
     WIDTH = 37 + RT_BINS
 
-    def __init__(self, packed):
+    def __init__(self, packed, present=None):
         self.packed = packed
+        # STATIC set of material families present in the scene: the
+        # branchless dispatch skips absent families entirely (a scene with
+        # only diffuse shouldn't pay for microfacet math on every lane).
+        # Travels as pytree aux data so it stays static under jit.
+        self.present = (frozenset(present) if present is not None
+                        else frozenset(MAT_NAMES.values()))
 
     @classmethod
     def from_table(cls, table):
@@ -131,13 +138,14 @@ class MaterialArrays:
                 packed[:M, off] = arr.astype(np.float32)
             else:
                 packed[:M, off : off + w] = arr.astype(np.float32).reshape(M, w)
-        return cls(jnp.asarray(packed))
+        present = frozenset(int(t) for t in np.unique(np.asarray(table.mtype)))
+        return cls(jnp.asarray(packed), present)
 
 
 jax.tree_util.register_pytree_node(
     MaterialArrays,
-    lambda m: ((m.packed,), None),
-    lambda aux, ch: MaterialArrays(ch[0]),
+    lambda m: ((m.packed,), m.present),
+    lambda aux, ch: MaterialArrays(ch[0], aux),
 )
 
 
@@ -445,13 +453,15 @@ _SMOOTH_EP = {
 }
 
 
-def _eval_pdf(p, wi, wo):
+def _eval_pdf(p, wi, wo, present=None):
     sign = _flip_sign(p, wi)
     wi_l, wo_l = _z(wi, sign), _z(wo, sign)
     f = jnp.zeros_like(wi)
     pdf = jnp.zeros(wi.shape[:-1])
     mt = p["mtype"]
     for t, fn in _SMOOTH_EP.items():
+        if present is not None and t not in present:
+            continue  # family statically absent from this scene
         sel = mt == t
         ft, pt = fn(p, wi_l, wo_l)
         f = jnp.where(sel[..., None], ft, f)
@@ -459,19 +469,19 @@ def _eval_pdf(p, wi, wo):
     return f, pdf
 
 
-def eval_bsdf(p, wi, wo):
-    return _eval_pdf(p, wi, wo)[0]
+def eval_bsdf(p, wi, wo, present=None):
+    return _eval_pdf(p, wi, wo, present)[0]
 
 
-def pdf_bsdf(p, wi, wo):
-    return _eval_pdf(p, wi, wo)[1]
+def pdf_bsdf(p, wi, wo, present=None):
+    return _eval_pdf(p, wi, wo, present)[1]
 
 
 # ---------------------------------------------------------------------------
 # sampling
 # ---------------------------------------------------------------------------
 
-def sample_bsdf(p, wi, u2):
+def sample_bsdf(p, wi, u2, present=None):
     """Returns (wo, weight=f*cos/pdf, pdf, sampled_delta, eta).
 
     u2 is [L, 3]: components 0-1 drive the lobe/warp sampling like the
@@ -487,6 +497,9 @@ def sample_bsdf(p, wi, u2):
     u3 = u2[..., 2] if u2.shape[-1] > 2 else u2[..., 0]
     u2 = u2[..., :2]
     ci = wi_l[..., 2]
+    on = (lambda t: t in present) if present is not None else (lambda t: True)
+    any_cosine = any(map(on, (MAT_DIFFUSE, MAT_ROUGHDIFFUSE, MAT_PHONG,
+                              MAT_WARD, MAT_DIFFTRANS)))
 
     wo = jnp.zeros_like(wi)
     weight = jnp.zeros_like(wi)
@@ -504,254 +517,267 @@ def sample_bsdf(p, wi, u2):
         if eta_t is not None:
             eta_out = jnp.where(sel, eta_t, eta_out)
 
-    # --- diffuse -----------------------------------------------------------
-    wo_d = warp.square_to_cosine_hemisphere(u2)
-    pdf_d = warp.square_to_cosine_hemisphere_pdf(wo_d)
-    ok_d = ci > 0
-    put(
-        mt == MAT_DIFFUSE,
-        wo_d,
-        jnp.where(ok_d[..., None], p["reflectance"], 0.0),
-        jnp.where(ok_d, pdf_d, 0.0),
-    )
+    if any_cosine:
+        # --- diffuse -----------------------------------------------------------
+        wo_d = warp.square_to_cosine_hemisphere(u2)
+        pdf_d = warp.square_to_cosine_hemisphere_pdf(wo_d)
+        ok_d = ci > 0
+        put(
+            mt == MAT_DIFFUSE,
+            wo_d,
+            jnp.where(ok_d[..., None], p["reflectance"], 0.0),
+            jnp.where(ok_d, pdf_d, 0.0),
+        )
 
-    # --- roughdiffuse (Oren-Nayar): cosine sample, weight = f/pdf ----------
-    f_on, pdf_on = _roughdiffuse_ep(p, wi_l, wo_d)
-    put(
-        mt == MAT_ROUGHDIFFUSE,
-        wo_d,
-        jnp.where((ok_d & (pdf_on > 0))[..., None],
-                  f_on / jnp.maximum(pdf_on, 1e-30)[..., None], 0.0),
-        jnp.where(ok_d, pdf_on, 0.0),
-    )
+    if on(MAT_ROUGHDIFFUSE):
+        # --- roughdiffuse (Oren-Nayar): cosine sample, weight = f/pdf ----------
+        f_on, pdf_on = _roughdiffuse_ep(p, wi_l, wo_d)
+        put(
+            mt == MAT_ROUGHDIFFUSE,
+            wo_d,
+            jnp.where((ok_d & (pdf_on > 0))[..., None],
+                      f_on / jnp.maximum(pdf_on, 1e-30)[..., None], 0.0),
+            jnp.where(ok_d, pdf_on, 0.0),
+        )
 
-    # --- phong: diffuse/specular mixture (phong.cpp:sample) ----------------
-    e = p["exponent"]
-    refl_m = _reflect(wi_l)
-    cos_a = jnp.clip(u1, 1e-9, 1.0) ** (1.0 / (e + 1.0))
-    sin_a = jnp.sqrt(jnp.clip(1 - cos_a * cos_a, 0.0, 1.0))
-    phi_s = 2 * jnp.pi * u2b
-    # orthonormal frame around the mirror direction
-    up = jnp.where((jnp.abs(refl_m[..., 2]) < 0.999)[..., None],
-                   jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), refl_m.shape),
-                   jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0]), refl_m.shape))
-    sx = jnp.cross(up, refl_m)
-    sx = sx / jnp.maximum(
-        jnp.linalg.norm(sx, axis=-1, keepdims=True), 1e-12)
-    sy = jnp.cross(refl_m, sx)
-    wo_sp = (sx * (sin_a * jnp.cos(phi_s))[..., None]
-             + sy * (sin_a * jnp.sin(phi_s))[..., None]
-             + refl_m * cos_a[..., None])
-    pick_spec = u3 < p["spec_weight"]
-    wo_ph = jnp.where(pick_spec[..., None], wo_sp, wo_d)
-    f_ph, pdf_ph = _phong_ep(p, wi_l, wo_ph)
-    ok_ph = ok_d & (pdf_ph > 0) & (wo_ph[..., 2] > 0)
-    put(
-        mt == MAT_PHONG,
-        wo_ph,
-        jnp.where(ok_ph[..., None],
-                  f_ph / jnp.maximum(pdf_ph, 1e-30)[..., None], 0.0),
-        jnp.where(ok_ph, pdf_ph, 0.0),
-    )
+    if on(MAT_PHONG) or on(MAT_WARD):
+        # --- phong: diffuse/specular mixture (phong.cpp:sample) ----------------
+        e = p["exponent"]
+        refl_m = _reflect(wi_l)
+        cos_a = jnp.clip(u1, 1e-9, 1.0) ** (1.0 / (e + 1.0))
+        sin_a = jnp.sqrt(jnp.clip(1 - cos_a * cos_a, 0.0, 1.0))
+        phi_s = 2 * jnp.pi * u2b
+        # orthonormal frame around the mirror direction
+        up = jnp.where((jnp.abs(refl_m[..., 2]) < 0.999)[..., None],
+                       jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), refl_m.shape),
+                       jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0]), refl_m.shape))
+        sx = jnp.cross(up, refl_m)
+        sx = sx / jnp.maximum(
+            jnp.linalg.norm(sx, axis=-1, keepdims=True), 1e-12)
+        sy = jnp.cross(refl_m, sx)
+        wo_sp = (sx * (sin_a * jnp.cos(phi_s))[..., None]
+                 + sy * (sin_a * jnp.sin(phi_s))[..., None]
+                 + refl_m * cos_a[..., None])
+        pick_spec = u3 < p["spec_weight"]
+        wo_ph = jnp.where(pick_spec[..., None], wo_sp, wo_d)
+        f_ph, pdf_ph = _phong_ep(p, wi_l, wo_ph)
+        ok_ph = ok_d & (pdf_ph > 0) & (wo_ph[..., 2] > 0)
+        put(
+            mt == MAT_PHONG,
+            wo_ph,
+            jnp.where(ok_ph[..., None],
+                      f_ph / jnp.maximum(pdf_ph, 1e-30)[..., None], 0.0),
+            jnp.where(ok_ph, pdf_ph, 0.0),
+        )
 
-    # --- ward: diffuse/specular mixture with the Ward half-vector warp ------
-    au = jnp.maximum(p["alpha_u"], 1e-4)
-    av = jnp.maximum(p["alpha_v"], 1e-4)
-    phi_w = 2 * jnp.pi * u2b
-    hx = au * jnp.cos(phi_w)
-    hy = av * jnp.sin(phi_w)
-    inv_n = 1.0 / jnp.sqrt(jnp.maximum(hx * hx + hy * hy, 1e-20))
-    cph, sph = hx * inv_n, hy * inv_n
-    tan2_th = -jnp.log(jnp.clip(u1, 1e-9, 1.0)) / jnp.maximum(
-        (cph / au) ** 2 + (sph / av) ** 2, 1e-12)
-    cos_th = 1.0 / jnp.sqrt(1.0 + tan2_th)
-    sin_th = jnp.sqrt(jnp.clip(1.0 - cos_th**2, 0.0, 1.0))
-    h_w = jnp.stack([sin_th * cph, sin_th * sph, cos_th], -1)
-    wo_ws = _reflect_m(wi_l, h_w)
-    wo_w = jnp.where(pick_spec[..., None], wo_ws, wo_d)
-    f_w, pdf_w = _ward_ep(p, wi_l, wo_w)
-    ok_w = ok_d & (pdf_w > 0) & (wo_w[..., 2] > 0)
-    put(
-        mt == MAT_WARD,
-        wo_w,
-        jnp.where(ok_w[..., None],
-                  f_w / jnp.maximum(pdf_w, 1e-30)[..., None], 0.0),
-        jnp.where(ok_w, pdf_w, 0.0),
-    )
+    if on(MAT_WARD):
+        # --- ward: diffuse/specular mixture with the Ward half-vector warp ------
+        au = jnp.maximum(p["alpha_u"], 1e-4)
+        av = jnp.maximum(p["alpha_v"], 1e-4)
+        phi_w = 2 * jnp.pi * u2b
+        hx = au * jnp.cos(phi_w)
+        hy = av * jnp.sin(phi_w)
+        inv_n = 1.0 / jnp.sqrt(jnp.maximum(hx * hx + hy * hy, 1e-20))
+        cph, sph = hx * inv_n, hy * inv_n
+        tan2_th = -jnp.log(jnp.clip(u1, 1e-9, 1.0)) / jnp.maximum(
+            (cph / au) ** 2 + (sph / av) ** 2, 1e-12)
+        cos_th = 1.0 / jnp.sqrt(1.0 + tan2_th)
+        sin_th = jnp.sqrt(jnp.clip(1.0 - cos_th**2, 0.0, 1.0))
+        h_w = jnp.stack([sin_th * cph, sin_th * sph, cos_th], -1)
+        wo_ws = _reflect_m(wi_l, h_w)
+        wo_w = jnp.where(pick_spec[..., None], wo_ws, wo_d)
+        f_w, pdf_w = _ward_ep(p, wi_l, wo_w)
+        ok_w = ok_d & (pdf_w > 0) & (wo_w[..., 2] > 0)
+        put(
+            mt == MAT_WARD,
+            wo_w,
+            jnp.where(ok_w[..., None],
+                      f_w / jnp.maximum(pdf_w, 1e-30)[..., None], 0.0),
+            jnp.where(ok_w, pdf_w, 0.0),
+        )
 
-    # --- difftrans: cosine lobe on the opposite hemisphere ------------------
-    wo_dt = wo_d * jnp.asarray([1.0, 1.0, -1.0])
-    put(
-        mt == MAT_DIFFTRANS,
-        wo_dt,
-        jnp.where(ok_d[..., None], p["transmittance"], 0.0),
-        jnp.where(ok_d, pdf_d, 0.0),
-    )
+    if on(MAT_DIFFTRANS):
+        # --- difftrans: cosine lobe on the opposite hemisphere ------------------
+        wo_dt = wo_d * jnp.asarray([1.0, 1.0, -1.0])
+        put(
+            mt == MAT_DIFFTRANS,
+            wo_dt,
+            jnp.where(ok_d[..., None], p["transmittance"], 0.0),
+            jnp.where(ok_d, pdf_d, 0.0),
+        )
 
-    # --- conductor (delta) --------------------------------------------------
-    F_c = fresnel_conductor_exact(ci, p["eta"], p["k"])
-    put(
-        mt == MAT_CONDUCTOR,
-        _reflect(wi_l),
-        jnp.where((ci > 0)[..., None], p["specular"] * F_c, 0.0),
-        jnp.where(ci > 0, 1.0, 0.0),
-        jnp.ones(L, bool),
-    )
+    if on(MAT_CONDUCTOR):
+        # --- conductor (delta) --------------------------------------------------
+        F_c = fresnel_conductor_exact(ci, p["eta"], p["k"])
+        put(
+            mt == MAT_CONDUCTOR,
+            _reflect(wi_l),
+            jnp.where((ci > 0)[..., None], p["specular"] * F_c, 0.0),
+            jnp.where(ci > 0, 1.0, 0.0),
+            jnp.ones(L, bool),
+        )
 
-    # --- dielectric (two delta lobes) ---------------------------------------
-    F_d, cos_t = fresnel_dielectric_ext(ci, p["eta_rel"])
-    pick_refl = u1 <= F_d
-    scale = jnp.where(ci > 0, 1.0 / p["eta_rel"], p["eta_rel"])
-    wo_refr = jnp.stack(
-        [-scale * wi_l[..., 0], -scale * wi_l[..., 1], cos_t], -1
-    )
-    factor = jnp.where(ci > 0, 1.0 / p["eta_rel"], p["eta_rel"])
-    w_diel = jnp.where(
-        pick_refl[..., None],
-        p["specular"],
-        p["transmittance"] * (factor * factor)[..., None],
-    )
-    put(
-        mt == MAT_DIELECTRIC,
-        jnp.where(pick_refl[..., None], _reflect(wi_l), wo_refr),
-        w_diel,
-        jnp.where(pick_refl, F_d, 1.0 - F_d),
-        jnp.ones(L, bool),
-        jnp.where(pick_refl, 1.0, jnp.where(ci > 0, p["eta_rel"], 1.0 / p["eta_rel"])),
-    )
+    if on(MAT_DIELECTRIC):
+        # --- dielectric (two delta lobes) ---------------------------------------
+        F_d, cos_t = fresnel_dielectric_ext(ci, p["eta_rel"])
+        pick_refl = u1 <= F_d
+        scale = jnp.where(ci > 0, 1.0 / p["eta_rel"], p["eta_rel"])
+        wo_refr = jnp.stack(
+            [-scale * wi_l[..., 0], -scale * wi_l[..., 1], cos_t], -1
+        )
+        factor = jnp.where(ci > 0, 1.0 / p["eta_rel"], p["eta_rel"])
+        w_diel = jnp.where(
+            pick_refl[..., None],
+            p["specular"],
+            p["transmittance"] * (factor * factor)[..., None],
+        )
+        put(
+            mt == MAT_DIELECTRIC,
+            jnp.where(pick_refl[..., None], _reflect(wi_l), wo_refr),
+            w_diel,
+            jnp.where(pick_refl, F_d, 1.0 - F_d),
+            jnp.ones(L, bool),
+            jnp.where(pick_refl, 1.0, jnp.where(ci > 0, p["eta_rel"], 1.0 / p["eta_rel"])),
+        )
 
-    # --- thin dielectric (delta R/T, thindielectric.cpp) --------------------
-    R_t, _ = fresnel_dielectric_ext(jnp.abs(ci), p["eta_rel"])
-    R_t = jnp.where(R_t < 1.0, 2.0 * R_t / (1.0 + R_t), R_t)
-    pick_r = u1 <= R_t
-    put(
-        mt == MAT_THINDIELECTRIC,
-        jnp.where(pick_r[..., None], _reflect(wi_l), -wi_l),
-        jnp.where(pick_r[..., None], p["specular"], p["transmittance"]),
-        jnp.where(pick_r, R_t, 1.0 - R_t),
-        jnp.ones(L, bool),
-    )
+    if on(MAT_THINDIELECTRIC):
+        # --- thin dielectric (delta R/T, thindielectric.cpp) --------------------
+        R_t, _ = fresnel_dielectric_ext(jnp.abs(ci), p["eta_rel"])
+        R_t = jnp.where(R_t < 1.0, 2.0 * R_t / (1.0 + R_t), R_t)
+        pick_r = u1 <= R_t
+        put(
+            mt == MAT_THINDIELECTRIC,
+            jnp.where(pick_r[..., None], _reflect(wi_l), -wi_l),
+            jnp.where(pick_r[..., None], p["specular"], p["transmittance"]),
+            jnp.where(pick_r, R_t, 1.0 - R_t),
+            jnp.ones(L, bool),
+        )
 
-    # --- rough conductor -----------------------------------------------------
-    m_rc = MF.sample_visible(p["dist"], p["alpha_u"], p["alpha_v"], wi_l, u2)
-    wo_rc = _reflect_m(wi_l, m_rc)
-    f_rc, pdf_rc = _roughconductor_ep(p, wi_l, wo_rc)
-    ok_rc = (ci > 0) & (wo_rc[..., 2] > 0) & (pdf_rc > 0)
-    put(
-        mt == MAT_ROUGHCONDUCTOR,
-        wo_rc,
-        jnp.where(ok_rc[..., None], f_rc / jnp.maximum(pdf_rc, 1e-30)[..., None], 0.0),
-        jnp.where(ok_rc, pdf_rc, 0.0),
-    )
+    if on(MAT_ROUGHCONDUCTOR):
+        # --- rough conductor -----------------------------------------------------
+        m_rc = MF.sample_visible(p["dist"], p["alpha_u"], p["alpha_v"], wi_l, u2)
+        wo_rc = _reflect_m(wi_l, m_rc)
+        f_rc, pdf_rc = _roughconductor_ep(p, wi_l, wo_rc)
+        ok_rc = (ci > 0) & (wo_rc[..., 2] > 0) & (pdf_rc > 0)
+        put(
+            mt == MAT_ROUGHCONDUCTOR,
+            wo_rc,
+            jnp.where(ok_rc[..., None], f_rc / jnp.maximum(pdf_rc, 1e-30)[..., None], 0.0),
+            jnp.where(ok_rc, pdf_rc, 0.0),
+        )
 
-    # --- plastic (delta + diffuse) -------------------------------------------
-    Fi, _ = fresnel_dielectric_ext(ci, p["eta_rel"])
-    prob_sp = (Fi * p["spec_weight"]) / jnp.maximum(
-        Fi * p["spec_weight"] + (1 - Fi) * (1 - p["spec_weight"]), 1e-12
-    )
-    pick_sp = u1 < prob_sp
-    u_re = jnp.stack(
-        [jnp.clip((u1 - prob_sp) / jnp.maximum(1 - prob_sp, 1e-9), 0.0, 1.0 - 1e-7),
-         u2b], -1)
-    wo_pd = warp.square_to_cosine_hemisphere(u_re)
-    Fo, _ = fresnel_dielectric_ext(wo_pd[..., 2], p["eta_rel"])
-    diff = p["reflectance"]
-    fdr = p["fdr_int"][..., None]
-    diff = jnp.where(
-        p["nonlinear"][..., None], diff / (1 - diff * fdr), diff / (1 - fdr)
-    )
-    w_pd = diff * (
-        p["inv_eta2"] * (1 - Fi) * (1 - Fo) / jnp.maximum(1 - prob_sp, 1e-12)
-    )[..., None]
-    w_ps = p["specular"] * (Fi / jnp.maximum(prob_sp, 1e-12))[..., None]
-    ok_p = ci > 0
-    put(
-        mt == MAT_PLASTIC,
-        jnp.where(pick_sp[..., None], _reflect(wi_l), wo_pd),
-        jnp.where(
-            ok_p[..., None], jnp.where(pick_sp[..., None], w_ps, w_pd), 0.0
-        ),
-        jnp.where(
-            ok_p,
+    if on(MAT_PLASTIC):
+        # --- plastic (delta + diffuse) -------------------------------------------
+        Fi, _ = fresnel_dielectric_ext(ci, p["eta_rel"])
+        prob_sp = (Fi * p["spec_weight"]) / jnp.maximum(
+            Fi * p["spec_weight"] + (1 - Fi) * (1 - p["spec_weight"]), 1e-12
+        )
+        pick_sp = u1 < prob_sp
+        u_re = jnp.stack(
+            [jnp.clip((u1 - prob_sp) / jnp.maximum(1 - prob_sp, 1e-9), 0.0, 1.0 - 1e-7),
+             u2b], -1)
+        wo_pd = warp.square_to_cosine_hemisphere(u_re)
+        Fo, _ = fresnel_dielectric_ext(wo_pd[..., 2], p["eta_rel"])
+        diff = p["reflectance"]
+        fdr = p["fdr_int"][..., None]
+        diff = jnp.where(
+            p["nonlinear"][..., None], diff / (1 - diff * fdr), diff / (1 - fdr)
+        )
+        w_pd = diff * (
+            p["inv_eta2"] * (1 - Fi) * (1 - Fo) / jnp.maximum(1 - prob_sp, 1e-12)
+        )[..., None]
+        w_ps = p["specular"] * (Fi / jnp.maximum(prob_sp, 1e-12))[..., None]
+        ok_p = ci > 0
+        put(
+            mt == MAT_PLASTIC,
+            jnp.where(pick_sp[..., None], _reflect(wi_l), wo_pd),
             jnp.where(
-                pick_sp, prob_sp,
-                (1 - prob_sp) * warp.square_to_cosine_hemisphere_pdf(wo_pd),
+                ok_p[..., None], jnp.where(pick_sp[..., None], w_ps, w_pd), 0.0
             ),
-            0.0,
-        ),
-        pick_sp,
-    )
+            jnp.where(
+                ok_p,
+                jnp.where(
+                    pick_sp, prob_sp,
+                    (1 - prob_sp) * warp.square_to_cosine_hemisphere_pdf(wo_pd),
+                ),
+                0.0,
+            ),
+            pick_sp,
+        )
 
-    # --- rough plastic (glossy + diffuse) ------------------------------------
-    t12 = _rt_lookup(p, ci)
-    psp0 = 1.0 - t12
-    psp = (psp0 * p["spec_weight"]) / jnp.maximum(
-        psp0 * p["spec_weight"] + (1 - psp0) * (1 - p["spec_weight"]), 1e-12
-    )
-    pick_g = u2b < psp
-    u_g = jnp.stack(
-        [u1, jnp.clip(u2b / jnp.maximum(psp, 1e-9), 0.0, 1.0 - 1e-7)], -1
-    )
-    u_dd = jnp.stack(
-        [u1, jnp.clip((u2b - psp) / jnp.maximum(1 - psp, 1e-9), 0.0, 1.0 - 1e-7)],
-        -1,
-    )
-    alpha = p["alpha_u"]
-    m_rp = MF.sample_visible(p["dist"], alpha, alpha, wi_l, u_g)
-    wo_rp = jnp.where(
-        pick_g[..., None],
-        _reflect_m(wi_l, m_rp),
-        warp.square_to_cosine_hemisphere(u_dd),
-    )
-    f_rp, pdf_rp = _roughplastic_ep(p, wi_l, wo_rp)
-    ok_rp = (ci > 0) & (wo_rp[..., 2] > 0) & (pdf_rp > 0)
-    put(
-        mt == MAT_ROUGHPLASTIC,
-        wo_rp,
-        jnp.where(ok_rp[..., None], f_rp / jnp.maximum(pdf_rp, 1e-30)[..., None], 0.0),
-        jnp.where(ok_rp, pdf_rp, 0.0),
-    )
+    if on(MAT_ROUGHPLASTIC):
+        # --- rough plastic (glossy + diffuse) ------------------------------------
+        t12 = _rt_lookup(p, ci)
+        psp0 = 1.0 - t12
+        psp = (psp0 * p["spec_weight"]) / jnp.maximum(
+            psp0 * p["spec_weight"] + (1 - psp0) * (1 - p["spec_weight"]), 1e-12
+        )
+        pick_g = u2b < psp
+        u_g = jnp.stack(
+            [u1, jnp.clip(u2b / jnp.maximum(psp, 1e-9), 0.0, 1.0 - 1e-7)], -1
+        )
+        u_dd = jnp.stack(
+            [u1, jnp.clip((u2b - psp) / jnp.maximum(1 - psp, 1e-9), 0.0, 1.0 - 1e-7)],
+            -1,
+        )
+        alpha = p["alpha_u"]
+        m_rp = MF.sample_visible(p["dist"], alpha, alpha, wi_l, u_g)
+        wo_rp = jnp.where(
+            pick_g[..., None],
+            _reflect_m(wi_l, m_rp),
+            warp.square_to_cosine_hemisphere(u_dd),
+        )
+        f_rp, pdf_rp = _roughplastic_ep(p, wi_l, wo_rp)
+        ok_rp = (ci > 0) & (wo_rp[..., 2] > 0) & (pdf_rp > 0)
+        put(
+            mt == MAT_ROUGHPLASTIC,
+            wo_rp,
+            jnp.where(ok_rp[..., None], f_rp / jnp.maximum(pdf_rp, 1e-30)[..., None], 0.0),
+            jnp.where(ok_rp, pdf_rp, 0.0),
+        )
 
-    # --- rough dielectric -----------------------------------------------------
-    wi_f = _z(wi_l, jnp.sign(ci))
-    m_rd = MF.sample_visible(
-        p["dist"], p["alpha_u"], p["alpha_v"], wi_f, u2[..., :2]
-    )
-    # back to true frame: microfacet normal on wi's side
-    m_true = _z(m_rd, jnp.sign(ci))
-    F_rd, cos_t_rd = fresnel_dielectric_ext(jnp.sum(wi_l * m_true, -1), p["eta_rel"])
-    pick_r_rd = u3 <= F_rd  # independent lobe pick (roughdielectric.cpp)
-    wo_rd_r = _reflect_m(wi_l, m_true)
-    # refract about m_true
-    eta_ratio = jnp.where(cos_t_rd < 0, 1.0 / p["eta_rel"], p["eta_rel"])
-    dm = jnp.sum(wi_l * m_true, -1)
-    wo_rd_t = m_true * (dm * eta_ratio + cos_t_rd)[..., None] - wi_l * eta_ratio[..., None]
-    wo_rd = jnp.where(pick_r_rd[..., None], wo_rd_r, wo_rd_t)
-    side_ok = jnp.where(
-        pick_r_rd, wo_rd[..., 2] * ci > 0, wo_rd[..., 2] * ci < 0
-    )
-    f_rd, pdf_rd = _roughdielectric_ep(p, wi_l, wo_rd)
-    ok_rd = side_ok & (pdf_rd > 0) & (ci != 0)
-    eta_rd = jnp.where(
-        pick_r_rd, 1.0, jnp.where(ci > 0, p["eta_rel"], 1.0 / p["eta_rel"])
-    )
-    put(
-        mt == MAT_ROUGHDIELECTRIC,
-        wo_rd,
-        jnp.where(ok_rd[..., None], f_rd / jnp.maximum(pdf_rd, 1e-30)[..., None], 0.0),
-        jnp.where(ok_rd, pdf_rd, 0.0),
-        None,
-        eta_rd,
-    )
+    if on(MAT_ROUGHDIELECTRIC):
+        # --- rough dielectric -----------------------------------------------------
+        wi_f = _z(wi_l, jnp.sign(ci))
+        m_rd = MF.sample_visible(
+            p["dist"], p["alpha_u"], p["alpha_v"], wi_f, u2[..., :2]
+        )
+        # back to true frame: microfacet normal on wi's side
+        m_true = _z(m_rd, jnp.sign(ci))
+        F_rd, cos_t_rd = fresnel_dielectric_ext(jnp.sum(wi_l * m_true, -1), p["eta_rel"])
+        pick_r_rd = u3 <= F_rd  # independent lobe pick (roughdielectric.cpp)
+        wo_rd_r = _reflect_m(wi_l, m_true)
+        # refract about m_true
+        eta_ratio = jnp.where(cos_t_rd < 0, 1.0 / p["eta_rel"], p["eta_rel"])
+        dm = jnp.sum(wi_l * m_true, -1)
+        wo_rd_t = m_true * (dm * eta_ratio + cos_t_rd)[..., None] - wi_l * eta_ratio[..., None]
+        wo_rd = jnp.where(pick_r_rd[..., None], wo_rd_r, wo_rd_t)
+        side_ok = jnp.where(
+            pick_r_rd, wo_rd[..., 2] * ci > 0, wo_rd[..., 2] * ci < 0
+        )
+        f_rd, pdf_rd = _roughdielectric_ep(p, wi_l, wo_rd)
+        ok_rd = side_ok & (pdf_rd > 0) & (ci != 0)
+        eta_rd = jnp.where(
+            pick_r_rd, 1.0, jnp.where(ci > 0, p["eta_rel"], 1.0 / p["eta_rel"])
+        )
+        put(
+            mt == MAT_ROUGHDIELECTRIC,
+            wo_rd,
+            jnp.where(ok_rd[..., None], f_rd / jnp.maximum(pdf_rd, 1e-30)[..., None], 0.0),
+            jnp.where(ok_rd, pdf_rd, 0.0),
+            None,
+            eta_rd,
+        )
 
-    # --- null ----------------------------------------------------------------
-    put(
-        mt == MAT_NULL,
-        -wi_l,
-        jnp.ones_like(wi),
-        jnp.ones(L),
-        jnp.ones(L, bool),
-    )
+    if on(MAT_NULL):
+        # --- null ----------------------------------------------------------------
+        put(
+            mt == MAT_NULL,
+            -wi_l,
+            jnp.ones_like(wi),
+            jnp.ones(L),
+            jnp.ones(L, bool),
+        )
 
     # un-flip for twosided lanes
     wo = _z(wo, sign)

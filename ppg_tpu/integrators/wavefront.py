@@ -199,10 +199,15 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def fetch_hit(scene: DeviceScene, tri, bu, bv):
-    """One packed gather -> interpolated shading normal, geometric normal,
-    material id, emitter id, emitted radiance, interpolated uv."""
-    row = scene.shade[tri]
+def fetch_row(scene: DeviceScene, tri):
+    """One packed shade-row gather [L,30]."""
+    return scene.shade[tri]
+
+
+def decode_row(row, bu, bv):
+    """Decode a fetched shade row -> interpolated shading normal,
+    geometric normal, material id, emitter id, emitted radiance,
+    interpolated uv, medium id, uv tangents."""
     w0 = (1.0 - bu - bv)[..., None]
     sh_n = normalize(
         row[:, 0:3] * w0 + row[:, 3:6] * bu[..., None] + row[:, 6:9] * bv[..., None]
@@ -220,6 +225,10 @@ def fetch_hit(scene: DeviceScene, tri, bu, bv):
     dpdu = row[:, 24:27]
     dpdv = row[:, 27:30]
     return sh_n, geo_n, mid, eid, rad, uv, med, dpdu, dpdv
+
+
+def fetch_hit(scene: DeviceScene, tri, bu, bv):
+    return decode_row(fetch_row(scene, tri), bu, bv)
 
 
 def mi_weight(pdf_a, pdf_b):
@@ -344,6 +353,7 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
     carry = dict(
         active=hit,
         o=o, d=d,
+        row=fetch_row(scene, jnp.maximum(tri, 0)),
         tri=jnp.maximum(tri, 0), t=t, bu=bu, bv=bv,
         throughput=jnp.ones((L, 3), jnp.float32),
         eta=jnp.ones(L, jnp.float32),
@@ -369,7 +379,8 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
             med = jnp.full(L, -1, jnp.int32)
 
         p = o + carry["t"][..., None] * d
-        sh_n, geo_n, mid, _, _, uv, surf_med, dpdu, dpdv = fetch_hit(scene, tri, carry["bu"], carry["bv"])
+        sh_n, geo_n, mid, _, _, uv, surf_med, dpdu, dpdv = decode_row(
+            carry["row"], carry["bu"], carry["bv"])
         # flip geometric normal toward the incident side, as Mitsuba's
         # Intersection does via the shading frame side convention
         wi_dot_geo = -dot(geo_n, d)
@@ -448,11 +459,11 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
             return wo_t, w_t, pdf_t, delta_t, eta_t
 
         def eval_b(wi_l, wo_l):
-            f = B.eval_bsdf(params, wi_l, wo_l)
+            f = B.eval_bsdf(params, wi_l, wo_l, present=scene.mats.present)
             return f * f_scale if cfg.has_mask else f
 
         def pdf_b(wi_l, wo_l):
-            q = B.pdf_bsdf(params, wi_l, wo_l)
+            q = B.pdf_bsdf(params, wi_l, wo_l, present=scene.mats.present)
             return q * p_scale if cfg.has_mask else q
 
         s_ax, t_ax = build_frame(sh_n)
@@ -484,7 +495,7 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
                 [jnp.clip(u_bsdf[:, 0] / jnp.maximum(frac, 1e-9), 0.0, 1.0 - 1e-7),
                  u_bsdf[:, 1], u_bsdf[:, 2]], -1)
             wo_a, w_a, pdf_a, delta_a, eta_a = mask_sample(
-                *B.sample_bsdf(params, wi, ua), wi)
+                *B.sample_bsdf(params, wi, ua, present=scene.mats.present), wi)
             # branch b: sample the directional quadtree (one uniform per
             # level + 2 for the leaf cell, QuadTreeNode::sample :257-301)
             u_tree = draw(j, 1, (L, G.MAX_Q_DEPTH + 2))
@@ -521,7 +532,7 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
             dtree_pdf = jnp.where(use_guide_mix, dtree_pdf, 0.0)
         else:
             wo, bsdf_weight, bsdf_pdf, sampled_delta, eta_s = mask_sample(
-                *B.sample_bsdf(params, wi, u_bsdf), wi
+                *B.sample_bsdf(params, wi, u_bsdf, present=scene.mats.present), wi
             )
             wo_pdf = bsdf_pdf
             dtree_pdf = jnp.zeros(L)
@@ -622,7 +633,8 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
         hit2 = (tri2 >= 0) & act_c
         escaped = act_c & (tri2 < 0)
         tri2s = jnp.maximum(tri2, 0)
-        sh_n2, _, _, eid2, rad2, _, med_of_hit2, *_ = fetch_hit(scene, tri2s, bu2, bv2)
+        row2 = fetch_row(scene, tri2s)
+        sh_n2, _, _, eid2, rad2, _, med_of_hit2, *_ = decode_row(row2, bu2, bv2)
         em2 = jnp.where(hit2, eid2, -1)
         front2 = dot(sh_n2, -d2) > 0
         le2 = jnp.where((hit2 & (eid2 >= 0) & front2)[..., None], rad2, 0.0)
@@ -718,7 +730,7 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
         thr2 = thr2 / jnp.maximum(sp_eff, 1e-9)[..., None]
 
         new_carry = dict(
-            active=act_n, o=o2, d=d2, tri=tri2s,
+            active=act_n, o=o2, d=d2, row=row2, tri=tri2s,
             t=t_eff if cfg.has_media else t2, bu=bu2, bv=bv2,
             throughput=thr2, eta=eta2,
             med=med2, in_medium=is_med2,
