@@ -44,7 +44,26 @@ BRUTE_MAX = 1024  # below this many tris, gather-free brute force wins
 
 LEAF_BIT = np.int32(1 << 30)
 IDX_MASK = np.int32((1 << 30) - 1)
-STACK_DEPTH = 24  # BVH8 depth ~ceil(62/3) + margin; one group entry/level
+
+
+def _bvh8_depth(rows):
+    """Exact internal-node depth of the BVH8 via a vectorized BFS.
+    The traversal pushes at most one pending-group entry per internal
+    level, so the group stack must hold `depth` entries; an undersized
+    stack silently drops groups (observed as mass ray misses)."""
+    if rows.shape[0] == 1:
+        return 1  # root is a single leaf row (tri data, no child infos)
+    infos = rows[:, 48:56].view(np.int32)
+    frontier = np.array([0], np.int64)
+    depth = 0
+    while len(frontier):
+        depth += 1
+        ch = infos[frontier].reshape(-1)
+        ch = ch[(ch != 0) & ((ch & int(LEAF_BIT)) == 0)]
+        frontier = (ch & int(IDX_MASK)).astype(np.int64)
+        if depth > 4096:
+            raise RuntimeError("BVH8 depth runaway (cyclic links?)")
+    return depth
 
 
 class GeometryArrays:
@@ -61,17 +80,19 @@ class GeometryArrays:
     perm  [T]    i32 : packed row -> original face index
     """
 
-    def __init__(self, tri, rows, perm):
+    def __init__(self, tri, rows, perm, stack_depth=32):
         self.tri = tri
         self.rows = rows
         self.perm = perm
+        # static traversal stack size (pytree aux): exact BVH8 depth + slack
+        self.stack_depth = int(stack_depth)
 
     def tree_flatten(self):
-        return (self.tri, self.rows, self.perm), None
+        return (self.tri, self.rows, self.perm), self.stack_depth
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        return cls(*children, stack_depth=aux)
 
     @property
     def num_tris(self):
@@ -101,10 +122,14 @@ def build_geometry(positions, faces) -> GeometryArrays:
         tri[:T, 3:6] = v[:, 1] - v[:, 0]
         tri[:T, 6:9] = v[:, 2] - v[:, 0]
 
+    rows = np.asarray(bvh["rows"], np.float32)
+    # round up to multiples of 8 to bound recompiles across scenes
+    depth = ((_bvh8_depth(rows) + 2 + 7) // 8) * 8
     return GeometryArrays(
         jnp.asarray(tri),
-        jnp.asarray(bvh["rows"]),
+        jnp.asarray(rows),
         jnp.asarray(perm.astype(np.int32)),
+        stack_depth=depth,
     )
 
 
@@ -196,14 +221,17 @@ def bvh_closest(geom: GeometryArrays, o, d, t_min, t_max, stop_on_hit=False):
       pop   — one-hot read of the group stack top; popped groups are
               re-slab-tested against the tightened best_t, so far
               children prune for free.
-    The per-lane stack is [L, STACK_DEPTH] i32 updated with one-hot
-    selects (cheap vector ops, no scatter).
+    The per-lane stack is [L, stack_depth] i32 (exact tree depth,
+    computed at build) updated with one-hot selects - vector ops, no
+    scatter. An undersized stack silently drops pending groups and loses
+    hits, so the depth is measured, never guessed.
     """
     L = o.shape[0]
     ox, oy, oz = _components(o)
     dx, dy, dz = _components(d)
     ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (L, STACK_DEPTH), 1)
+    SD = geom.stack_depth
+    iota = jax.lax.broadcasted_iota(jnp.int32, (L, SD), 1)
 
     def cond(state):
         return jnp.any(state["cur"] >= 0) & (state["it"] < MAX_STEPS)
@@ -219,21 +247,28 @@ def bvh_closest(geom: GeometryArrays, o, d, t_min, t_max, stop_on_hit=False):
         limit = jnp.minimum(best_t, t_max)
 
         # --- leaf phase: up to 6 woop triangles in this row ----------------
+        # Leaf inputs MUST be zeroed for non-leaf lanes: the intersection
+        # math on internal-row floats produces NaN/inf, and the XLA TPU
+        # backend MISCOMPILES the fused `where(take, tt, best_t)` chain
+        # when the unselected branch is NaN (observed: corrupted best_t ->
+        # mass ray misses under jit; correct eagerly and on CPU). Zeroed
+        # rows give det = 0 -> take = False with all-finite intermediates.
         lf = active & leaf
-        cnt = _i32(row[:, 54])
-        base = _i32(row[:, 55])
+        lrow = jnp.where(lf[:, None], row, 0.0)
+        cnt = _i32(lrow[:, 54])
+        base = _i32(lrow[:, 55])
         for k in range(6):
             c = 9 * k
-            e1x, e1y, e1z = row[:, c + 3], row[:, c + 4], row[:, c + 5]
-            e2x, e2y, e2z = row[:, c + 6], row[:, c + 7], row[:, c + 8]
+            e1x, e1y, e1z = lrow[:, c + 3], lrow[:, c + 4], lrow[:, c + 5]
+            e2x, e2y, e2z = lrow[:, c + 6], lrow[:, c + 7], lrow[:, c + 8]
             pvx = dy * e2z - dz * e2y
             pvy = dz * e2x - dx * e2z
             pvz = dx * e2y - dy * e2x
             det = e1x * pvx + e1y * pvy + e1z * pvz
             inv = jnp.where(jnp.abs(det) < 1e-12, 0.0, 1.0 / det)
-            tvx = ox - row[:, c + 0]
-            tvy = oy - row[:, c + 1]
-            tvz = oz - row[:, c + 2]
+            tvx = ox - lrow[:, c + 0]
+            tvy = oy - lrow[:, c + 1]
+            tvz = oz - lrow[:, c + 2]
             uu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
             qvx = tvy * e1z - tvz * e1y
             qvy = tvz * e1x - tvx * e1z
@@ -326,7 +361,7 @@ def bvh_closest(geom: GeometryArrays, o, d, t_min, t_max, stop_on_hit=False):
         cur=jnp.zeros(L, jnp.int32),
         leaf=jnp.zeros(L, bool),
         pend=jnp.zeros(L, jnp.int32),
-        stack=jnp.zeros((L, STACK_DEPTH), jnp.int32),
+        stack=jnp.zeros((L, SD), jnp.int32),
         sp=jnp.zeros(L, jnp.int32),
         best_t=jnp.full(L, INF),
         best_i=jnp.full(L, -1, jnp.int32),

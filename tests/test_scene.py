@@ -96,3 +96,32 @@ def test_defaults_substitution(tmp_path):
     sc = load_scene(str(p), defaults={"depth": 7})
     assert sc.integrator["maxDepth"] == 7
     assert sc.film["width"] == 64
+
+
+def test_bvh8_from_inside_sphere_jitted():
+    """Regression: rays cast from inside a tessellated sphere must hit it
+    under jit. The XLA TPU backend miscompiled the fused leaf-triangle
+    where-chain when non-leaf lanes fed NaN intermediates (mass misses);
+    leaf inputs are now sanitized per lane."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ppg_tpu.accel import traverse as TR
+    from ppg_tpu.scene.shapes import make_sphere
+
+    mesh = make_sphere(np.zeros(3), 100.0)
+    geom = TR.build_geometry(mesh.positions, mesh.faces)
+    rng = np.random.default_rng(3)
+    L = 256
+    dirs = rng.normal(size=(L, 3))
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    o = jnp.zeros((L, 3))
+    d = jnp.asarray(dirs, jnp.float32)
+    tmin = jnp.zeros(L)
+    tmax = jnp.full(L, 1e9)
+    oi, ot, _, _ = jax.jit(TR.bvh_closest)(geom, o, d, tmin, tmax)
+    oi = np.asarray(oi)
+    ot = np.asarray(ot)
+    assert (oi >= 0).all(), f"missed {int((oi < 0).sum())}/{L} from inside"
+    assert np.allclose(ot, 100.0, atol=0.5)
