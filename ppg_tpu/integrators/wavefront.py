@@ -160,7 +160,8 @@ class DeviceScene:
 
         if sc.textures is not None and sc.textures.specs:
             tex = TextureAtlas.build(
-                [s.props for s in sc.textures.specs], sc.textures.scene_xml.dir
+                [dict(s.props, _otype=s.otype) for s in sc.textures.specs],
+                sc.textures.scene_xml.dir
             )
         else:
             tex = TextureAtlas.empty()

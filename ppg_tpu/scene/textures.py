@@ -27,6 +27,31 @@ def _srgb_to_linear(x):
     return np.where(x <= 0.04045, x / 12.92, ((x + 0.055) / 1.055) ** 2.4)
 
 
+def rasterize_procedural(otype, p, res=128):
+    """checkerboard.cpp: 2x2 tiles of color0/color1 per uv unit;
+    gridtexture.cpp: color1 lines of lineWidth on a color0 field."""
+    def rgb(v, default):
+        if v is None:
+            return np.full(3, default, np.float32)
+        a = np.asarray(getattr(v, "rgb", v), np.float64).reshape(-1)
+        return (np.full(3, float(a[0])) if a.size == 1 else a[:3]).astype(
+            np.float32)
+
+    c0 = rgb(p.get("color0"), 0.4)
+    c1 = rgb(p.get("color1"), 0.2)
+    u = (np.arange(res) + 0.5) / res
+    uu, vv = np.meshgrid(u, u)
+    if otype == "checkerboard":
+        mask = ((uu * 2).astype(int) + (vv * 2).astype(int)) % 2 == 0
+    else:
+        lw = float(p.get("lineWidth", 0.01))
+        fu = uu - np.floor(uu)
+        fv = vv - np.floor(vv)
+        mask = ~((np.minimum(fu, 1 - fu) < lw) | (np.minimum(fv, 1 - fv) < lw))
+    img = np.where(mask[..., None], c0[None, None], c1[None, None])
+    return img.astype(np.float32)
+
+
 def load_texture(path, gamma=0.0):
     """Decode an image file to linear float32 RGB [H, W, 3]."""
     ext = os.path.splitext(path)[1].lower()
@@ -69,11 +94,22 @@ class TextureAtlas:
 
     @classmethod
     def build(cls, specs, scene_dir):
-        """specs: list of texture Properties dicts ({filename, gamma,
-        uscale, vscale, uoffset, voffset})."""
+        """specs: list of texture Properties dicts ({type, filename, gamma,
+        uscale, vscale, uoffset, voffset, color0/color1/lineWidth}).
+        Procedural textures (checkerboard / gridtexture — the reference's
+        src/textures/{checkerboard,gridtexture}.cpp) rasterize into the
+        atlas at build time, so the device path is uniform."""
         imgs = [np.ones((1, 1, 3), np.float32)]  # dummy slot 0
         uvx = [np.array([1.0, 1.0, 0.0, 0.0], np.float32)]
         for p in specs:
+            otype = p.get("_otype", "bitmap")
+            if otype in ("checkerboard", "gridtexture"):
+                imgs.append(rasterize_procedural(otype, p))
+                uvx.append(np.array([
+                    float(p.get("uscale", 1.0)), float(p.get("vscale", 1.0)),
+                    float(p.get("uoffset", 0.0)), float(p.get("voffset", 0.0)),
+                ], np.float32))
+                continue
             fn = p.get("filename", "")
             path = fn if os.path.isabs(fn) else os.path.join(scene_dir, fn)
             imgs.append(load_texture(path, float(p.get("gamma", 0.0))))
