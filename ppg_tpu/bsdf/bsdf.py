@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from ..core import warp
 from ..scene.scene import (
     MAT_NAMES,
+    MAT_BLEND,
     MAT_CONDUCTOR,
     MAT_DIELECTRIC,
     MAT_DIFFTRANS,
@@ -58,6 +59,7 @@ SMOOTH_TYPES = (
     MAT_PHONG,
     MAT_WARD,
     MAT_DIFFTRANS,
+    MAT_BLEND,
 )
 # delta-only families: guiding bypassed (guided_path.cpp:1654)
 DELTA_TYPES = (MAT_CONDUCTOR, MAT_DIELECTRIC, MAT_THINDIELECTRIC)
@@ -109,9 +111,11 @@ class MaterialArrays:
         "tex_opacity": (34, 1, "i"),
         "tex_bump": (35, 1, "i"),
         "bump_is_normal": (36, 1, "b"),
-        "rt_ext": (37, RT_BINS, "tab"),
+        "nested2": (37, 1, "i"),
+        "blend_w": (38, 1, "f"),
+        "rt_ext": (39, RT_BINS, "tab"),
     }
-    WIDTH = 37 + RT_BINS
+    WIDTH = 39 + RT_BINS
 
     def __init__(self, packed, present=None):
         self.packed = packed

@@ -46,6 +46,10 @@ def make_config(sc, **overrides) -> PTConfig:
             sc.materials is not None
             and np.any(np.asarray(sc.materials.tex_bump) >= 0)
         ),
+        has_blend=bool(
+            sc.materials is not None
+            and np.any(np.asarray(sc.materials.nested2) >= 0)
+        ),
         sampler=str(sc.sampler.get("type", "independent")),
     )
     kw.update(overrides)

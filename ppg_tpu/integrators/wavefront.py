@@ -29,7 +29,7 @@ from ..core.vecmath import build_frame, dot, normalize, to_local, to_world
 from ..emitters import area as E
 from ..emitters import delta as DE
 from ..emitters import envmap as EV
-from ..scene.scene import MAT_MASK
+from ..scene.scene import MAT_BLEND, MAT_MASK
 from ..scene.textures import TextureAtlas, sample_atlas
 
 SHADOW_EPS = 1e-3  # relative end offset, mirrors Mitsuba's ShadowEpsilon
@@ -58,6 +58,7 @@ class PTConfig:
     has_mask: bool = False  # scene has mask (opacity) BSDFs
     has_media: bool = False  # scene has participating media
     has_bump: bool = False  # scene has bump/normal-mapped materials
+    has_blend: bool = False  # scene has blendbsdf/mixturebsdf materials
     sampler: str = "independent"  # sampler plugin type (render/samplers.py)
 
     @property
@@ -246,7 +247,7 @@ def _rand(key, j, tag, shape):
 # (bsdf 0-2, guiding-tree 3-24, nee 25-26, rr 27, mask 28,
 #  medium-distance 29-30, phase 31-32)
 DIM_BLOCK = 36
-_TAG_DIM = {0: 0, 1: 3, 2: 25, 3: 27, 7: 28, 8: 29, 9: 31}
+_TAG_DIM = {0: 0, 1: 3, 2: 25, 3: 27, 7: 28, 8: 29, 9: 31, 10: 33}
 
 
 def _sample_emitters(scene: DeviceScene, cfg: PTConfig, p, ref_n, u_nee):
@@ -459,13 +460,68 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
             eta_t = jnp.where(pass_thru, 1.0, eta_t)
             return wo_t, w_t, pdf_t, delta_t, eta_t
 
+        # -- blendbsdf / mixturebsdf: stochastic child pick for sampling,
+        #    exact mixture for eval/pdf (src/bsdfs/{blendbsdf,mixturebsdf}.cpp;
+        #    smooth children only in this round) ---------------------------
+        if cfg.has_blend:
+            is_blend = params["mtype"] == MAT_BLEND
+            w_bl = params["blend_w"]
+            mid_a = jnp.where(is_blend, jnp.maximum(params["nested"], 0), mid)
+            mid_b = jnp.where(is_blend, jnp.maximum(params["nested2"], 0), mid)
+            params_a = tex_override(B.gather_params(scene.mats, mid_a))
+            params_b = tex_override(B.gather_params(scene.mats, mid_b))
+            u_bl = draw(j, 10, (L,))
+            pick_b2 = is_blend & (u_bl < w_bl)
+            # sampling uses the picked child's params
+            params = jax.tree.map(
+                lambda pa, pb, pr: jnp.where(
+                    pick_b2.reshape(pick_b2.shape + (1,) * (pa.ndim - 1)), pb,
+                    jnp.where(
+                        is_blend.reshape(is_blend.shape + (1,) * (pa.ndim - 1)),
+                        pa, pr)),
+                params_a, params_b, params)
+            sm_a, do_a, _, tr_a = B.lane_flags(params_a)
+            sm_b, do_b, _, tr_b = B.lane_flags(params_b)
+            smooth = jnp.where(is_blend, sm_a | sm_b, smooth)
+            delta_only = jnp.where(is_blend, do_a & do_b, delta_only)
+            transmissive = jnp.where(is_blend, tr_a | tr_b, transmissive)
+        else:
+            is_blend = None
+
         def eval_b(wi_l, wo_l):
             f = B.eval_bsdf(params, wi_l, wo_l, present=scene.mats.present)
+            if cfg.has_blend:
+                fa = B.eval_bsdf(params_a, wi_l, wo_l,
+                                 present=scene.mats.present)
+                fb = B.eval_bsdf(params_b, wi_l, wo_l,
+                                 present=scene.mats.present)
+                fmix = (1 - w_bl)[..., None] * fa + w_bl[..., None] * fb
+                f = jnp.where(is_blend[..., None], fmix, f)
             return f * f_scale if cfg.has_mask else f
 
         def pdf_b(wi_l, wo_l):
             q = B.pdf_bsdf(params, wi_l, wo_l, present=scene.mats.present)
+            if cfg.has_blend:
+                qa = B.pdf_bsdf(params_a, wi_l, wo_l,
+                                present=scene.mats.present)
+                qb = B.pdf_bsdf(params_b, wi_l, wo_l,
+                                present=scene.mats.present)
+                q = jnp.where(is_blend, (1 - w_bl) * qa + w_bl * qb, q)
             return q * p_scale if cfg.has_mask else q
+
+        def blend_fix(wo_t, w_t, pdf_t, wi_local):
+            """Replace the picked-child importance weight with the exact
+            mixture weight f_mix/pdf_mix for blend lanes."""
+            if not cfg.has_blend:
+                return w_t, pdf_t
+            fmix = eval_b(wi_local, wo_t)
+            pmix = pdf_b(wi_local, wo_t)
+            w_mix = jnp.where(
+                pmix[..., None] > 0,
+                fmix / jnp.maximum(pmix, 1e-38)[..., None], 0.0)
+            w_t = jnp.where(is_blend[..., None], w_mix, w_t)
+            pdf_t = jnp.where(is_blend, pmix, pdf_t)
+            return w_t, pdf_t
 
         s_ax, t_ax = build_frame(sh_n)
         wi = to_local(s_ax, t_ax, sh_n, -d)
@@ -497,6 +553,8 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
                  u_bsdf[:, 1], u_bsdf[:, 2]], -1)
             wo_a, w_a, pdf_a, delta_a, eta_a = mask_sample(
                 *B.sample_bsdf(params, wi, ua, present=scene.mats.present), wi)
+            if cfg.has_blend:
+                w_a, pdf_a = blend_fix(wo_a, w_a, pdf_a, wi)
             # branch b: sample the directional quadtree (one uniform per
             # level + 2 for the leaf cell, QuadTreeNode::sample :257-301)
             u_tree = draw(j, 1, (L, G.MAX_Q_DEPTH + 2))
@@ -535,6 +593,8 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
             wo, bsdf_weight, bsdf_pdf, sampled_delta, eta_s = mask_sample(
                 *B.sample_bsdf(params, wi, u_bsdf, present=scene.mats.present), wi
             )
+            if cfg.has_blend:
+                bsdf_weight, bsdf_pdf = blend_fix(wo, bsdf_weight, bsdf_pdf, wi)
             wo_pdf = bsdf_pdf
             dtree_pdf = jnp.zeros(L)
             wo_world = to_world(s_ax, t_ax, sh_n, wo)

@@ -32,6 +32,7 @@ MAT_PHONG = 10
 MAT_ROUGHDIFFUSE = 11
 MAT_WARD = 12
 MAT_DIFFTRANS = 13
+MAT_BLEND = 14
 
 MAT_NAMES = {
     "diffuse": MAT_DIFFUSE,
@@ -48,6 +49,8 @@ MAT_NAMES = {
     "roughdiffuse": MAT_ROUGHDIFFUSE,
     "ward": MAT_WARD,
     "difftrans": MAT_DIFFTRANS,
+    "blendbsdf": MAT_BLEND,
+    "mixturebsdf": MAT_BLEND,
 }
 
 DIST_BECKMANN = 0
@@ -107,6 +110,8 @@ class MaterialTable:
     tex_bump: np.ndarray
     exponent: np.ndarray  # phong
     bump_is_normal: np.ndarray = None  # tex_bump holds a normal map
+    nested2: np.ndarray = None  # second child (blend/mixture), -1 otherwise
+    blend_w: np.ndarray = None  # probability of child 2
     # derived quantities (filled by _derive): relative IOR, 1/eta^2,
     # smooth-plastic internal diffuse Fresnel reflectance, specular sampling
     # weight, rough transmittance table + its internal diffuse average
@@ -125,7 +130,7 @@ class MaterialTable:
         zb = np.zeros((0,), bool)
         return MaterialTable(
             zi, zb, z3, z3, z3, z3, z3, z, z, z, z, zi, zb, z3, zi, zi, zi, zi,
-            zi, z, zb, z, z, z, z, np.zeros((0, 64)), z
+            zi, z, zb, zi, z, z, z, z, z, np.zeros((0, 64)), z
         )
 
 
@@ -142,6 +147,34 @@ class MaterialBuilder:
         row = self._build(spec, twosided=False)
         self.cache[key] = row
         return row
+
+    @staticmethod
+    def _defaults():
+        return dict(
+            mtype=MAT_DIFFUSE,
+            twosided=False,
+            reflectance=np.full(3, 0.5),
+            specular=np.ones(3),
+            transmittance=np.ones(3),
+            eta=np.zeros(3),
+            k=np.ones(3),
+            int_ior=1.5046,
+            ext_ior=1.000277,
+            alpha_u=0.1,
+            alpha_v=0.1,
+            dist=DIST_BECKMANN,
+            nonlinear=False,
+            opacity=np.full(3, 0.5),
+            nested=-1,
+            tex_reflectance=-1,
+            tex_opacity=-1,
+            tex_alpha=-1,
+            tex_bump=-1,
+            exponent=30.0,
+            bump_is_normal=False,
+            nested2=-1,
+            blend_w=0.5,
+        )
 
     def _texture(self, props, name):
         v = props.get(name)
@@ -170,29 +203,27 @@ class MaterialBuilder:
             self.rows.append(row)
             return len(self.rows) - 1
 
-        d = dict(
-            mtype=MAT_NAMES.get(spec.otype),
-            twosided=twosided,
-            reflectance=np.full(3, 0.5),
-            specular=np.ones(3),
-            transmittance=np.ones(3),
-            eta=np.zeros(3),
-            k=np.ones(3),
-            int_ior=1.5046,
-            ext_ior=1.000277,
-            alpha_u=0.1,
-            alpha_v=0.1,
-            dist=DIST_BECKMANN,
-            nonlinear=False,
-            opacity=np.full(3, 0.5),
-            nested=-1,
-            tex_reflectance=-1,
-            tex_opacity=-1,
-            tex_alpha=-1,
-            tex_bump=-1,
-            exponent=30.0,
-            bump_is_normal=False,
-        )
+        if spec.otype in ("blendbsdf", "mixturebsdf"):
+            kids = [c for c in spec.children if c.cls == "bsdf"]
+            if len(kids) != 2:
+                raise NotImplementedError(
+                    f"{spec.otype} supports exactly 2 nested BSDFs here "
+                    f"(got {len(kids)}); nest blends for more")
+            if spec.otype == "blendbsdf":
+                w = float(spec.props.get("weight", 0.5))
+            else:
+                ws = [float(x) for x in
+                      str(spec.props.get("weights", "0.5, 0.5")).split(",")]
+                w = ws[1] / max(ws[0] + ws[1], 1e-9)
+            r0 = self._build(kids[0], twosided=twosided)
+            r1 = self._build(kids[1], twosided=twosided)
+            row = dict(self._defaults(), mtype=MAT_BLEND, twosided=twosided,
+                       nested=r0, nested2=r1, blend_w=w)
+            self.rows.append(row)
+            return len(self.rows) - 1
+
+        d = dict(self._defaults(), mtype=MAT_NAMES.get(spec.otype),
+                 twosided=twosided)
         if d["mtype"] is None:
             raise NotImplementedError(f"bsdf type {spec.otype!r}")
 
@@ -306,6 +337,8 @@ class MaterialBuilder:
             tex_bump=col("tex_bump", np.int32),
             exponent=col("exponent"),
             bump_is_normal=col("bump_is_normal", bool),
+            nested2=col("nested2", np.int32),
+            blend_w=col("blend_w"),
         )
 
 
