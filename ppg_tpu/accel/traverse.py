@@ -23,8 +23,9 @@ TPU-first data layout rules applied here:
     a leaf row embeds up to 6 woop triangles, so a leaf costs one
     iteration total.
   * The traversal stack stores one compressed (node << 8 | pending-mask)
-    entry per level in a [L, STACK_DEPTH] i32 array updated with
-    one-hot selects — vector ops, no scatter, no pointer chasing.
+    entry per level in a [L, stack_depth] i32 array (depth measured at
+    build) updated with one-hot selects — vector ops, no scatter, no
+    pointer chasing.
 
 A brute-force path handles small scenes (scan over triangles with scalar
 broadcasts — zero gathers) and doubles as the testing referee, mirroring

@@ -71,11 +71,12 @@ class PTConfig:
 class DeviceScene:
     """All per-scene device arrays consumed by the tracer (pytree).
 
-    Per-triangle shading data is PACKED into one [T, 23] f32 row in BVH
+    Per-triangle shading data is PACKED into one [T, 30] f32 row in BVH
     leaf order (see accel.traverse): n0(3) n1(3) n2(3) geo_n(3)
-    bitcast(mat) bitcast(emitter) radiance(3) uv0(2) uv1(2) uv2(2) — one
-    gather per hit replaces many (TPU gather cost is per-op, not
-    per-byte).
+    bitcast(mat) bitcast(emitter) radiance(3) uv0(2) uv1(2) uv2(2)
+    bitcast(medium) dpdu(3) dpdv(3) — one gather per hit replaces many
+    (TPU gather cost is per-op, not per-byte), and the row is CARRIED
+    across bounces so each bounce pays a single new gather.
     """
 
     FIELDS = ("geom", "mats", "emitters", "shade", "eps", "env", "tex",
