@@ -40,6 +40,10 @@ def main(argv=None):
                     help="override integrator type (path / guided_path)")
     ap.add_argument("--dump-sdtree", action="store_true",
                     help="dump per-iteration .sdt snapshots")
+    ap.add_argument("-p", dest="devices", type=int, default=1,
+                    help="device-mesh size: the reference's worker-count "
+                         "flag maps to data-parallel chips (shard_map + "
+                         "psum over ICI). 1 = single chip")
     args = ap.parse_args(argv)
 
     from .utils.logging import log, set_level
@@ -83,12 +87,47 @@ def main(argv=None):
             md = 2 if itype == "direct" else None
             cfg = make_config(sc, guiding=False,
                               **({"max_depth": md} if md else {}))
-            img = render(sc, spp=spp, seed=args.seed, chunk=args.chunk, cfg=cfg)
+            if args.devices > 1:
+                img = _render_sharded(sc, cfg, spp, args)
+            else:
+                img = render(sc, spp=spp, seed=args.seed, chunk=args.chunk,
+                             cfg=cfg)
         else:
             raise SystemExit(f"unsupported integrator {itype!r}")
 
         exr.write(out, np.asarray(img, np.float32))
         log(f"wrote {out}")
+
+
+def _render_sharded(sc, cfg, spp, args):
+    """Data-parallel render over a device mesh (BlockedRenderProcess
+    analog: pixel blocks sharded across chips, film psum over ICI)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .guiding.host import HostSDTree
+    from .integrators.wavefront import DeviceScene
+    from .parallel.mesh import make_mesh, sharded_render_pass
+    from .render.film import Film
+    from .render.sensor import PerspectiveSensor
+
+    dev = DeviceScene.from_scene(sc)
+    sensor = PerspectiveSensor(sc.sensor, sc.film)
+    W, H = sc.film["width"], sc.film["height"]
+    film = Film(W, H, sc.film.get("rfilter", "box"))
+    mesh = make_mesh(args.devices)
+    sdt = HostSDTree(sc.aabb_min, sc.aabb_max).push()
+    chunk = (W * H + args.devices - 1) // args.devices
+    rgb_acc = wsum_acc = None
+    for s in range(spp):
+        key = jax.random.fold_in(jax.random.key(args.seed), s)
+        rgb, wsum, _ = sharded_render_pass(
+            mesh, dev, cfg, sensor, film, sdt, key, chunk)
+        rgb_acc = rgb if rgb_acc is None else rgb_acc + rgb
+        wsum_acc = wsum if wsum_acc is None else wsum_acc + wsum
+    import numpy as np
+
+    return np.asarray(rgb_acc / jnp.maximum(wsum_acc, 1e-20)[..., None])
 
 
 if __name__ == "__main__":
