@@ -652,8 +652,9 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
             from ..accel.traverse import any_hit
 
             occluded = any_hit(
-                scene.geom, so, ds["d"],
-                jnp.full(L, 0.0), ds["dist"] * (1 - SHADOW_EPS) - scene.eps,
+                scene.geom, so, ds["d"], jnp.full(L, 0.0),
+                jnp.where(nee_ok,
+                          ds["dist"] * (1 - SHADOW_EPS) - scene.eps, -1.0),
             )
             nee_ok = nee_ok & ~occluded
             # delta emitters sample in the discrete measure: no heuristic
@@ -689,8 +690,13 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
             o2 = jnp.where(in_med[..., None], p, o2)
         d2 = wo_world
 
+        # inactive lanes park immediately in the traversal (t_max < t_min)
+        # instead of walking the BVH with stale/degenerate rays — the
+        # while-loop runs to the WORST lane, so garbage lanes dominated
+        # deep-bounce wavefronts on big scenes
         tri2, t2, bu2, bv2 = closest_hit(
-            scene.geom, o2, d2, jnp.zeros(L), jnp.full(L, 3.4e38)
+            scene.geom, o2, d2, jnp.zeros(L),
+            jnp.where(act_c, 3.4e38, -1.0)
         )
         hit2 = (tri2 >= 0) & act_c
         escaped = act_c & (tri2 < 0)
