@@ -58,8 +58,11 @@ def fresnel_diffuse_reflectance(eta):
     s = 1.0 / eta
     cos_t2 = 1.0 - (1.0 - mu * mu) * s * s
     ct = np.sqrt(np.maximum(cos_t2, 0.0))
-    rs = (mu - eta * ct) / (mu + eta * ct)
-    rp = (eta * mu - ct) / (eta * mu + ct)
+    # mu = 0 makes both denominators 0 for TIR-free angles; the value is
+    # replaced by the TIR branch below, so just keep the math warning-free
+    with np.errstate(invalid="ignore", divide="ignore"):
+        rs = (mu - eta * ct) / (mu + eta * ct)
+        rp = (eta * mu - ct) / (eta * mu + ct)
     F = np.where(cos_t2 <= 0, 1.0, 0.5 * (rs * rs + rp * rp))
     integrand = 2.0 * mu * F
     return float(np.trapezoid(integrand, mu))
