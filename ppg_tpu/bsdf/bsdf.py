@@ -27,14 +27,17 @@ from ..core import warp
 from ..scene.scene import (
     MAT_NAMES,
     MAT_BLEND,
+    MAT_COATING,
     MAT_CONDUCTOR,
     MAT_DIELECTRIC,
     MAT_DIFFTRANS,
     MAT_DIFFUSE,
+    MAT_HK,
     MAT_MASK,
     MAT_NULL,
     MAT_PHONG,
     MAT_PLASTIC,
+    MAT_ROUGHCOATING,
     MAT_ROUGHCONDUCTOR,
     MAT_ROUGHDIELECTRIC,
     MAT_ROUGHDIFFUSE,
@@ -49,6 +52,8 @@ INV_PI = 1.0 / jnp.pi
 RT_BINS = 64
 
 # families with a smooth lobe (BSDF::ESmooth): guiding applies
+# (coating/roughcoating get their flags fixed up from the nested child
+# in the integrator, like mask)
 SMOOTH_TYPES = (
     MAT_DIFFUSE,
     MAT_ROUGHDIFFUSE,
@@ -60,6 +65,8 @@ SMOOTH_TYPES = (
     MAT_WARD,
     MAT_DIFFTRANS,
     MAT_BLEND,
+    MAT_HK,
+    MAT_ROUGHCOATING,
 )
 # delta-only families: guiding bypassed (guided_path.cpp:1654)
 DELTA_TYPES = (MAT_CONDUCTOR, MAT_DIELECTRIC, MAT_THINDIELECTRIC)
@@ -72,6 +79,7 @@ TRANSMISSIVE_TYPES = (
     MAT_MASK,
     MAT_NULL,
     MAT_DIFFTRANS,
+    MAT_HK,
 )
 
 
@@ -114,8 +122,12 @@ class MaterialArrays:
         "nested2": (37, 1, "i"),
         "blend_w": (38, 1, "f"),
         "rt_ext": (39, RT_BINS, "tab"),
+        "sigma_s": (39 + RT_BINS, 3, "f3"),
+        "sigma_a": (42 + RT_BINS, 3, "f3"),
+        "thickness": (45 + RT_BINS, 1, "f"),
+        "phase_g": (46 + RT_BINS, 1, "f"),
     }
-    WIDTH = 39 + RT_BINS
+    WIDTH = 47 + RT_BINS
 
     def __init__(self, packed, present=None):
         self.packed = packed
@@ -444,6 +456,62 @@ def _roughdielectric_ep(p, wi, wo):
     return f, jnp.where(ci != 0, pdf, 0.0)
 
 
+def _hk_phase_eval(g, wi, wo):
+    """HG phase value in the reference's convention (src/phase/hg.cpp:
+    eval uses 1+g^2+2g*dot(wi,wo) with both directions pointing AWAY
+    from the event); g=0 degenerates to isotropic 1/4pi."""
+    dp = jnp.sum(wi * wo, -1)
+    temp = 1.0 + g * g + 2.0 * g * dp
+    hg = (0.25 * INV_PI) * (1.0 - g * g) / jnp.maximum(
+        temp * jnp.sqrt(jnp.maximum(temp, 1e-12)), 1e-12)
+    return jnp.where(jnp.abs(g) < 1e-6, 0.25 * INV_PI, hg)
+
+
+def _hk_parts(p, wi):
+    sigma_t = p["sigma_s"] + p["sigma_a"]
+    tau_d = sigma_t * p["thickness"][..., None]
+    albedo = jnp.where(sigma_t > 0,
+                       p["sigma_s"] / jnp.maximum(sigma_t, 1e-30), 0.0)
+    aci = jnp.maximum(jnp.abs(wi[..., 2]), 1e-8)
+    # per-wavelength probability of crossing the slab unscattered,
+    # averaged over channels (hk.cpp:318-320)
+    atten = jnp.exp(-tau_d / aci[..., None])
+    prob_t = atten.mean(-1)
+    return tau_d, albedo, atten, prob_t
+
+
+def _hk_ep(p, wi, wo):
+    """Hanrahan-Krueger single-scattering slab, smooth lobes only
+    (src/bsdfs/hk.cpp:191-261 eval for ESolidAngle; the delta
+    transmission lobe is handled in sampling)."""
+    tau_d, albedo, _, prob_t = _hk_parts(p, wi)
+    ci, co = wi[..., 2], wo[..., 2]
+    aci = jnp.maximum(jnp.abs(ci), 1e-8)
+    aco = jnp.maximum(jnp.abs(co), 1e-8)
+    phase = _hk_phase_eval(p["phase_g"], wi, wo)
+    dp = ci * co
+
+    # reflection component (Hanrahan et al. '93 single scattering)
+    f_r = albedo * (phase * ci / (ci + co))[..., None] * (
+        1.0 - jnp.exp((-1.0 / aci - 1.0 / aco)[..., None] * tau_d))
+
+    # transmission component; the |ci|==|co| limit uses the l'Hopital form
+    near = jnp.abs(aci - aco) < 1e-5
+    safe_diff = jnp.where(near, 1.0, aci - aco)[..., None]
+    f_t_gen = albedo * (phase * aci)[..., None] / safe_diff * (
+        jnp.exp(-tau_d / aci[..., None]) - jnp.exp(-tau_d / aco[..., None]))
+    f_t_lim = albedo * phase[..., None] * tau_d / aco[..., None] * jnp.exp(
+        -tau_d / aco[..., None])
+    f_t = jnp.where(near[..., None], f_t_lim, f_t_gen)
+
+    f = jnp.where((dp > 0)[..., None], f_r,
+                  jnp.where((dp < 0)[..., None], f_t, 0.0)) * aco[..., None]
+    pdf = phase * (1.0 - prob_t)
+    ok = dp != 0
+    return jnp.where(ok[..., None], jnp.maximum(f, 0.0), 0.0), \
+        jnp.where(ok, pdf, 0.0)
+
+
 _SMOOTH_EP = {
     MAT_DIFFUSE: _diffuse_ep,
     MAT_ROUGHDIFFUSE: _roughdiffuse_ep,
@@ -454,6 +522,7 @@ _SMOOTH_EP = {
     MAT_PLASTIC: _plastic_ep,
     MAT_ROUGHPLASTIC: _roughplastic_ep,
     MAT_ROUGHDIELECTRIC: _roughdielectric_ep,
+    MAT_HK: _hk_ep,
 }
 
 
@@ -771,6 +840,49 @@ def sample_bsdf(p, wi, u2, present=None):
             jnp.where(ok_rd, pdf_rd, 0.0),
             None,
             eta_rd,
+        )
+
+    if on(MAT_HK):
+        # --- hk: delta transmission w.p. prob_t, else phase-function lobe
+        #     around -wi (hk.cpp:305-374; hg.cpp:74-97 sampling) -------------
+        tau_d, albedo, atten, prob_t = _hk_parts(p, wi_l)
+        pick_t = u1 <= prob_t
+        g = p["phase_g"]
+        iso = jnp.abs(g) < 1e-6
+        sqr = (1.0 - g * g) / jnp.maximum(
+            1.0 - g + 2.0 * g * u2b, 1e-12)
+        cos_hk = jnp.where(
+            iso, 1.0 - 2.0 * u2b,
+            (1.0 + g * g - sqr * sqr) / jnp.where(iso, 1.0, 2.0 * g))
+        cos_hk = jnp.clip(cos_hk, -1.0, 1.0)
+        sin_hk = jnp.sqrt(jnp.clip(1.0 - cos_hk * cos_hk, 0.0, 1.0))
+        phi_hk = 2.0 * jnp.pi * u3
+        # frame around -wi (HG samples relative to the propagation dir)
+        ax = -wi_l
+        up = jnp.where((jnp.abs(ax[..., 2]) < 0.999)[..., None],
+                       jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), ax.shape),
+                       jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0]), ax.shape))
+        hx = jnp.cross(up, ax)
+        hx = hx / jnp.maximum(jnp.linalg.norm(hx, axis=-1, keepdims=True),
+                              1e-12)
+        hy = jnp.cross(ax, hx)
+        wo_ph = (hx * (sin_hk * jnp.cos(phi_hk))[..., None]
+                 + hy * (sin_hk * jnp.sin(phi_hk))[..., None]
+                 + ax * cos_hk[..., None])
+        f_hk, pdf_hk = _hk_ep(p, wi_l, wo_ph)
+        ok_hk = pdf_hk > 0
+        wo_hk = jnp.where(pick_t[..., None], -wi_l, wo_ph)
+        w_hk = jnp.where(
+            pick_t[..., None],
+            atten / jnp.maximum(prob_t, 1e-12)[..., None],
+            jnp.where(ok_hk[..., None],
+                      f_hk / jnp.maximum(pdf_hk, 1e-30)[..., None], 0.0))
+        put(
+            mt == MAT_HK,
+            wo_hk,
+            w_hk,
+            jnp.where(pick_t, prob_t, pdf_hk),
+            pick_t,
         )
 
     if on(MAT_NULL):

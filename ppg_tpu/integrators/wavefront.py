@@ -29,7 +29,8 @@ from ..core.vecmath import build_frame, dot, normalize, to_local, to_world
 from ..emitters import area as E
 from ..emitters import delta as DE
 from ..emitters import envmap as EV
-from ..scene.scene import MAT_BLEND, MAT_MASK
+from ..scene.scene import (MAT_BLEND, MAT_COATING, MAT_MASK,
+                           MAT_ROUGHCOATING)
 from ..scene.textures import TextureAtlas, sample_atlas
 
 SHADOW_EPS = 1e-3  # relative end offset, mirrors Mitsuba's ShadowEpsilon
@@ -59,6 +60,8 @@ class PTConfig:
     has_media: bool = False  # scene has participating media
     has_bump: bool = False  # scene has bump/normal-mapped materials
     has_blend: bool = False  # scene has blendbsdf/mixturebsdf materials
+    has_coating: bool = False  # scene has coating/roughcoating materials
+    has_vertexcolors: bool = False  # meshes carry per-vertex colors
     sampler: str = "independent"  # sampler plugin type (render/samplers.py)
 
     @property
@@ -76,7 +79,9 @@ class DeviceScene:
     bitcast(mat) bitcast(emitter) radiance(3) uv0(2) uv1(2) uv2(2)
     bitcast(medium) dpdu(3) dpdv(3) — one gather per hit replaces many
     (TPU gather cost is per-op, not per-byte), and the row is CARRIED
-    across bounces so each bounce pays a single new gather.
+    across bounces so each bounce pays a single new gather. Scenes with
+    per-vertex colors widen the row to [T, 39] with the 3 corner colors
+    (consumed by the vertexcolors texture).
     """
 
     FIELDS = ("geom", "mats", "emitters", "shade", "eps", "env", "tex",
@@ -99,7 +104,8 @@ class DeviceScene:
         gn = np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0])
         gn /= np.maximum(np.linalg.norm(gn, axis=-1, keepdims=True), 1e-20)
         T = len(perm)
-        shade = np.zeros((max(T, 1), 30), np.float32)
+        row_w = 39 if getattr(sc, "colors", None) is not None else 30
+        shade = np.zeros((max(T, 1), row_w), np.float32)
         shade[:, 23] = np.float32(np.int32(-1).view(np.float32))  # medium id
         if T:
             # flat-shaded shapes (faceNormals=true) carry zero vertex
@@ -148,6 +154,9 @@ class DeviceScene:
                 dpdv = np.where(ok[:, None], dpdv, np.cross(gn, fallback))
                 shade[:T, 24:27] = dpdu
                 shade[:T, 27:30] = dpdv
+            if row_w == 39:
+                colf = sc.colors[sc.faces][perm]  # [T, 3, 3]
+                shade[:T, 30:39] = colf.reshape(T, 9)
 
         env = None
         if sc.env_emitter is not None:
@@ -162,7 +171,8 @@ class DeviceScene:
 
         if sc.textures is not None and sc.textures.specs:
             tex = TextureAtlas.build(
-                [dict(s.props, _otype=s.otype) for s in sc.textures.specs],
+                [dict(s.props, _otype=s.otype, _children=s.children)
+                 for s in sc.textures.specs],
                 sc.textures.scene_xml.dir
             )
         else:
@@ -248,7 +258,7 @@ def _rand(key, j, tag, shape):
 # (bsdf 0-2, guiding-tree 3-24, nee 25-26, rr 27, mask 28,
 #  medium-distance 29-30, phase 31-32)
 DIM_BLOCK = 36
-_TAG_DIM = {0: 0, 1: 3, 2: 25, 3: 27, 7: 28, 8: 29, 9: 31, 10: 33}
+_TAG_DIM = {0: 0, 1: 3, 2: 25, 3: 27, 7: 28, 8: 29, 9: 31, 10: 33, 11: 34}
 
 
 def _sample_emitters(scene: DeviceScene, cfg: PTConfig, p, ref_n, u_nee):
@@ -394,14 +404,28 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
 
         params = B.gather_params(scene.mats, mid)
 
+        if cfg.has_vertexcolors:
+            w0c = (1.0 - carry["bu"] - carry["bv"])[..., None]
+            row_c = carry["row"]
+            vcol = (row_c[:, 30:33] * w0c
+                    + row_c[:, 33:36] * carry["bu"][..., None]
+                    + row_c[:, 36:39] * carry["bv"][..., None])
+        else:
+            vcol = None
+
         def tex_override(pr):
             """Replace textured parameters with atlas lookups."""
             if not cfg.has_tex:
                 return pr
+            n_slots_tex = scene.tex.vcflag.shape[0]
             for field, slot in (("reflectance", "tex_reflectance"),
                                 ("opacity", "tex_opacity")):
                 tid = pr[slot]
                 val = sample_atlas(scene.tex, tid + 1, uv)
+                if cfg.has_vertexcolors:
+                    is_vc = scene.tex.vcflag[
+                        jnp.clip(tid + 1, 0, n_slots_tex - 1)]
+                    val = jnp.where(is_vc[..., None], vcol, val)
                 pr[field] = jnp.where((tid >= 0)[..., None], val, pr[field])
             return pr
 
@@ -489,6 +513,24 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
         else:
             is_blend = None
 
+        # -- coating / roughcoating: dielectric layer over a nested leaf
+        #    BSDF (src/bsdfs/coating.cpp, roughcoating.cpp; bsdf/layered.py)
+        if cfg.has_coating:
+            from ..bsdf import layered as LY
+
+            is_coat = ((params["mtype"] == MAT_COATING)
+                       | (params["mtype"] == MAT_ROUGHCOATING))
+            is_rough_coat = params["mtype"] == MAT_ROUGHCOATING
+            mid_c = jnp.where(is_coat, jnp.maximum(params["nested"], 0), mid)
+            params_c = tex_override(B.gather_params(scene.mats, mid_c))
+            sm_c, do_c, _, tr_c = B.lane_flags(params_c)
+            smooth = jnp.where(is_coat, sm_c | is_rough_coat, smooth)
+            delta_only = jnp.where(is_coat, do_c & ~is_rough_coat, delta_only)
+            transmissive = jnp.where(is_coat, tr_c, transmissive)
+            u_coat = draw(j, 11, (L, 1))
+        else:
+            is_coat = None
+
         def eval_b(wi_l, wo_l):
             f = B.eval_bsdf(params, wi_l, wo_l, present=scene.mats.present)
             if cfg.has_blend:
@@ -498,6 +540,10 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
                                  present=scene.mats.present)
                 fmix = (1 - w_bl)[..., None] * fa + w_bl[..., None] * fb
                 f = jnp.where(is_blend[..., None], fmix, f)
+            if cfg.has_coating:
+                fc, _ = LY.eval_pdf(params, params_c, wi_l, wo_l,
+                                    present=scene.mats.present)
+                f = jnp.where(is_coat[..., None], fc, f)
             return f * f_scale if cfg.has_mask else f
 
         def pdf_b(wi_l, wo_l):
@@ -508,7 +554,24 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
                 qb = B.pdf_bsdf(params_b, wi_l, wo_l,
                                 present=scene.mats.present)
                 q = jnp.where(is_blend, (1 - w_bl) * qa + w_bl * qb, q)
+            if cfg.has_coating:
+                _, qc = LY.eval_pdf(params, params_c, wi_l, wo_l,
+                                    present=scene.mats.present)
+                q = jnp.where(is_coat, qc, q)
             return q * p_scale if cfg.has_mask else q
+
+        def coat_fix(wo_t, w_t, pdf_t, delta_t, eta_t, wi_local, ua):
+            """Override coating lanes with the layered sampler."""
+            if not cfg.has_coating:
+                return wo_t, w_t, pdf_t, delta_t, eta_t
+            u4 = jnp.concatenate([ua, u_coat], -1)
+            wo_c, w_c, pdf_c, d_c, e_c = LY.sample(
+                params, params_c, wi_local, u4, present=scene.mats.present)
+            return (jnp.where(is_coat[..., None], wo_c, wo_t),
+                    jnp.where(is_coat[..., None], w_c, w_t),
+                    jnp.where(is_coat, pdf_c, pdf_t),
+                    jnp.where(is_coat, d_c, delta_t),
+                    jnp.where(is_coat, e_c, eta_t))
 
         def blend_fix(wo_t, w_t, pdf_t, wi_local):
             """Replace the picked-child importance weight with the exact
@@ -552,8 +615,11 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
             ua = jnp.stack(
                 [jnp.clip(u_bsdf[:, 0] / jnp.maximum(frac, 1e-9), 0.0, 1.0 - 1e-7),
                  u_bsdf[:, 1], u_bsdf[:, 2]], -1)
-            wo_a, w_a, pdf_a, delta_a, eta_a = mask_sample(
-                *B.sample_bsdf(params, wi, ua, present=scene.mats.present), wi)
+            wo_a, w_a, pdf_a, delta_a, eta_a = coat_fix(
+                *mask_sample(
+                    *B.sample_bsdf(params, wi, ua,
+                                   present=scene.mats.present), wi),
+                wi, ua)
             if cfg.has_blend:
                 w_a, pdf_a = blend_fix(wo_a, w_a, pdf_a, wi)
             # branch b: sample the directional quadtree (one uniform per
@@ -591,9 +657,11 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
             bsdf_pdf = jnp.where(use_guide_mix, plain_pdf, bsdf_pdf)
             dtree_pdf = jnp.where(use_guide_mix, dtree_pdf, 0.0)
         else:
-            wo, bsdf_weight, bsdf_pdf, sampled_delta, eta_s = mask_sample(
-                *B.sample_bsdf(params, wi, u_bsdf, present=scene.mats.present), wi
-            )
+            wo, bsdf_weight, bsdf_pdf, sampled_delta, eta_s = coat_fix(
+                *mask_sample(
+                    *B.sample_bsdf(params, wi, u_bsdf,
+                                   present=scene.mats.present), wi),
+                wi, u_bsdf)
             if cfg.has_blend:
                 bsdf_weight, bsdf_pdf = blend_fix(wo, bsdf_weight, bsdf_pdf, wi)
             wo_pdf = bsdf_pdf

@@ -33,6 +33,9 @@ MAT_ROUGHDIFFUSE = 11
 MAT_WARD = 12
 MAT_DIFFTRANS = 13
 MAT_BLEND = 14
+MAT_COATING = 15
+MAT_ROUGHCOATING = 16
+MAT_HK = 17
 
 MAT_NAMES = {
     "diffuse": MAT_DIFFUSE,
@@ -51,6 +54,47 @@ MAT_NAMES = {
     "difftrans": MAT_DIFFTRANS,
     "blendbsdf": MAT_BLEND,
     "mixturebsdf": MAT_BLEND,
+    "coating": MAT_COATING,
+    "roughcoating": MAT_ROUGHCOATING,
+    "hk": MAT_HK,
+}
+
+# Scattering presets for the hk BSDF / homogeneous medium ("material"
+# property). Measured data published in Jensen et al., "A Practical Model
+# for Subsurface Light Transport" (SIGGRAPH'01) and Narasimhan et al.,
+# "Acquiring Scattering Properties of Participating Media by Dilution"
+# (SIGGRAPH'06); same entries as the reference's
+# src/medium/materials.h::materialData (subset: the Jensen rows plus the
+# most common dilution rows). Each row: (sigmaS rgb, sigmaA rgb, g rgb).
+SCATTERING_PRESETS = {
+    "apple": ([2.29, 2.39, 1.97], [0.0030, 0.0034, 0.046], [0, 0, 0]),
+    "chicken1": ([0.15, 0.21, 0.38], [0.0015, 0.077, 0.19], [0, 0, 0]),
+    "chicken2": ([0.19, 0.25, 0.32], [0.0018, 0.088, 0.20], [0, 0, 0]),
+    "cream": ([7.38, 5.47, 3.15], [0.0002, 0.0028, 0.0163], [0, 0, 0]),
+    "ketchup": ([0.18, 0.07, 0.03], [0.061, 0.97, 1.45], [0, 0, 0]),
+    "marble": ([2.19, 2.62, 3.00], [0.0021, 0.0041, 0.0071], [0, 0, 0]),
+    "potato": ([0.68, 0.70, 0.55], [0.0024, 0.0090, 0.12], [0, 0, 0]),
+    "skimmilk": ([0.70, 1.22, 1.90], [0.0014, 0.0025, 0.0142], [0, 0, 0]),
+    "skin1": ([0.74, 0.88, 1.01], [0.032, 0.17, 0.48], [0, 0, 0]),
+    "skin2": ([1.09, 1.59, 1.79], [0.013, 0.070, 0.145], [0, 0, 0]),
+    "spectralon": ([11.6, 20.4, 14.9], [0.0, 0.0, 0.0], [0, 0, 0]),
+    "wholemilk": ([2.55, 3.21, 3.77], [0.0011, 0.0024, 0.014], [0, 0, 0]),
+    "lowfat milk": ([13.1157, 15.4445, 17.9572],
+                    [0.00287, 0.00575, 0.01150], [0.932, 0.902, 0.859]),
+    "regular milk": ([18.2052, 20.3826, 22.3698],
+                     [0.00153, 0.00460, 0.01993], [0.750, 0.714, 0.681]),
+    "espresso": ([7.78262, 8.13050, 8.53875],
+                 [4.79838, 6.57512, 8.84925], [0.907, 0.896, 0.880]),
+    "coke": ([0.00254, 0.00299, 0.0],
+             [0.10014, 0.16503, 0.24680], [0.965, 0.972, 0.0]),
+    "sprite": ([0.00011, 0.00014, 0.00014],
+               [0.00189, 0.00183, 0.00200], [0.943, 0.953, 0.952]),
+    "chardonnay": ([0.00021, 0.00033, 0.00048],
+                   [0.01078, 0.01186, 0.02400], [0.914, 0.958, 0.975]),
+    "shampoo": ([0.00797, 0.00874, 0.01127],
+                [0.01411, 0.04569, 0.06172], [0.910, 0.905, 0.920]),
+    "sugar powder": ([0.00282, 0.00315, 0.00393],
+                     [0.01264, 0.03105, 0.05012], [0.921, 0.919, 0.931]),
 }
 
 DIST_BECKMANN = 0
@@ -112,6 +156,10 @@ class MaterialTable:
     bump_is_normal: np.ndarray = None  # tex_bump holds a normal map
     nested2: np.ndarray = None  # second child (blend/mixture), -1 otherwise
     blend_w: np.ndarray = None  # probability of child 2
+    sigma_s: np.ndarray = None  # [M,3] hk layer scattering coefficient
+    sigma_a: np.ndarray = None  # [M,3] hk/coating layer absorption
+    thickness: np.ndarray = None  # hk/coating layer thickness
+    phase_g: np.ndarray = None  # hk phase anisotropy (0 = isotropic)
     # derived quantities (filled by _derive): relative IOR, 1/eta^2,
     # smooth-plastic internal diffuse Fresnel reflectance, specular sampling
     # weight, rough transmittance table + its internal diffuse average
@@ -129,8 +177,14 @@ class MaterialTable:
         zi = np.zeros((0,), np.int32)
         zb = np.zeros((0,), bool)
         return MaterialTable(
-            zi, zb, z3, z3, z3, z3, z3, z, z, z, z, zi, zb, z3, zi, zi, zi, zi,
-            zi, z, zb, zi, z, z, z, z, z, np.zeros((0, 64)), z
+            mtype=zi, twosided=zb, reflectance=z3, specular=z3,
+            transmittance=z3, eta=z3, k=z3, int_ior=z, ext_ior=z,
+            alpha_u=z, alpha_v=z, dist=zi, nonlinear=zb, opacity=z3,
+            nested=zi, tex_reflectance=zi, tex_opacity=zi, tex_alpha=zi,
+            tex_bump=zi, exponent=z, bump_is_normal=zb, nested2=zi,
+            blend_w=z, sigma_s=z3, sigma_a=z3, thickness=z, phase_g=z,
+            eta_rel=z, inv_eta2=z, fdr_int=z, spec_weight=z,
+            rt_ext=np.zeros((0, 64)), rt_fdr_int=z,
         )
 
 
@@ -174,6 +228,10 @@ class MaterialBuilder:
             bump_is_normal=False,
             nested2=-1,
             blend_w=0.5,
+            sigma_s=np.zeros(3),
+            sigma_a=np.zeros(3),
+            thickness=1.0,
+            phase_g=0.0,
         )
 
     def _texture(self, props, name):
@@ -201,6 +259,35 @@ class MaterialBuilder:
                 row["tex_bump"] = tid
                 row["bump_is_normal"] = spec.otype == "normalmap"
             self.rows.append(row)
+            return len(self.rows) - 1
+
+        if spec.otype in ("coating", "roughcoating"):
+            # dielectric varnish layer over a nested BSDF (Weidlich-Wilkie;
+            # reference src/bsdfs/coating.cpp:106-400 /
+            # roughcoating.cpp:106-456). The nested BSDF must be a leaf
+            # family here (nest coatings by flattening manually).
+            inner = spec.child("bsdf")
+            if inner is None:
+                raise ValueError(f"{spec.otype}: missing nested bsdf")
+            nested_row = self._build(inner, twosided=twosided)
+            p = dict(spec.props)
+            d = dict(
+                self._defaults(),
+                mtype=(MAT_COATING if spec.otype == "coating"
+                       else MAT_ROUGHCOATING),
+                twosided=twosided,
+                nested=nested_row,
+                int_ior=_ior(p, "intIOR", "bk7"),
+                ext_ior=_ior(p, "extIOR", "air"),
+                thickness=float(p.get("thickness", 1.0)),
+                sigma_a=_rgb(p.get("sigmaA"), [0, 0, 0]),
+                specular=_rgb(p.get("specularReflectance"), [1, 1, 1]),
+            )
+            if spec.otype == "roughcoating":
+                d["alpha_u"] = d["alpha_v"] = float(p.get("alpha", 0.1))
+                d["dist"] = {"beckmann": 0, "ggx": 1, "phong": 2}[
+                    p.get("distribution", "beckmann")]
+            self.rows.append(d)
             return len(self.rows) - 1
 
         if spec.otype in ("blendbsdf", "mixturebsdf"):
@@ -300,6 +387,28 @@ class MaterialBuilder:
             d["alpha_v"] = float(p.get("alphaV", p.get("alpha", 0.1)))
         elif t == "difftrans":
             d["transmittance"] = _rgb(p.get("transmittance"), [0.5, 0.5, 0.5])
+        elif t == "hk":
+            # Hanrahan-Krueger single-scattering layer (src/bsdfs/hk.cpp):
+            # preset material OR sigmaS/sigmaA OR sigmaT+albedo; phase
+            # child (isotropic default / hg)
+            ss, sa, g = SCATTERING_PRESETS[
+                str(p.get("material", "skin1")).lower()]
+            ss, sa, g = map(np.asarray, (ss, sa, g))
+            ss = ss * (1.0 - g)  # similarity reduction (hk.cpp:119)
+            if "sigmaT" in p or "albedo" in p:
+                st = _rgb(p.get("sigmaT"), [1, 1, 1])
+                al = _rgb(p.get("albedo"), [0.5, 0.5, 0.5])
+                ss, sa = st * al, st * (1 - al)
+            elif "sigmaS" in p or "sigmaA" in p:
+                ss = _rgb(p.get("sigmaS"), ss)
+                sa = _rgb(p.get("sigmaA"), sa)
+            d["sigma_s"], d["sigma_a"] = ss, sa
+            d["thickness"] = float(p.get("thickness", 1.0))
+            ph = spec.child("phase")
+            if ph is not None and ph.otype == "hg":
+                d["phase_g"] = float(ph.props.get("g", 0.8))
+            elif ph is not None and ph.otype != "isotropic":
+                raise NotImplementedError(f"hk phase {ph.otype!r}")
         self.rows.append(d)
         return len(self.rows) - 1
 
@@ -339,6 +448,10 @@ class MaterialBuilder:
             bump_is_normal=col("bump_is_normal", bool),
             nested2=col("nested2", np.int32),
             blend_w=col("blend_w"),
+            sigma_s=col("sigma_s"),
+            sigma_a=col("sigma_a"),
+            thickness=col("thickness"),
+            phase_g=col("phase_g"),
         )
 
 
@@ -377,6 +490,15 @@ def _derive(t: MaterialTable):
             s_avg = t.specular[i].mean()
             d_avg = t.reflectance[i].mean()
             t.spec_weight[i] = s_avg / max(d_avg + s_avg, 1e-9)
+        elif mt in (MAT_COATING, MAT_ROUGHCOATING):
+            # specularSamplingWeight = 1/(avgAbsorption+1)
+            # (coating.cpp:197-202 / roughcoating.cpp:197-202)
+            avg_abs = float(
+                np.exp(-2.0 * t.thickness[i] * t.sigma_a[i]).mean())
+            t.spec_weight[i] = 1.0 / (avg_abs + 1.0)
+            if mt == MAT_ROUGHCOATING:
+                t.rt_ext[i] = rough_transmittance_table(
+                    int(t.dist[i]), float(t.alpha_u[i]), float(t.eta_rel[i]))
 
 
 class TextureBuilder:
@@ -411,6 +533,7 @@ class SceneData:
     texcoords: np.ndarray  # [V, 2]
     tri_mat: np.ndarray  # [F]
     tri_emitter: np.ndarray  # [F], -1 if not emissive
+    colors: np.ndarray = None  # [V, 3] vertex colors, None if unused
     materials: MaterialTable = None
     emitters: EmitterTable = None
     textures: TextureBuilder = None
@@ -431,10 +554,13 @@ class SceneData:
 
 
 def _resolve_xfov(sensor_props, W, H):
-    """PerspectiveCamera fovAxis handling (librender/sensor.cpp:241-276)."""
+    """PerspectiveCamera fovAxis handling (librender/sensor.cpp:241-276);
+    with no fov given the default is a 50mm focal length."""
     aspect = W / H
     fov = float(sensor_props.get("fov", 0.0))
     axis = str(sensor_props.get("fovAxis", "x")).lower()
+    if "fov" not in sensor_props and "focalLength" not in sensor_props:
+        sensor_props = dict(sensor_props, focalLength="50mm")
     if "focalLength" in sensor_props:
         fl = float(str(sensor_props["focalLength"]).replace("mm", ""))
         fov = 2 * np.rad2deg(np.arctan(np.sqrt(36.0**2 + 24.0**2) / (2 * fl)))
@@ -459,7 +585,8 @@ def build_scene(xml: SceneXML, missing_ok=True) -> SceneData:
     textures = TextureBuilder(xml)
     mats = MaterialBuilder(textures)
 
-    all_pos, all_faces, all_norm, all_uv = [], [], [], []
+    all_pos, all_faces, all_norm, all_uv, all_col = [], [], [], [], []
+    any_colors = False
     tri_mat, tri_emitter, tri_medium = [], [], []
     emitter_rows = []
     media_rows = []
@@ -520,13 +647,32 @@ def build_scene(xml: SceneXML, missing_ok=True) -> SceneData:
         else:
             raise NotImplementedError(f"scene-level emitter {t!r}")
 
+    # expand instance/shapegroup: a shapegroup is a container (never
+    # rendered directly, src/shapes/shapegroup.cpp); an instance stamps the
+    # referenced group's shapes with its own toWorld (src/shapes/instance.cpp)
+    expanded = []  # (shape_spec, extra_world_transform | None)
     for shape in xml.root.children_of("shape"):
+        if shape.otype == "shapegroup":
+            continue
+        if shape.otype == "instance":
+            group = shape.child("shape", "shapegroup")
+            if group is None:
+                raise ValueError("instance: missing <ref> to a shapegroup")
+            xf = np.asarray(shape.props.get("toWorld", np.eye(4)))
+            expanded.extend((child, xf) for child in
+                            group.children_of("shape"))
+        else:
+            expanded.append((shape, None))
+
+    for shape, extra_xf in expanded:
         try:
             mesh = build_shape(shape, xml)
         except FileNotFoundError:
             if missing_ok:
                 continue
             raise
+        if extra_xf is not None:
+            mesh.apply_transform(extra_xf)
 
         bspec = shape.child("bsdf")
         mat_id = mats.add(bspec if bspec is not None else _default_bsdf())
@@ -564,6 +710,11 @@ def build_scene(xml: SceneXML, missing_ok=True) -> SceneData:
             else np.zeros((len(mesh.positions), 2))
         )
         all_uv.append(uv)
+        if getattr(mesh, "colors", None) is not None:
+            any_colors = True
+            all_col.append(mesh.colors)
+        else:
+            all_col.append(np.ones((len(mesh.positions), 3)))
         tri_mat.extend([mat_id] * F)
         tri_emitter.extend([emitter_id] * F)
         med_spec = shape.child("medium")
@@ -575,6 +726,7 @@ def build_scene(xml: SceneXML, missing_ok=True) -> SceneData:
     faces = np.concatenate(all_faces) if all_faces else np.zeros((0, 3), np.int32)
     normals = np.concatenate(all_norm) if all_norm else np.zeros((0, 3))
     texcoords = np.concatenate(all_uv) if all_uv else np.zeros((0, 2))
+    colors = np.concatenate(all_col) if any_colors else None
 
     # emitter CDFs over triangle areas (TriMesh::samplePosition semantics)
     offs, cnts, ids, cdfs, invs, rads = [], [], [], [], [], []
@@ -614,7 +766,8 @@ def build_scene(xml: SceneXML, missing_ok=True) -> SceneData:
         sensor = dict(sensor_spec.props)
         sensor["type"] = sensor_spec.otype
         sensor["to_world"] = sensor_spec.props.get("toWorld", np.eye(4))
-        sensor["xfov"] = _resolve_xfov(sensor_spec.props, W, H)
+        if sensor_spec.otype in ("perspective", "thinlens"):
+            sensor["xfov"] = _resolve_xfov(sensor_spec.props, W, H)
         sensor["near_clip"] = float(sensor_spec.props.get("nearClip", 1e-2))
         sensor["far_clip"] = float(sensor_spec.props.get("farClip", 1e4))
 
@@ -635,6 +788,7 @@ def build_scene(xml: SceneXML, missing_ok=True) -> SceneData:
         faces=faces,
         normals=normals,
         texcoords=texcoords,
+        colors=colors,
         tri_mat=np.array(tri_mat, np.int32),
         tri_emitter=np.array(tri_emitter, np.int32),
         materials=mats.finalize(),

@@ -48,6 +48,14 @@ FAMILIES = [
     ("roughdiffuse", {"alpha": 0.4}, ()),
     ("ward", {"alphaU": 0.15, "alphaV": 0.3}, ()),
     ("difftrans", {}, ()),
+    ("hk", {"sigmaS": Spectrum(rgb=np.array([2.0, 3.0, 4.0])),
+            "sigmaA": Spectrum(rgb=np.array([0.1, 0.3, 0.5])),
+            "thickness": 0.4}, ()),
+    ("hk", {"material": "ketchup", "thickness": 2.0}, ()),
+    ("hk", {"sigmaS": Spectrum(rgb=np.array([1.5, 1.5, 1.5])),
+            "sigmaA": Spectrum(rgb=np.array([0.2, 0.2, 0.2])),
+            "thickness": 1.0},
+     (PluginSpec("phase", "hg", {"g": 0.6}),)),
 ]
 
 DELTA_FAMILIES = [
