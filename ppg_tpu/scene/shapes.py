@@ -1,11 +1,10 @@
 """Shape plugins -> world-space triangle meshes (host-side numpy).
 
-Covers the shape surface used by the bundled scenes: obj, rectangle,
-sphere, cube, disk (reference: mitsuba/src/shapes/{obj,rectangle,sphere,
-cube,disk}.cpp). Analytic shapes are tessellated except the sphere's
-sampling metadata, which records the analytic area. Normal generation
-follows TriMesh::computeNormals (angle-weighted Thuermer & Wuethrich,
-librender/trimesh.cpp).
+Covers the reference's shape plugin surface (mitsuba/src/shapes/):
+obj, ply, serialized, rectangle, sphere, cube, disk, cylinder, plus
+instance/shapegroup flattening in scene.build_scene. Analytic shapes
+are tessellated. Normal generation follows TriMesh::computeNormals
+(angle-weighted Thuermer & Wuethrich, librender/trimesh.cpp).
 """
 
 from __future__ import annotations
@@ -14,16 +13,20 @@ import numpy as np
 
 from ..core import transform as tf
 from ..io.obj import load_obj
+from ..io.ply import load_ply
+from ..io.serialized import load_serialized
 
 
 class TriMeshData:
-    def __init__(self, positions, faces, normals=None, texcoords=None):
+    def __init__(self, positions, faces, normals=None, texcoords=None,
+                 colors=None):
         self.positions = np.asarray(positions, np.float64)
         self.faces = np.asarray(faces, np.int32)
         self.normals = None if normals is None else np.asarray(normals, np.float64)
         self.texcoords = (
             None if texcoords is None else np.asarray(texcoords, np.float64)
         )
+        self.colors = None if colors is None else np.asarray(colors, np.float64)
 
     def apply_transform(self, m):
         self.positions = tf.apply_point(m, self.positions)
@@ -124,6 +127,33 @@ def make_sphere(center, radius, subdiv_theta=64, subdiv_phi=128):
     return TriMeshData(pos, np.array(faces, np.int32), n, uv)
 
 
+def make_cylinder(p0, p1, radius, subdiv=64):
+    """Open-ended cylinder from p0 to p1 (cylinder.cpp: default p0=(0,0,0),
+    p1=(0,0,1), radius 1, no caps)."""
+    p0 = np.asarray(p0, np.float64)
+    p1 = np.asarray(p1, np.float64)
+    axis = p1 - p0
+    ln = np.linalg.norm(axis)
+    az = axis / max(ln, 1e-20)
+    up = np.array([0.0, 0.0, 1.0]) if abs(az[2]) < 0.9 else np.array([1.0, 0.0, 0.0])
+    ax = np.cross(up, az)
+    ax /= np.linalg.norm(ax)
+    ay = np.cross(az, ax)
+    ang = np.linspace(0, 2 * np.pi, subdiv, endpoint=False)
+    ring_n = np.cos(ang)[:, None] * ax + np.sin(ang)[:, None] * ay  # [S,3]
+    pos = np.concatenate([p0 + radius * ring_n, p1 + radius * ring_n])
+    nrm = np.concatenate([ring_n, ring_n])
+    u = ang / (2 * np.pi)
+    uv = np.concatenate(
+        [np.stack([u, np.zeros_like(u)], -1), np.stack([u, np.ones_like(u)], -1)]
+    )
+    faces = []
+    for i in range(subdiv):
+        j = (i + 1) % subdiv
+        faces += [[i, j, subdiv + j], [subdiv + j, subdiv + i, i]]
+    return TriMeshData(pos, np.array(faces, np.int32), nrm, uv)
+
+
 def make_disk(subdiv=64):
     ang = np.linspace(0, 2 * np.pi, subdiv, endpoint=False)
     pos = np.concatenate(
@@ -149,12 +179,34 @@ def build_shape(spec, scene_xml):
         if spec.props.get("flipTexCoords", True) and mesh.texcoords is not None:
             mesh.texcoords = mesh.texcoords.copy()
             mesh.texcoords[:, 1] = 1.0 - mesh.texcoords[:, 1]
+    elif spec.otype == "ply":
+        raw = load_ply(scene_xml.resolve_path(spec.props["filename"]))
+        mesh = TriMeshData(raw["positions"], raw["faces"], raw["normals"],
+                           raw["texcoords"], raw["colors"])
+        if bool(spec.props.get("srgb", True)) and mesh.colors is not None:
+            # ply.cpp: vertex colors are sRGB by default
+            c = mesh.colors
+            mesh.colors = np.where(
+                c <= 0.04045, c / 12.92, ((c + 0.055) / 1.055) ** 2.4)
+    elif spec.otype == "serialized":
+        raw = load_serialized(
+            scene_xml.resolve_path(spec.props["filename"]),
+            int(spec.props.get("shapeIndex", 0)))
+        mesh = TriMeshData(raw["positions"], raw["faces"], raw["normals"],
+                           raw["texcoords"], raw["colors"])
+        if raw["face_normals"]:
+            face_normals = True
     elif spec.otype == "rectangle":
         mesh = make_rectangle()
     elif spec.otype == "cube":
         mesh = make_cube()
     elif spec.otype == "disk":
         mesh = make_disk()
+    elif spec.otype == "cylinder":
+        mesh = make_cylinder(
+            spec.props.get("p0", np.zeros(3)),
+            spec.props.get("p1", np.array([0.0, 0.0, 1.0])),
+            float(spec.props.get("radius", 1.0)))
     elif spec.otype == "sphere":
         center = spec.props.get("center", np.zeros(3))
         radius = float(spec.props.get("radius", 1.0))
