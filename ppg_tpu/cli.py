@@ -109,10 +109,10 @@ def _render_sharded(sc, cfg, spp, args):
     from .integrators.wavefront import DeviceScene
     from .parallel.mesh import make_mesh, sharded_render_pass
     from .render.film import Film
-    from .render.sensor import PerspectiveSensor
+    from .render.sensor import make_sensor
 
     dev = DeviceScene.from_scene(sc)
-    sensor = PerspectiveSensor(sc.sensor, sc.film)
+    sensor = make_sensor(sc.sensor, sc.film)
     W, H = sc.film["width"], sc.film["height"]
     film = Film(W, H, sc.film.get("rfilter", "box"))
     mesh = make_mesh(args.devices)

@@ -16,14 +16,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..render.film import Film
-from ..render.sensor import PerspectiveSensor
+from ..render.sensor import make_sensor
 from .wavefront import DeviceScene, PTConfig, trace_paths
 
 
 def make_config(sc, **overrides) -> PTConfig:
     import numpy as np
 
-    from ..scene.scene import MAT_MASK
+    from ..scene.scene import MAT_COATING, MAT_MASK, MAT_ROUGHCOATING
 
     ip = sc.integrator
     nee = str(ip.get("nee", "never"))
@@ -50,6 +50,12 @@ def make_config(sc, **overrides) -> PTConfig:
             sc.materials is not None
             and np.any(np.asarray(sc.materials.nested2) >= 0)
         ),
+        has_coating=bool(
+            sc.materials is not None
+            and np.any(np.isin(np.asarray(sc.materials.mtype),
+                               (MAT_COATING, MAT_ROUGHCOATING)))
+        ),
+        has_vertexcolors=getattr(sc, "colors", None) is not None,
         sampler=str(sc.sampler.get("type", "independent")),
     )
     kw.update(overrides)
@@ -71,7 +77,9 @@ def _render_chunk(scene, cfg, sensor, film, chunk, buffers, key, pix_start,
     else:
         jit2 = jax.random.uniform(jax.random.fold_in(key, 17), (chunk, 2))
     pos = jnp.stack([px, py], -1) + jit2
-    o, d, tmin, tmax = sensor.sample_rays(pos)
+    u_lens = (jax.random.uniform(jax.random.fold_in(key, 19), (chunk, 2))
+              if sensor.needs_lens_sample else None)
+    o, d, tmin, tmax = sensor.sample_rays(pos, u_lens)
     out = trace_paths(scene, cfg, key, o, d, tmin, tmax, sdtree=sdtree,
                       pixel_ids=ids, sample_idx=sample_idx)
     li = out["li"]
@@ -92,7 +100,7 @@ def render(sc, spp, seed=0, chunk=1 << 16, cfg=None, scene_dev=None,
     dev = scene_dev if scene_dev is not None else DeviceScene.from_scene(sc)
     cfg = cfg or make_config(sc, guiding=False)
     W, H = sc.film["width"], sc.film["height"]
-    sensor = PerspectiveSensor(sc.sensor, sc.film)
+    sensor = make_sensor(sc.sensor, sc.film)
     film = Film(W, H, sc.film.get("rfilter", "box"))
     is_box = film.rfilter == "box"
     buffers = film.zeros_flat(chunk) if is_box else film.zeros()

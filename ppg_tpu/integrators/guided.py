@@ -25,7 +25,7 @@ from ..guiding import records as R
 from ..guiding import sdtree as G
 from ..guiding.host import HostSDTree
 from ..render.film import Film
-from ..render.sensor import PerspectiveSensor
+from ..render.sensor import make_sensor
 from ..utils.logging import log
 from .driver import make_config
 from .wavefront import DeviceScene, PTConfig, trace_paths
@@ -48,7 +48,9 @@ def _guided_chunk(scene, cfg, sensor, film, chunk, film_buf, sq_buf, sdtree,
     py = (ids // W).astype(jnp.float32)
     jit2 = jax.random.uniform(jax.random.fold_in(key, 17), (chunk, 2))
     pos = jnp.stack([px, py], -1) + jit2
-    o, d, tmin, tmax = sensor.sample_rays(pos)
+    u_lens = (jax.random.uniform(jax.random.fold_in(key, 19), (chunk, 2))
+              if sensor.needs_lens_sample else None)
+    o, d, tmin, tmax = sensor.sample_rays(pos, u_lens)
     out = trace_paths(scene, cfg, key, o, d, tmin, tmax, sdtree=sdtree)
     li = out["li"]
     valid = ids < W * sensor.H
@@ -103,7 +105,7 @@ class GuidedPathTracer:
 
         self.base_cfg = make_config(sc, guiding=True, record_vertices=True)
         self.scene_dev = DeviceScene.from_scene(sc)
-        self.sensor = PerspectiveSensor(sc.sensor, sc.film)
+        self.sensor = make_sensor(sc.sensor, sc.film)
         self.film = Film(
             sc.film["width"], sc.film["height"], sc.film.get("rfilter", "box")
         )

@@ -59,7 +59,10 @@ def sharded_render_pass(mesh, scene, cfg, sensor, film, sdtree, key, chunk,
         py = (ids // W).astype(jnp.float32)
         jit2 = jax.random.uniform(jax.random.fold_in(k, 17), (ids.shape[0], 2))
         pos = jnp.stack([px, py], -1) + jit2
-        o, d, tmin, tmax = sensor.sample_rays(pos)
+        u_lens = (jax.random.uniform(jax.random.fold_in(k, 19),
+                                     (ids.shape[0], 2))
+                  if getattr(sensor, "needs_lens_sample", False) else None)
+        o, d, tmin, tmax = sensor.sample_rays(pos, u_lens)
         out = trace_paths(scene, cfg, k, o, d, tmin, tmax, sdtree=sdtree)
         valid = ids < W * H
         li = jnp.where(valid[..., None], out["li"], 0.0)
