@@ -85,12 +85,16 @@ class TextureAtlas:
     1x1 white dummy; material rows store spec-index + 1 (0 = none).
     """
 
-    FIELDS = ("pixels", "meta", "uvx")
+    FIELDS = ("pixels", "meta", "uvx", "vcflag")
 
-    def __init__(self, pixels, meta, uvx):
+    def __init__(self, pixels, meta, uvx, vcflag=None):
         self.pixels = pixels
         self.meta = meta
         self.uvx = uvx
+        # per-slot marker: slot resolves to interpolated mesh vertex
+        # colors (src/textures/vertexcolors.cpp) instead of atlas pixels
+        self.vcflag = (vcflag if vcflag is not None
+                       else jnp.zeros(meta.shape[0], bool))
 
     @classmethod
     def build(cls, specs, scene_dir):
@@ -101,22 +105,44 @@ class TextureAtlas:
         atlas at build time, so the device path is uniform."""
         imgs = [np.ones((1, 1, 3), np.float32)]  # dummy slot 0
         uvx = [np.array([1.0, 1.0, 0.0, 0.0], np.float32)]
-        for p in specs:
+
+        def build_one(p):
+            """One spec -> (linear image, uv transform); `scale` wrappers
+            (src/textures/scale.cpp) multiply the nested texture's pixels
+            at build time."""
             otype = p.get("_otype", "bitmap")
-            if otype in ("checkerboard", "gridtexture"):
-                imgs.append(rasterize_procedural(otype, p))
-                uvx.append(np.array([
-                    float(p.get("uscale", 1.0)), float(p.get("vscale", 1.0)),
-                    float(p.get("uoffset", 0.0)), float(p.get("voffset", 0.0)),
-                ], np.float32))
-                continue
-            fn = p.get("filename", "")
-            path = fn if os.path.isabs(fn) else os.path.join(scene_dir, fn)
-            imgs.append(load_texture(path, float(p.get("gamma", 0.0))))
-            uvx.append(np.array([
+            x4 = np.array([
                 float(p.get("uscale", 1.0)), float(p.get("vscale", 1.0)),
                 float(p.get("uoffset", 0.0)), float(p.get("voffset", 0.0)),
-            ], np.float32))
+            ], np.float32)
+            if otype == "scale":
+                nested = None
+                for c in p.get("_children", ()):
+                    if getattr(c, "cls", None) == "texture":
+                        nested = c
+                if nested is None:
+                    raise ValueError("scale texture: missing nested texture")
+                img, x4 = build_one(dict(nested.props, _otype=nested.otype,
+                                         _children=nested.children))
+                s = p.get("scale", 1.0)
+                s = np.asarray(getattr(s, "rgb", s), np.float32).reshape(-1)
+                return img * (np.full(3, s[0]) if s.size == 1 else s[:3]), x4
+            if otype in ("checkerboard", "gridtexture"):
+                return rasterize_procedural(otype, p), x4
+            fn = p.get("filename", "")
+            path = fn if os.path.isabs(fn) else os.path.join(scene_dir, fn)
+            return load_texture(path, float(p.get("gamma", 0.0))), x4
+
+        for p in specs:
+            if p.get("_otype") == "vertexcolors":
+                # handled lane-side from interpolated mesh colors; keep a
+                # white placeholder so slot indices stay aligned
+                imgs.append(np.ones((1, 1, 3), np.float32))
+                uvx.append(np.array([1, 1, 0, 0], np.float32))
+                continue
+            img, x4 = build_one(p)
+            imgs.append(img)
+            uvx.append(x4)
         meta = np.zeros((len(imgs), 3), np.int32)
         off = 0
         flats = []
@@ -125,14 +151,20 @@ class TextureAtlas:
             meta[i] = (off, W, H)
             flats.append(im.reshape(-1, 3))
             off += H * W
+        vcflag = np.zeros(len(imgs), bool)
+        for i, p in enumerate(specs):
+            if p.get("_otype") == "vertexcolors":
+                vcflag[i + 1] = True
         return cls(jnp.asarray(np.concatenate(flats, 0)),
-                   jnp.asarray(meta), jnp.asarray(np.stack(uvx)))
+                   jnp.asarray(meta), jnp.asarray(np.stack(uvx)),
+                   jnp.asarray(vcflag))
 
     @classmethod
     def empty(cls):
         return cls(jnp.ones((1, 3), jnp.float32),
                    jnp.asarray([[0, 1, 1]], jnp.int32),
-                   jnp.asarray([[1.0, 1.0, 0.0, 0.0]], jnp.float32))
+                   jnp.asarray([[1.0, 1.0, 0.0, 0.0]], jnp.float32),
+                   jnp.zeros(1, bool))
 
 
 jax.tree_util.register_pytree_node(
