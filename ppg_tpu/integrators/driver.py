@@ -42,6 +42,8 @@ def make_config(sc, **overrides) -> PTConfig:
             and np.any(np.asarray(sc.materials.mtype) == MAT_MASK)
         ),
         has_media=bool(getattr(sc, "media", None)),
+        has_hetero=bool(any(m.get("hetero") for m in
+                            getattr(sc, "media", None) or ())),
         has_bump=bool(
             sc.materials is not None
             and np.any(np.asarray(sc.materials.tex_bump) >= 0)

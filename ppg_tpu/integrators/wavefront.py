@@ -58,6 +58,7 @@ class PTConfig:
     has_tex: bool = False  # scene has bitmap textures
     has_mask: bool = False  # scene has mask (opacity) BSDFs
     has_media: bool = False  # scene has participating media
+    has_hetero: bool = False  # scene has heterogeneous (grid) media
     has_bump: bool = False  # scene has bump/normal-mapped materials
     has_blend: bool = False  # scene has blendbsdf/mixturebsdf materials
     has_coating: bool = False  # scene has coating/roughcoating materials
@@ -735,6 +736,12 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
                 # (approximation of sampleAttenuatedEmitterDirect: homogeneous
                 # attenuation along the whole shadow segment)
                 l_nee = l_nee * MED.transmittance(m_sigma_t, ds["dist"])
+                if cfg.has_hetero:
+                    # heterogeneous lanes: unbiased ratio tracking
+                    t_het = MED.ratio_transmittance(
+                        scene.media, med, p, ds["d"], ds["dist"],
+                        jax.random.fold_in(jax.random.fold_in(key, j), 43))
+                    l_nee = l_nee * t_het[..., None]
             l_nee = jnp.where(nee_ok[..., None], l_nee, 0.0)
             slot = slot + l_nee
             nee_rec = dict(
@@ -796,6 +803,17 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
             t_for_sampling = jnp.where(hit2, t2, jnp.inf)
             is_med2, t_eff, w_seg = MED.sample_distance(
                 s_t2, alb2, t_for_sampling, u_dist[:, 0], u_dist[:, 1])
+            if cfg.has_hetero:
+                # heterogeneous lanes: Woodcock tracking replaces the
+                # analytic homogeneous sampler
+                het2 = (med2 >= 0) & (
+                    MED.fetch_row(scene.media, med2)[:, 7] > 0)
+                is_h, t_h, w_h = MED.woodcock_sample(
+                    scene.media, med2, o2, d2, t_for_sampling,
+                    jax.random.fold_in(jax.random.fold_in(key, j), 41))
+                is_med2 = jnp.where(het2, is_h, is_med2)
+                t_eff = jnp.where(het2, t_h, t_eff)
+                w_seg = jnp.where(het2[..., None], w_h, w_seg)
             is_med2 = is_med2 & act_c
             thr2 = thr2 * w_seg
             # emitter/env radiance only reaches lanes whose segment made it

@@ -1,19 +1,31 @@
-"""Participating media: homogeneous medium + isotropic / Henyey-Greenstein
-phase functions (reference src/medium/homogeneous.cpp, src/phase/{isotropic,
-hg}.cpp), integrated into the wavefront the way guided_path.cpp:1803-1893
-handles media inside Li() — distance sampling against the surface hit,
-phase sampling for in-medium scattering, transmittance-weighted NEE.
-Guiding deliberately ignores media (README "No Support for Participating
-Media"): medium vertices are never recorded into the SD-tree.
+"""Participating media: homogeneous + heterogeneous media with
+isotropic / Henyey-Greenstein phase functions (reference
+src/medium/{homogeneous,heterogeneous}.cpp, src/phase/{isotropic,hg}.cpp,
+src/volume/{gridvolume,constvolume}.cpp), integrated into the wavefront
+the way guided_path.cpp:1803-1893 handles media inside Li() — distance
+sampling against the surface hit, phase sampling for in-medium
+scattering, transmittance-weighted NEE. Guiding deliberately ignores
+media (README "No Support for Participating Media"): medium vertices
+are never recorded into the SD-tree.
 
-Medium rows [M, 8]: sigma_t(3) albedo(3) g pad. A lane's current medium
-is an index (-1 = vacuum); shapes carry an interior-medium id and
-transitions happen on transmission through their boundary.
+Medium rows [M, 28]: sigma_t(3) albedo(3) g hetero majorant scale
+grid_offset res(3) world_to_grid(3x4). A lane's current medium is an
+index (-1 = vacuum); shapes carry an interior-medium id and transitions
+happen on transmission through their boundary.
 
-Distance sampling follows HomogeneousMedium's 'balance' strategy:
-a channel is picked uniformly, t = -ln(1-u)/sigma_t[ch]; the returned
-weights use the balance-heuristic pdf over channels
+Homogeneous distance sampling follows HomogeneousMedium's 'balance'
+strategy: a channel is picked uniformly, t = -ln(1-u)/sigma_t[ch]; the
+returned weights use the balance-heuristic pdf over channels
 (homogeneous.cpp sampleDistance/eval).
+
+Heterogeneous media use stochastic Woodcock (delta) tracking against
+the scale*maxDensity majorant (heterogeneous.cpp EWoodcockTracking,
+m_maxDensity at :239), restructured as a FIXED-trip-count lax.scan per
+wavefront bounce — data-dependent while loops would serialize the whole
+wavefront on the slowest lane. Shadow transmittance uses ratio tracking
+with the same bound. Density grids are spectrally uniform scalars like
+the reference (heterogeneous.cpp:109); albedo is a constant spectrum
+(constvolume) — gridvolume albedo is not supported yet.
 """
 
 from __future__ import annotations
@@ -23,37 +35,72 @@ import jax.numpy as jnp
 import numpy as np
 
 INV_4PI = 1.0 / (4.0 * np.pi)
+ROW_W = 28
+WOODCOCK_STEPS = 64  # fixed majorant-interaction budget per bounce
 
 
 class MediaArrays:
-    FIELDS = ("rows",)
+    FIELDS = ("rows", "grid")
 
-    def __init__(self, rows, num=None):
+    def __init__(self, rows, grid=None, num=None):
         self.rows = rows
+        self.grid = grid if grid is not None else jnp.zeros(1, jnp.float32)
         self.num = rows.shape[0] if num is None else num
 
     @classmethod
     def from_table(cls, table):
-        """table: list of dicts(sigma_t rgb, albedo rgb, g)."""
+        """table: list of dicts(sigma_t rgb, albedo rgb, g) for
+        homogeneous media, plus (hetero=True, density [Z,Y,X] f32,
+        bbox_min/bbox_max, to_world 4x4, scale) for heterogeneous."""
         M = len(table)
-        rows = np.zeros((max(M, 1), 8), np.float32)
+        rows = np.zeros((max(M, 1), ROW_W), np.float32)
+        grids = [np.zeros(1, np.float32)]
+        goff = 1
         for i, m in enumerate(table):
-            rows[i, 0:3] = m["sigma_t"]
             rows[i, 3:6] = m["albedo"]
             rows[i, 6] = m.get("g", 0.0)
-        out = cls(jnp.asarray(rows))
+            if not m.get("hetero"):
+                rows[i, 0:3] = m["sigma_t"]
+                continue
+            dens = np.asarray(m["density"], np.float32)  # [Z,Y,X]
+            zr, yr, xr = dens.shape
+            scale = float(m.get("scale", 1.0))
+            rows[i, 7] = 1.0
+            rows[i, 8] = scale * float(dens.max())
+            rows[i, 9] = scale
+            rows[i, 10] = float(goff)
+            rows[i, 11:14] = (xr, yr, zr)
+            # world -> grid-index affine (gridvolume.cpp:188-196):
+            # scale((res-1)/extent) . translate(-bbox_min) . worldToVolume
+            ext = np.asarray(m["bbox_max"], np.float64) - np.asarray(
+                m["bbox_min"], np.float64)
+            s = np.diag(np.append((np.array([xr, yr, zr]) - 1)
+                                  / np.maximum(ext, 1e-30), 1.0))
+            t = np.eye(4)
+            t[:3, 3] = -np.asarray(m["bbox_min"], np.float64)
+            w2v = np.linalg.inv(np.asarray(m.get("to_world", np.eye(4)),
+                                           np.float64))
+            w2g = s @ t @ w2v
+            rows[i, 14:26] = w2g[:3, :].reshape(-1)
+            grids.append(dens.reshape(-1))
+            goff += dens.size
+        out = cls(jnp.asarray(rows), jnp.asarray(np.concatenate(grids)))
         out.num = M
         return out
 
     @classmethod
     def empty(cls):
-        return cls(jnp.zeros((1, 8), jnp.float32), num=0)
+        return cls(jnp.zeros((1, ROW_W), jnp.float32), num=0)
+
+    @property
+    def any_hetero(self):
+        return bool(np.any(np.asarray(self.rows[:, 7]) > 0))
 
 
 jax.tree_util.register_pytree_node(
     MediaArrays,
-    lambda m: ((m.rows,), m.num),
-    lambda num, ch: MediaArrays(ch[0], num=num),
+    lambda m: ((m.rows, m.grid), m.num),
+    lambda num, ch: MediaArrays(ch[0], ch[1], num=num),
 )
 
 
@@ -64,6 +111,104 @@ def fetch(media: MediaArrays, mid):
     albedo = jnp.where(in_medium[..., None], row[:, 3:6], 0.0)
     g = jnp.where(in_medium, row[:, 6], 0.0)
     return sigma_t, albedo, g
+
+
+def fetch_row(media: MediaArrays, mid):
+    return media.rows[jnp.clip(mid, 0, media.rows.shape[0] - 1)]
+
+
+def density(media: MediaArrays, row, p):
+    """Trilinear scalar density lookup (gridvolume.cpp lookupFloat);
+    out-of-grid points return 0. row: [L, ROW_W] medium rows, p: [L,3]."""
+    w2g = row[:, 14:26].reshape(-1, 3, 4)
+    g = jnp.einsum("lij,lj->li", w2g[:, :, :3], p) + w2g[:, :, 3]
+    res = row[:, 11:14]
+    off = row[:, 10].astype(jnp.int32)
+    x1 = jnp.floor(g).astype(jnp.int32)
+    f = g - x1
+    nx = res[:, 0].astype(jnp.int32)
+    ny = res[:, 1].astype(jnp.int32)
+    inside = jnp.all((x1 >= 0) & (x1 + 1 <= res.astype(jnp.int32) - 1), -1)
+    x1c = jnp.clip(x1, 0, jnp.maximum(res.astype(jnp.int32) - 2, 0))
+
+    def at(dx, dy, dz):
+        idx = ((x1c[:, 2] + dz) * ny + (x1c[:, 1] + dy)) * nx + (x1c[:, 0] + dx)
+        return media.grid[off + idx]
+
+    fx, fy, fz = f[:, 0], f[:, 1], f[:, 2]
+    d = (((at(0, 0, 0) * (1 - fx) + at(1, 0, 0) * fx) * (1 - fy)
+          + (at(0, 1, 0) * (1 - fx) + at(1, 1, 0) * fx) * fy) * (1 - fz)
+         + ((at(0, 0, 1) * (1 - fx) + at(1, 0, 1) * fx) * (1 - fy)
+            + (at(0, 1, 1) * (1 - fx) + at(1, 1, 1) * fx) * fy) * fz)
+    return jnp.where(inside, d, 0.0)
+
+
+def woodcock_sample(media: MediaArrays, mid, o, d, t_surf, key,
+                    n_steps=WOODCOCK_STEPS):
+    """Delta tracking along o + t d up to t_surf. Returns
+    (is_medium, t, weight[3]) — weight is the single-scattering albedo
+    at a scatter event, 1 for surface escape (the acceptance test makes
+    the transmittance estimate unbiased). Lanes whose majorant is 0
+    always escape."""
+    L = o.shape[0]
+    row = fetch_row(media, mid)
+    maj = row[:, 8]
+    alb = row[:, 3:6]
+    scale = row[:, 9]
+    active0 = (mid >= 0) & (row[:, 7] > 0) & (maj > 0)
+    u = jax.random.uniform(key, (n_steps, L, 2))
+
+    def step(carry, uk):
+        t, alive, hit_med = carry
+        t2 = t - jnp.log(jnp.maximum(1.0 - uk[:, 0], 1e-38)) / jnp.maximum(
+            maj, 1e-38)
+        past = t2 >= t_surf
+        dens = density(media, row, o + t2[:, None] * d) * scale
+        accept = uk[:, 1] * maj < dens
+        new_hit = alive & ~past & accept
+        t = jnp.where(alive & ~past, t2, t)
+        hit_med = hit_med | new_hit
+        alive = alive & ~past & ~accept
+        return (t, alive, hit_med), None
+
+    (t, alive, hit_med), _ = jax.lax.scan(
+        step, (jnp.zeros(L), active0, jnp.zeros(L, bool)), u)
+    # budget exhausted while still alive: treat as escape (documented bias
+    # bound: (1 - 1/e)^n_steps of the majorant-interaction tail)
+    is_med = hit_med
+    w = jnp.where(is_med[:, None], alb, 1.0)
+    return is_med, jnp.where(is_med, t, t_surf), w
+
+
+def ratio_transmittance(media: MediaArrays, mid, o, d, dist, key,
+                        n_steps=WOODCOCK_STEPS):
+    """Ratio-tracking transmittance estimate through a heterogeneous
+    medium over [0, dist] (unbiased; heterogeneous.cpp uses analytic
+    Simpson quadrature for the deterministic variant)."""
+    L = o.shape[0]
+    row = fetch_row(media, mid)
+    maj = row[:, 8]
+    scale = row[:, 9]
+    active0 = (mid >= 0) & (row[:, 7] > 0) & (maj > 0)
+    u = jax.random.uniform(key, (n_steps, L))
+
+    def step(carry, uk):
+        t, T, alive = carry
+        t2 = t - jnp.log(jnp.maximum(1.0 - uk, 1e-38)) / jnp.maximum(
+            maj, 1e-38)
+        past = t2 >= dist
+        dens = density(media, row, o + t2[:, None] * d) * scale
+        T = jnp.where(alive & ~past,
+                      T * jnp.maximum(1.0 - dens / jnp.maximum(maj, 1e-38),
+                                      0.0),
+                      T)
+        t = jnp.where(alive & ~past, t2, t)
+        alive = alive & ~past
+        return (t, T, alive), None
+
+    (_, T, _), _ = jax.lax.scan(
+        step, (jnp.zeros(L), jnp.ones(L), active0), u)
+    return jnp.where(active0, T, 1.0)
 
 
 def transmittance(sigma_t, dist):

@@ -592,27 +592,76 @@ def build_scene(xml: SceneXML, missing_ok=True) -> SceneData:
     media_rows = []
     vert_base = 0
 
+    medium_cache = {}
+
     def add_medium(spec):
         """homogeneous medium (src/medium/homogeneous.cpp): sigmaS+sigmaA
-        or sigmaT+albedo, x scale; phase child (isotropic default, hg g)."""
-        if spec.otype != "homogeneous":
+        or sigmaT+albedo, x scale; heterogeneous medium
+        (src/medium/heterogeneous.cpp): gridvolume/constvolume density +
+        constvolume albedo, Woodcock tracking; phase child (isotropic
+        default, hg g). Media referenced by <ref> share one row."""
+        if id(spec) in medium_cache:
+            return medium_cache[id(spec)]
+        if spec.otype not in ("homogeneous", "heterogeneous"):
             raise NotImplementedError(f"medium type {spec.otype!r}")
         pr = spec.props
         scale = float(pr.get("scale", 1.0))
-        if "sigmaT" in pr or "albedo" in pr:
-            st = _rgb(pr.get("sigmaT"), [1, 1, 1]) * scale
-            al = _rgb(pr.get("albedo"), [0.5, 0.5, 0.5])
-        else:
-            ss = _rgb(pr.get("sigmaS"), [0.5, 0.5, 0.5]) * scale
-            sa = _rgb(pr.get("sigmaA"), [0.5, 0.5, 0.5]) * scale
-            st = ss + sa
-            al = np.where(st > 0, ss / np.maximum(st, 1e-30), 0.0)
         g = 0.0
         ph = spec.child("phase")
         if ph is not None and ph.otype == "hg":
             g = float(ph.props.get("g", 0.8))
-        media_rows.append(dict(sigma_t=st, albedo=al, g=g))
-        return len(media_rows) - 1
+
+        if spec.otype == "heterogeneous":
+            vols = {c.props.get("_name", "density"): c
+                    for c in spec.children_of("volume")}
+            dens_spec = vols.get("density")
+            if dens_spec is None:
+                raise ValueError("heterogeneous medium: missing density")
+            if dens_spec.otype == "gridvolume":
+                from ..io.vol import read_vol
+
+                data, bmin, bmax = read_vol(
+                    xml.resolve_path(dens_spec.props["filename"]))
+                if data.shape[-1] != 1:
+                    raise NotImplementedError(
+                        "heterogeneous density must be scalar "
+                        "(spectrally uniform sigmaT, heterogeneous.cpp:109)")
+                dens = data[..., 0]
+            elif dens_spec.otype == "constvolume":
+                dens = np.full((2, 2, 2),
+                               float(dens_spec.props.get("value", 1.0)),
+                               np.float32)
+                bmin = np.asarray(pr.get("aabb_min", [-1e3] * 3), np.float64)
+                bmax = np.asarray(pr.get("aabb_max", [1e3] * 3), np.float64)
+            else:
+                raise NotImplementedError(
+                    f"density volume {dens_spec.otype!r}")
+            alb_spec = vols.get("albedo")
+            if alb_spec is not None:
+                if alb_spec.otype != "constvolume":
+                    raise NotImplementedError(
+                        "only constvolume albedo is supported")
+                al = _rgb(alb_spec.props.get("value"), [0.5, 0.5, 0.5])
+            else:
+                al = _rgb(pr.get("albedo"), [0.9, 0.9, 0.9])
+            media_rows.append(dict(
+                hetero=True, density=dens, bbox_min=bmin, bbox_max=bmax,
+                to_world=np.asarray(
+                    dens_spec.props.get("toWorld",
+                                        pr.get("toWorld", np.eye(4)))),
+                scale=scale, albedo=al, g=g))
+        else:
+            if "sigmaT" in pr or "albedo" in pr:
+                st = _rgb(pr.get("sigmaT"), [1, 1, 1]) * scale
+                al = _rgb(pr.get("albedo"), [0.5, 0.5, 0.5])
+            else:
+                ss = _rgb(pr.get("sigmaS"), [0.5, 0.5, 0.5]) * scale
+                sa = _rgb(pr.get("sigmaA"), [0.5, 0.5, 0.5]) * scale
+                st = ss + sa
+                al = np.where(st > 0, ss / np.maximum(st, 1e-30), 0.0)
+            media_rows.append(dict(sigma_t=st, albedo=al, g=g))
+        medium_cache[id(spec)] = len(media_rows) - 1
+        return medium_cache[id(spec)]
 
     env_emitter = None
     delta_emitters = []
