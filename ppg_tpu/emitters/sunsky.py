@@ -364,9 +364,29 @@ def rasterize_sun_sky(props: dict, kind: str):
             else scale
         radius_scale = float(props.get("sunRadiusScale", 1.0))
         if radius_scale <= 0:
-            raise NotImplementedError(
-                "sunRadiusScale=0 (directional sun) not supported yet")
-        sun_rgb = compute_sun_radiance(elev, turbidity) * sun_scale
-        img = splat_sun(img, elev, azim, sun_rgb,
-                        sun_radius_scale=radius_scale, stretch=stretch)
+            # sunRadiusScale=0: the sun is emitted as a directional delta
+            # light by scene flattening (sun.cpp:153-166) — skip the splat
+            pass
+        else:
+            sun_rgb = compute_sun_radiance(elev, turbidity) * sun_scale
+            img = splat_sun(img, elev, azim, sun_rgb,
+                            sun_radius_scale=radius_scale, stretch=stretch)
     return img.astype(np.float32)
+
+
+def directional_sun(props: dict):
+    """sunRadiusScale=0 conversion (sun.cpp:153-166): returns
+    (direction light travels, irradiance rgb) for a directional emitter
+    with irradiance = sunRadiance * solidAngle."""
+    turbidity = float(props.get("turbidity", 3.0))
+    scale = float(props.get("scale", 1.0))
+    sun_scale = float(props.get("sunScale", scale))
+    stretch = float(props.get("stretch", 1.0))
+    elev, azim = compute_sun_coordinates(props)
+    theta = np.deg2rad(SUN_APP_RADIUS * 0.5)
+    solid_angle = 2 * np.pi * (1 - np.cos(theta))
+    irradiance = compute_sun_radiance(elev, turbidity) * sun_scale * solid_angle
+    e = elev * stretch
+    n = np.array([np.sin(azim) * np.sin(e), np.cos(e),
+                  -np.cos(azim) * np.sin(e)])
+    return -n, irradiance

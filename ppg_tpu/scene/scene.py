@@ -669,7 +669,19 @@ def build_scene(xml: SceneXML, missing_ok=True) -> SceneData:
         t = em.otype
         p = em.props
         if t in ("envmap", "constant", "sky", "sun", "sunsky"):
-            env_emitter = em  # handled by emitters.envmap / sunsky
+            if (t in ("sun", "sunsky")
+                    and float(p.get("sunRadiusScale", 1.0)) <= 0):
+                # sun.cpp:153-166: zero apparent radius -> the sun becomes
+                # a directional delta emitter; sunsky keeps its sky dome
+                from ..emitters.sunsky import directional_sun
+
+                d_sun, irr = directional_sun(p)
+                delta_emitters.append(dict(
+                    type=2, direction=d_sun, intensity=irr))
+                if t == "sunsky":
+                    env_emitter = em  # the splat itself is skipped inside
+            else:
+                env_emitter = em  # handled by emitters.envmap / sunsky
         elif t == "point":
             delta_emitters.append(dict(
                 type=0,
@@ -693,6 +705,17 @@ def build_scene(xml: SceneXML, missing_ok=True) -> SceneData:
                 direction=_rgb(p.get("direction"), [0, 0, 1]),
                 intensity=_rgb(p.get("irradiance"), [1, 1, 1]),
             ))
+        elif t == "collimated":
+            # 0D response: sampleDirect always fails in the reference
+            # (collimated.cpp sampleDirect pdf=0), so a unidirectional
+            # path tracer gets NO contribution from it — parse + warn for
+            # parity, contribute nothing (same as the reference here)
+            import warnings
+
+            warnings.warn(
+                "collimated emitter contributes nothing to unidirectional "
+                "path tracing (matches the reference's sampleDirect "
+                "failure); use an area/spot light instead")
         else:
             raise NotImplementedError(f"scene-level emitter {t!r}")
 
