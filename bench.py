@@ -1,9 +1,11 @@
-"""Benchmark: sustained ray throughput of the wavefront tracer on one chip.
+"""Benchmark: sustained ray throughput of the regenerative wavefront
+tracer on one chip.
 
 Renders the reference CBOX scene (512x512, maxDepth 10, unguided — the
-BASELINE.json config-1 analog) and reports Mrays/sec, counting every
-closest-hit query actually issued (camera + bounce segments), matching how
-the reference's kdbench-style throughput would be measured.
+BASELINE.json config-1 analog) at 32 spp with the persistent-wavefront
+regeneration tracer (integrators/regen.py) and reports Mrays/sec from
+the tracer's own exact closest-hit counts — matching how the reference's
+kdbench-style throughput would be measured.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is against the 100 Mrays/s north-star target.
@@ -19,11 +21,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main():
     import jax
-    import jax.numpy as jnp
+    import numpy as np
 
-    from ppg_tpu.integrators.driver import make_config
-    from ppg_tpu.integrators.wavefront import DeviceScene, trace_paths
-    from ppg_tpu.render.sensor import PerspectiveSensor
+    from ppg_tpu.integrators.driver import _regen_dispatch, make_config
+    from ppg_tpu.integrators.wavefront import DeviceScene
+    from ppg_tpu.render.sensor import make_sensor
 
     ref_scene = "/root/reference/scenes/cbox/cbox.xml"
     if os.path.exists(ref_scene):
@@ -36,39 +38,45 @@ def main():
         sc = mini_cbox(res=512, max_depth=10)
 
     dev = DeviceScene.from_scene(sc)
-    sensor = PerspectiveSensor(sc.sensor, sc.film)
+    sensor = make_sensor(sc.sensor, sc.film)
     cfg = make_config(sc, guiding=False, record_vertices=False)
     W, H = sc.film["width"], sc.film["height"]
-    CHUNK = 1 << 16  # sweet spot: larger wavefronts spill state arrays to HBM
+    CHUNK = 1 << 16
+    SPP = 32
+    KMAX = SPP * 24 + 64
+    n_chunks = (W * H + CHUNK - 1) // CHUNK
 
-    @jax.jit
-    def pass_fn(key, start):
-        ids = start + jnp.arange(CHUNK)
-        pos = jnp.stack(
-            [(ids % W).astype(jnp.float32), (ids // W).astype(jnp.float32)], -1
-        ) + jax.random.uniform(key, (CHUNK, 2))
-        o, d, tmin, tmax = sensor.sample_rays(pos)
-        out = trace_paths(dev, cfg, key, o, d, tmin, tmax)
-        return jnp.sum(out["li"]), out["n_rays"]
+    spp_t, K_t = np.int32(SPP), np.int32(KMAX)
+
+    def frame(salt0):
+        # NO eager jax ops and NO device scalars in this loop: every
+        # eager op / host sync on the TPU tunnel costs a round-trip and
+        # serializes the dispatch pipeline (the key fold happens inside
+        # _regen_dispatch's jit)
+        outs = []
+        for c in range(n_chunks):
+            out, _ = _regen_dispatch(
+                dev, cfg, key, np.int32(salt0 + c), sensor=sensor,
+                pix_start=np.int32(c * CHUNK), L=CHUNK,
+                spp=spp_t, K=K_t, carry=None, it_base=np.int32(0))
+            outs.append(out)
+        return outs
 
     key = jax.random.key(0)
-    # compile + THOROUGH warmup: the first post-compile executions on the
-    # TPU tunnel run ~4x slower until the program is resident
-    n_chunks = (W * H + CHUNK - 1) // CHUNK
-    for w in range(2 * n_chunks):
-        s, n = pass_fn(jax.random.fold_in(key, 7777 + w), jnp.int32(0))
-    jax.block_until_ready(s)
+    # compile + warmup (first post-compile executions on the TPU tunnel
+    # run slower until the program is resident)
+    for w in range(3):
+        outs = frame(7777 + w * n_chunks)
+    jax.block_until_ready(outs[-1]["rgb"])
 
-    reps = 6
+    reps = 4
     t0 = time.time()
-    outs = []
+    all_outs = []
     for r in range(reps):
-        for c in range(n_chunks):
-            s, n = pass_fn(jax.random.fold_in(key, r * 131 + c), jnp.int32(c * CHUNK))
-            outs.append((s, n))  # no host sync inside the timing loop
-    jax.block_until_ready(outs[-1][0])
+        all_outs.extend(frame(r * n_chunks))
+    jax.block_until_ready(all_outs[-1]["rgb"])
     dt = time.time() - t0
-    total_rays = sum(int(n) for _, n in outs)
+    total_rays = sum(int(np.asarray(o["n_rays"])) for o in all_outs)
     mrays = total_rays / dt / 1e6
 
     print(json.dumps({

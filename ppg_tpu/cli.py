@@ -90,8 +90,14 @@ def main(argv=None):
             if args.devices > 1:
                 img = _render_sharded(sc, cfg, spp, args)
             else:
-                img = render(sc, spp=spp, seed=args.seed, chunk=args.chunk,
-                             cfg=cfg)
+                from .integrators.driver import regen_eligible, render_regen
+
+                if regen_eligible(sc, cfg):
+                    img = render_regen(sc, spp=spp, seed=args.seed,
+                                       chunk=args.chunk, cfg=cfg)
+                else:
+                    img = render(sc, spp=spp, seed=args.seed,
+                                 chunk=args.chunk, cfg=cfg)
         else:
             raise SystemExit(f"unsupported integrator {itype!r}")
 

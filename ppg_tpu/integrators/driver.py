@@ -95,6 +95,80 @@ def _render_chunk(scene, cfg, sensor, film, chunk, buffers, key, pix_start,
     return buffers, out["vertices"]
 
 
+@partial(jax.jit, static_argnames=("cfg", "sensor", "L"),
+         donate_argnames=("carry",))
+def _regen_dispatch(scene, cfg, key, salt, sensor, pix_start, L, spp, K,
+                    carry, it_base):
+    # K is a traced while_loop bound here (cfg.record_vertices must be
+    # False — the record-stacking scan needs a static K). The per-chunk
+    # key derivation (fold_in) happens INSIDE the jit: an eager fold_in
+    # per dispatch costs a device round-trip on the TPU tunnel (~10+ ms)
+    # and serializes the dispatch pipeline. Callers pass plain numpy
+    # scalars for salt/pix_start/spp/K/it_base for the same reason.
+    from .regen import trace_regen
+
+    key = jax.random.fold_in(key, salt)
+    return trace_regen(scene, cfg, key, sensor, pix_start, L, spp, K,
+                       carry=carry, it_base=it_base)
+
+
+def regen_eligible(sc, cfg):
+    """The regenerative tracer covers box-filter, independent-sampler,
+    media-free, record-free renders; everything else uses the classic
+    fixed-bounce wavefront."""
+    return (not cfg.has_media and cfg.sampler == "independent"
+            and str(sc.film.get("rfilter", "box")) == "box"
+            and not cfg.record_vertices)
+
+
+def render_regen(sc, spp, seed=0, chunk=1 << 16, cfg=None, scene_dev=None,
+                 K=None):
+    """Render with the persistent-wavefront regenerative tracer
+    (integrators/regen.py): one dispatch per chunk renders ALL spp with
+    near-full lane utilization. Requires the box rfilter (jitter within
+    the pixel), independent sampler, and a media-free scene — callers
+    fall back to render() otherwise."""
+    dev = scene_dev if scene_dev is not None else DeviceScene.from_scene(sc)
+    cfg = cfg or make_config(sc, guiding=False)
+    W, H = sc.film["width"], sc.film["height"]
+    sensor = make_sensor(sc.sensor, sc.film)
+    # unguided: the while_loop inside trace_regen exits as soon as every
+    # lane finishes, so K is just a generous watchdog bound and a chunk
+    # is ONE dispatch; the continuation loop below is a safety net
+    K = K or (spp * 24 + 64)
+
+    def run(key, salt, **kw):
+        return _regen_dispatch(dev, cfg, key, salt, **kw)
+
+    n_pix = W * H
+    rgb = np.zeros((((n_pix + chunk - 1) // chunk) * chunk, 3), np.float32)
+    wsum = np.zeros(rgb.shape[0], np.float32)
+    base = jax.random.key(seed)
+    max_disp = (spp * 24) // K + 8
+    spp_t = np.int32(spp)
+    K_t = np.int32(K)
+    for c in range((n_pix + chunk - 1) // chunk):
+        carry = None
+        out = prev_done = None
+        for i in range(max_disp):
+            out, carry = run(
+                base, np.int32(c * max_disp + i),
+                sensor=sensor, pix_start=np.int32(c * chunk),
+                L=chunk, spp=spp_t, K=K_t, carry=carry,
+                it_base=np.int32(i * K))
+            # overlapped termination check: sync the PREVIOUS dispatch's
+            # all_done while this one computes (all_done is monotone and
+            # a post-done dispatch is a cheap no-op)
+            if prev_done is not None and bool(prev_done):
+                break
+            prev_done = out["all_done"]
+        rgb[c * chunk:(c + 1) * chunk] = np.asarray(out["rgb"])
+        wsum[c * chunk:(c + 1) * chunk] = np.asarray(out["w"])
+    rgb = rgb[:n_pix].reshape(H, W, 3)
+    wsum = wsum[:n_pix].reshape(H, W)
+    return rgb / np.maximum(wsum, 1e-20)[..., None]
+
+
 def render(sc, spp, seed=0, chunk=1 << 16, cfg=None, scene_dev=None,
            squared=False):
     """Render `spp` samples per pixel; returns float32 [H,W,3] (and the

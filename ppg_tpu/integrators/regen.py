@@ -1,0 +1,598 @@
+"""Persistent-wavefront path tracer with lane-owned path regeneration.
+
+The classic wavefront (wavefront.trace_paths) traces one camera sample
+per lane through a fixed-length bounce scan: lanes whose paths die early
+(RR, absorption, escape) idle for the remaining bounces — on cbox ~half
+of every bounce's width is dead, on deep-bounce interior scenes far
+more. Here each lane OWNS one pixel of the chunk and serves all `spp`
+samples of that pixel back-to-back: the scan runs K iterations where an
+iteration = {regenerate finished lanes with their pixel's next camera
+sample, intersect every lane's pending ray, accumulate emitter/env hits
+(one-sample-MIS weighted), shade + NEE + sample the next direction}.
+Utilization stays near 1 until the tail of the sample queue drains.
+
+Because lane l only ever renders pixel pix_start + l, the film update is
+the same contiguous dynamic-slice add as the classic path — no scatter,
+no sort. Sample counts are exact: a lane stops regenerating after spp
+starts, and a sample still in flight when K runs out is DISCARDED
+(contribution and weight), keeping the estimator unbiased; size K so
+the discard count is negligible (see `iterations_for`).
+
+The per-iteration shade stage replicates wavefront.trace_paths' body
+(the reference implementation of the Li() semantics,
+guided_path.cpp:1712-2157) — the two must stay in sync; the equal-spp
+agreement test in tests/test_regen.py enforces it. Scope: surface
+scenes (no participating media), independent sampler, guiding on or off
+(vertex/NEE records use per-lane SEGMENTED suffix sums of the slot
+stream, the regenerative analog of recordRadiance over stored
+vertices).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..accel.traverse import any_hit, closest_hit
+from ..bsdf import bsdf as B
+from ..core.vecmath import build_frame, dot, to_local, to_world
+from ..emitters import area as E
+from ..emitters import envmap as EV
+from ..scene.scene import MAT_COATING, MAT_MASK, MAT_ROUGHCOATING
+from ..scene.textures import sample_atlas
+from .wavefront import (DeviceScene, PTConfig, SHADOW_EPS, _sample_emitters,
+                        decode_row, fetch_row, mi_weight)
+
+
+def iterations_for(spp, max_depth, rr_depth=5, mean_len=None):
+    """Iteration budget so that sample discards are negligible: spp x
+    (expected path length) + a drain tail for the last samples."""
+    cap = 16 if max_depth < 0 else min(max_depth - 1, 64)
+    mean = mean_len if mean_len is not None else min(rr_depth + 3.0, cap + 1)
+    tail = cap + 1 + 8
+    return int(spp * mean + tail)
+
+
+def init_carry(L):
+    """Fresh lane-pool state for trace_regen continuation dispatches."""
+    f3 = lambda: jnp.zeros((L, 3), jnp.float32)
+    return dict(
+        started=jnp.zeros(L, jnp.int32), done=jnp.zeros(L, jnp.int32),
+        acc=f3(), cur=f3(),
+        alive=jnp.zeros(L, bool), fresh=jnp.zeros(L, bool),
+        o=f3(), d=jnp.tile(jnp.asarray([[0.0, 0, 1]], jnp.float32), (L, 1)),
+        p_prev=f3(), thr=f3(), eta=jnp.ones(L),
+        wo_pdf_prev=jnp.zeros(L), delta_prev=jnp.zeros(L, bool),
+        depth=jnp.zeros(L, jnp.int32), n_rays=jnp.int32(0),
+    )
+
+
+def _rand(key, it, tag, shape):
+    return jax.random.uniform(
+        jax.random.fold_in(jax.random.fold_in(key, it), tag), shape)
+
+
+def trace_regen(scene: DeviceScene, cfg: PTConfig, key, sensor, pix_start,
+                L, spp, K, sdtree=None, carry=None, it_base=0):
+    """Render up to `spp` samples for pixels [pix_start, pix_start + L)
+    with an L-lane pool over K iterations.
+
+    Continuation: pass the returned `carry` (and a bumped `it_base`, so
+    randomness never repeats) to keep tracing the same chunk in further
+    dispatches — the driver stops when done == spp everywhere, so K can
+    stay small and idle-tail waste is bounded by one dispatch. Training
+    records of a path spanning a dispatch boundary lose the tail light
+    beyond the boundary (bounded by choosing K >= typical path length;
+    the classic loop's fixed bounce cap truncates the same way).
+
+    Returns dict(rgb [L,3] summed radiance, w [L] completed-sample
+    counts, n_rays, started/done diagnostics, vertices: None or stacked
+    [K, L] training records when cfg.record_vertices) and the carry.
+    """
+    if cfg.has_media:
+        raise NotImplementedError("regen tracer: media scenes use "
+                                  "wavefront.trace_paths")
+    if cfg.sampler != "independent":
+        raise NotImplementedError("regen tracer: QMC samplers use "
+                                  "wavefront.trace_paths")
+    f3 = lambda: jnp.zeros((L, 3), jnp.float32)
+    guide = cfg.guiding and sdtree is not None
+    if guide:
+        from ..guiding import sdtree as G
+
+    ids = pix_start + jnp.arange(L)
+    px = (ids % sensor.W).astype(jnp.float32)
+    py = (ids // sensor.W).astype(jnp.float32)
+    pos_base = jnp.stack([px, py], -1)
+    # shades per path: maxDepth-1 like the classic loop (rRec.depth starts
+    # at 1, sampling while depth < maxDepth); unlimited -> RR terminates
+    max_shades = jnp.int32(2**30 if cfg.max_depth < 0 else cfg.max_depth - 1)
+
+    n_emitter_slots = (scene.emitters.num + (1 if cfg.has_env else 0)
+                       + scene.delta.num)
+
+    def body(carry, it):
+        # -- 1. regenerate finished lanes with their next camera sample --
+        want = ~carry["alive"] & (carry["started"] < spp)
+        jit2 = _rand(key, it, 4, (L, 2))
+        u_lens = (_rand(key, it, 5, (L, 2))
+                  if getattr(sensor, "needs_lens_sample", False) else None)
+        o_c, d_c, tmin_c, tmax_c = sensor.sample_rays(pos_base + jit2, u_lens)
+        w1 = want[..., None]
+
+        o = jnp.where(w1, o_c, carry["o"])
+        d = jnp.where(w1, d_c, carry["d"])
+        tmin = jnp.where(want, tmin_c, 0.0)
+        tmax = jnp.where(want, tmax_c, 3.4e38)
+        thr = jnp.where(w1, 1.0, carry["thr"])
+        eta = jnp.where(want, 1.0, carry["eta"])
+        wo_pdf_prev = jnp.where(want, 0.0, carry["wo_pdf_prev"])
+        delta_prev = jnp.where(want, False, carry["delta_prev"])
+        depth = jnp.where(want, 0, carry["depth"])
+        fresh = want | (carry["fresh"] & carry["alive"])
+        cur = jnp.where(w1, 0.0, carry["cur"])
+        p_prev = jnp.where(w1, o_c, carry["p_prev"])
+        started = carry["started"] + want.astype(jnp.int32)
+        alive = carry["alive"] | want
+
+        # -- 2. intersect every pending ray -------------------------------
+        tri2, t2, bu2, bv2 = closest_hit(
+            scene.geom, o, d, tmin, jnp.where(alive, tmax, -1.0))
+        hit = (tri2 >= 0) & alive
+        escaped = alive & (tri2 < 0)
+        tri2s = jnp.maximum(tri2, 0)
+        row = fetch_row(scene, tri2s)
+        sh_n, geo_n, mid, eid, rad, uv, _med, dpdu, dpdv = decode_row(
+            row, bu2, bv2)
+        front = dot(sh_n, -d) > 0
+        le = jnp.where((hit & (eid >= 0) & front)[..., None], rad, 0.0)
+        if cfg.has_env:
+            le = le + jnp.where(escaped[..., None],
+                                EV.eval_env(scene.env, d), 0.0)
+        hit_emitter = jnp.any(le > 0, axis=-1)
+        p2 = o + t2[..., None] * d
+
+        # MIS against NEE for non-fresh segments (guided_path.cpp:2083-2110)
+        if cfg.do_nee:
+            em_pdf = jnp.where(
+                hit_emitter & ~delta_prev & ~fresh,
+                E.pdf_direct(scene.emitters, jnp.where(hit, eid, -1), p2,
+                             sh_n, p_prev, n_slots=n_emitter_slots),
+                0.0)
+            if cfg.has_env:
+                em_pdf = jnp.where(
+                    escaped & hit_emitter & ~delta_prev & ~fresh,
+                    EV.pdf_direct(scene.env, d) / n_emitter_slots,
+                    em_pdf)
+        else:
+            em_pdf = jnp.zeros(L)
+        w_mis = jnp.where(fresh, 1.0, mi_weight(wo_pdf_prev, em_pdf))
+        if cfg.hide_emitters:
+            w_mis = jnp.where(fresh, 0.0, w_mis)
+        slot = thr * le * w_mis[..., None]
+        cur = cur + jnp.where(alive[..., None], slot, 0.0)
+        n_rays_it = jnp.sum(alive.astype(jnp.int32))
+
+        # -- 3. shade the hit (mirrors wavefront.body) --------------------
+        can_shade = hit & (depth < max_shades)
+        wi_dot_geo = -dot(geo_n, d)
+        wi_dot_sh = -dot(sh_n, d)
+        act = can_shade
+        if cfg.strict_normals:
+            act = act & (wi_dot_geo * wi_dot_sh >= 0)
+
+        params = B.gather_params(scene.mats, mid)
+
+        if cfg.has_vertexcolors:
+            w0c = (1.0 - bu2 - bv2)[..., None]
+            vcol = (row[:, 30:33] * w0c + row[:, 33:36] * bu2[..., None]
+                    + row[:, 36:39] * bv2[..., None])
+        else:
+            vcol = None
+
+        def tex_override(pr):
+            if not cfg.has_tex:
+                return pr
+            n_slots_tex = scene.tex.vcflag.shape[0]
+            for field, tslot in (("reflectance", "tex_reflectance"),
+                                 ("opacity", "tex_opacity")):
+                tid = pr[tslot]
+                val = sample_atlas(scene.tex, tid + 1, uv)
+                if cfg.has_vertexcolors:
+                    is_vc = scene.tex.vcflag[
+                        jnp.clip(tid + 1, 0, n_slots_tex - 1)]
+                    val = jnp.where(is_vc[..., None], vcol, val)
+                pr[field] = jnp.where((tid >= 0)[..., None], val, pr[field])
+            return pr
+
+        params = tex_override(params)
+        sh_n_s = sh_n
+        if cfg.has_bump:
+            from ..scene.textures import perturb_normal
+
+            sh_n_s = perturb_normal(
+                scene.tex, params["tex_bump"] + 1, params["bump_is_normal"],
+                uv, sh_n, dpdu, dpdv)
+        smooth, delta_only, _, transmissive = B.lane_flags(params)
+
+        if cfg.has_mask:
+            is_mask = params["mtype"] == MAT_MASK
+            opacity = params["opacity"]
+            prob = jnp.clip(
+                opacity[..., 0] * 0.212671 + opacity[..., 1] * 0.715160
+                + opacity[..., 2] * 0.072169, 1e-6, 1.0 - 1e-6)
+            u_m = _rand(key, it, 7, (L,))
+            go_nested = is_mask & (u_m < prob)
+            pass_thru = is_mask & (u_m >= prob)
+            mid_n = jnp.where(is_mask, jnp.maximum(params["nested"], 0), mid)
+            params_n = tex_override(B.gather_params(scene.mats, mid_n))
+            params = jax.tree.map(
+                lambda a, b: jnp.where(
+                    is_mask.reshape(is_mask.shape + (1,) * (a.ndim - 1)),
+                    a, b),
+                params_n, params)
+            sm_n, do_n, _, _ = B.lane_flags(params)
+            smooth = jnp.where(is_mask, sm_n, smooth)
+            delta_only = jnp.where(is_mask, do_n, delta_only)
+            transmissive = transmissive | is_mask
+            f_scale = jnp.where(is_mask[..., None], opacity, 1.0)
+            p_scale = jnp.where(is_mask, prob, 1.0)
+        else:
+            is_mask = pass_thru = go_nested = None
+            f_scale = p_scale = opacity = prob = None
+
+        def mask_sample(wo_t, w_t, pdf_t, delta_t, eta_t, wi_local):
+            if not cfg.has_mask:
+                return wo_t, w_t, pdf_t, delta_t, eta_t
+            w_t = jnp.where(
+                go_nested[..., None],
+                w_t * opacity / jnp.maximum(prob, 1e-9)[..., None], w_t)
+            pdf_t = jnp.where(go_nested, pdf_t * prob, pdf_t)
+            wo_t = jnp.where(pass_thru[..., None], -wi_local, wo_t)
+            w_t = jnp.where(
+                pass_thru[..., None],
+                (1.0 - opacity) / jnp.maximum(1.0 - prob, 1e-9)[..., None],
+                w_t)
+            pdf_t = jnp.where(pass_thru, 1.0 - prob, pdf_t)
+            delta_t = delta_t | pass_thru
+            eta_t = jnp.where(pass_thru, 1.0, eta_t)
+            return wo_t, w_t, pdf_t, delta_t, eta_t
+
+        if cfg.has_blend:
+            from ..scene.scene import MAT_BLEND
+
+            is_blend = params["mtype"] == MAT_BLEND
+            w_bl = params["blend_w"]
+            mid_a = jnp.where(is_blend, jnp.maximum(params["nested"], 0), mid)
+            mid_b = jnp.where(is_blend, jnp.maximum(params["nested2"], 0), mid)
+            params_a = tex_override(B.gather_params(scene.mats, mid_a))
+            params_b = tex_override(B.gather_params(scene.mats, mid_b))
+            u_bl = _rand(key, it, 10, (L,))
+            pick_b2 = is_blend & (u_bl < w_bl)
+            params = jax.tree.map(
+                lambda pa, pb, pr: jnp.where(
+                    pick_b2.reshape(pick_b2.shape + (1,) * (pa.ndim - 1)), pb,
+                    jnp.where(
+                        is_blend.reshape(
+                            is_blend.shape + (1,) * (pa.ndim - 1)), pa, pr)),
+                params_a, params_b, params)
+            sm_a, do_a, _, tr_a = B.lane_flags(params_a)
+            sm_b, do_b, _, tr_b = B.lane_flags(params_b)
+            smooth = jnp.where(is_blend, sm_a | sm_b, smooth)
+            delta_only = jnp.where(is_blend, do_a & do_b, delta_only)
+            transmissive = jnp.where(is_blend, tr_a | tr_b, transmissive)
+        else:
+            is_blend = None
+
+        if cfg.has_coating:
+            from ..bsdf import layered as LY
+
+            is_coat = ((params["mtype"] == MAT_COATING)
+                       | (params["mtype"] == MAT_ROUGHCOATING))
+            is_rough_coat = params["mtype"] == MAT_ROUGHCOATING
+            mid_c = jnp.where(is_coat, jnp.maximum(params["nested"], 0), mid)
+            params_c = tex_override(B.gather_params(scene.mats, mid_c))
+            sm_c, do_c, _, tr_c = B.lane_flags(params_c)
+            smooth = jnp.where(is_coat, sm_c | is_rough_coat, smooth)
+            delta_only = jnp.where(is_coat, do_c & ~is_rough_coat, delta_only)
+            transmissive = jnp.where(is_coat, tr_c, transmissive)
+            u_coat = _rand(key, it, 11, (L, 1))
+        else:
+            is_coat = None
+
+        def eval_b(wi_l, wo_l):
+            f = B.eval_bsdf(params, wi_l, wo_l, present=scene.mats.present)
+            if cfg.has_blend:
+                fa = B.eval_bsdf(params_a, wi_l, wo_l,
+                                 present=scene.mats.present)
+                fb = B.eval_bsdf(params_b, wi_l, wo_l,
+                                 present=scene.mats.present)
+                fmix = (1 - w_bl)[..., None] * fa + w_bl[..., None] * fb
+                f = jnp.where(is_blend[..., None], fmix, f)
+            if cfg.has_coating:
+                fc, _ = LY.eval_pdf(params, params_c, wi_l, wo_l,
+                                    present=scene.mats.present)
+                f = jnp.where(is_coat[..., None], fc, f)
+            return f * f_scale if cfg.has_mask else f
+
+        def pdf_b(wi_l, wo_l):
+            q = B.pdf_bsdf(params, wi_l, wo_l, present=scene.mats.present)
+            if cfg.has_blend:
+                qa = B.pdf_bsdf(params_a, wi_l, wo_l,
+                                present=scene.mats.present)
+                qb = B.pdf_bsdf(params_b, wi_l, wo_l,
+                                present=scene.mats.present)
+                q = jnp.where(is_blend, (1 - w_bl) * qa + w_bl * qb, q)
+            if cfg.has_coating:
+                _, qc = LY.eval_pdf(params, params_c, wi_l, wo_l,
+                                    present=scene.mats.present)
+                q = jnp.where(is_coat, qc, q)
+            return q * p_scale if cfg.has_mask else q
+
+        def coat_fix(wo_t, w_t, pdf_t, delta_t, eta_t, wi_local, ua):
+            if not cfg.has_coating:
+                return wo_t, w_t, pdf_t, delta_t, eta_t
+            u4 = jnp.concatenate([ua, u_coat], -1)
+            wo_c2, w_c2, pdf_c2, d_c2, e_c2 = LY.sample(
+                params, params_c, wi_local, u4, present=scene.mats.present)
+            return (jnp.where(is_coat[..., None], wo_c2, wo_t),
+                    jnp.where(is_coat[..., None], w_c2, w_t),
+                    jnp.where(is_coat, pdf_c2, pdf_t),
+                    jnp.where(is_coat, d_c2, delta_t),
+                    jnp.where(is_coat, e_c2, eta_t))
+
+        def blend_fix(wo_t, w_t, pdf_t, wi_local):
+            if not cfg.has_blend:
+                return w_t, pdf_t
+            fmix = eval_b(wi_local, wo_t)
+            pmix = pdf_b(wi_local, wo_t)
+            w_mix = jnp.where(
+                pmix[..., None] > 0,
+                fmix / jnp.maximum(pmix, 1e-38)[..., None], 0.0)
+            w_t = jnp.where(is_blend[..., None], w_mix, w_t)
+            pdf_t = jnp.where(is_blend, pmix, pdf_t)
+            return w_t, pdf_t
+
+        s_ax, t_ax = build_frame(sh_n_s)
+        wi = to_local(s_ax, t_ax, sh_n_s, -d)
+
+        if guide:
+            dtree_id, voxel = G.lookup(sdtree, p2)
+            has_tree = smooth
+            dtree_id = jnp.where(has_tree, dtree_id, -1)
+            if cfg.learn_fraction:
+                frac = G.sampling_fraction(sdtree, dtree_id)
+                frac = jnp.where(has_tree, frac, cfg.bsdf_fraction)
+            else:
+                frac = jnp.full(L, cfg.bsdf_fraction)
+        else:
+            dtree_id = jnp.full(L, -1, jnp.int32)
+            voxel = jnp.ones((L, 3), jnp.float32)
+            frac = jnp.full(L, cfg.bsdf_fraction)
+
+        u_bsdf = _rand(key, it, 0, (L, 3))
+        if guide and cfg.is_built:
+            use_guide_mix = (dtree_id >= 0) & ~delta_only
+            pick_bsdf = u_bsdf[:, 0] < frac
+            ua = jnp.stack(
+                [jnp.clip(u_bsdf[:, 0] / jnp.maximum(frac, 1e-9),
+                          0.0, 1.0 - 1e-7),
+                 u_bsdf[:, 1], u_bsdf[:, 2]], -1)
+            wo_a, w_a, pdf_a, delta_a, eta_a = coat_fix(
+                *mask_sample(
+                    *B.sample_bsdf(params, wi, ua,
+                                   present=scene.mats.present), wi),
+                wi, ua)
+            if cfg.has_blend:
+                w_a, pdf_a = blend_fix(wo_a, w_a, pdf_a, wi)
+            u_tree = _rand(key, it, 1, (L, G.MAX_Q_DEPTH + 2))
+            d_tree = G.sample_dir(sdtree, jnp.maximum(dtree_id, 0), u_tree)
+            wo_b = to_local(s_ax, t_ax, sh_n_s, d_tree)
+
+            wo = jnp.where((pick_bsdf | ~use_guide_mix)[..., None],
+                           wo_a, wo_b)
+            sampled_delta = jnp.where(use_guide_mix, delta_a & pick_bsdf,
+                                      delta_a)
+            eta_s = jnp.where(use_guide_mix & ~pick_bsdf, 1.0, eta_a)
+
+            bsdf_pdf = pdf_b(wi, wo)
+            f_cos = eval_b(wi, wo)
+            wo_world = to_world(s_ax, t_ax, sh_n_s, wo)
+            dtree_pdf = G.pdf_dir(sdtree, jnp.maximum(dtree_id, 0), wo_world)
+            wo_pdf = frac * bsdf_pdf + (1 - frac) * dtree_pdf
+            wo_pdf = jnp.where(sampled_delta, pdf_a * frac, wo_pdf)
+            dtree_pdf = jnp.where(sampled_delta, 0.0, dtree_pdf)
+            bsdf_pdf = jnp.where(sampled_delta, pdf_a, bsdf_pdf)
+            value = jnp.where(
+                sampled_delta[..., None], w_a * pdf_a[..., None], f_cos)
+            bsdf_weight = jnp.where(
+                wo_pdf[..., None] > 0,
+                value / jnp.maximum(wo_pdf, 1e-38)[..., None], 0.0)
+            bsdf_weight = jnp.where(use_guide_mix[..., None],
+                                    bsdf_weight, w_a)
+            wo_pdf = jnp.where(use_guide_mix, wo_pdf, pdf_a)
+            bsdf_pdf = jnp.where(use_guide_mix, pdf_a, bsdf_pdf)
+            dtree_pdf = jnp.where(use_guide_mix, dtree_pdf, 0.0)
+        else:
+            wo, bsdf_weight, bsdf_pdf, sampled_delta, eta_s = coat_fix(
+                *mask_sample(
+                    *B.sample_bsdf(params, wi, u_bsdf,
+                                   present=scene.mats.present), wi),
+                wi, u_bsdf)
+            if cfg.has_blend:
+                bsdf_weight, bsdf_pdf = blend_fix(wo, bsdf_weight,
+                                                  bsdf_pdf, wi)
+            wo_pdf = bsdf_pdf
+            dtree_pdf = jnp.zeros(L)
+        wo_world = to_world(s_ax, t_ax, sh_n_s, wo)
+
+        # -- NEE ----------------------------------------------------------
+        nee_rec = None
+        if cfg.do_nee:
+            u_nee = _rand(key, it, 2, (L, 2))
+            ref_n = jnp.where(transmissive[..., None], 0.0, sh_n_s)
+            ds, _ = _sample_emitters(scene, cfg, p2, ref_n, u_nee)
+            nee_ok = act & smooth & (ds["pdf"] > 0)
+            wo_nee = to_local(s_ax, t_ax, sh_n_s, ds["d"])
+            if cfg.strict_normals:
+                nee_ok = nee_ok & (dot(geo_n, ds["d"]) * wo_nee[..., 2] > 0)
+            f_nee = eval_b(wi, wo_nee)
+            bsdf_pdf_nee = pdf_b(wi, wo_nee)
+            if guide and cfg.is_built:
+                dtree_pdf_nee = G.pdf_dir(
+                    sdtree, jnp.maximum(dtree_id, 0), ds["d"])
+                wo_pdf_nee = jnp.where(
+                    (dtree_id >= 0) & ~delta_only,
+                    frac * bsdf_pdf_nee + (1 - frac) * dtree_pdf_nee,
+                    bsdf_pdf_nee)
+            else:
+                dtree_pdf_nee = jnp.zeros(L)
+                wo_pdf_nee = bsdf_pdf_nee
+            so = p2 + jnp.sign(wi_dot_geo)[..., None] * geo_n * scene.eps
+            occluded = any_hit(
+                scene.geom, so, ds["d"], jnp.full(L, 0.0),
+                jnp.where(nee_ok,
+                          ds["dist"] * (1 - SHADOW_EPS) - scene.eps, -1.0))
+            nee_ok = nee_ok & ~occluded
+            w_mis_n = jnp.where(ds["discrete"], 1.0,
+                                mi_weight(ds["pdf"], wo_pdf_nee))
+            l_nee = thr * ds["value"] * f_nee * w_mis_n[..., None]
+            l_nee = jnp.where(nee_ok[..., None], l_nee, 0.0)
+            cur = cur + l_nee
+            n_rays_it = n_rays_it + jnp.sum((act & smooth).astype(jnp.int32))
+            if cfg.record_vertices:
+                nee_rec = dict(
+                    p=p2, d=ds["d"], radiance=l_nee,
+                    throughput=(thr * f_nee
+                                / jnp.maximum(ds["pdf"], 1e-38)[..., None]),
+                    bsdf_val=f_nee, wo_pdf=ds["pdf"], bsdf_pdf=bsdf_pdf_nee,
+                    dtree_pdf=dtree_pdf_nee, dtree_id=dtree_id, voxel=voxel,
+                    valid=nee_ok & (dtree_id >= 0))
+
+        # -- continue the path ---------------------------------------------
+        nonzero = jnp.any(bsdf_weight > 0, axis=-1) & (wo_pdf > 0)
+        act_c = act & nonzero
+        if cfg.strict_normals:
+            act_c = act_c & (dot(geo_n, wo_world) * wo[..., 2] > 0)
+
+        thr2 = thr * bsdf_weight
+        eta2 = eta * eta_s
+        o2 = p2 + jnp.sign(dot(geo_n, wo_world))[..., None] * geo_n * scene.eps
+        depth2 = depth + 1  # rRec.depth of the shade just done
+
+        # russian roulette (guided_path.cpp:2124-2142)
+        rr_on = depth2 >= cfg.rr_depth
+        if cfg.guiding:
+            has_tree_rr = (dtree_id >= 0) & ~sampled_delta
+            if cfg.is_built:
+                sp_tree = jnp.full(L, 0.99)
+            else:
+                sp_tree = jnp.clip(jnp.max(thr2, axis=-1) * eta2 * eta2,
+                                   0.1, 0.99)
+            sp = jnp.where(has_tree_rr, sp_tree, 1.0)
+        else:
+            sp = jnp.minimum(jnp.max(thr2, axis=-1) * eta2 * eta2, 0.95)
+        u_rr = _rand(key, it, 3, (L,))
+        sp_eff = jnp.where(rr_on, sp, 1.0)
+        alive2 = act_c & (u_rr < sp_eff)
+        thr2 = thr2 / jnp.maximum(sp_eff, 1e-9)[..., None]
+
+        # vertex record for this shade (committed via segmented suffix sum)
+        if cfg.record_vertices:
+            v_valid = act_c & (dtree_id >= 0) & (wo_pdf > 0)
+            if not cfg.learn_fraction:
+                v_valid = v_valid & ~sampled_delta
+            vert = dict(
+                p=o2, d=wo_world, throughput=thr2,
+                bsdf_val=bsdf_weight * wo_pdf[..., None],
+                wo_pdf=wo_pdf, bsdf_pdf=bsdf_pdf, dtree_pdf=dtree_pdf,
+                is_delta=sampled_delta, dtree_id=dtree_id, voxel=voxel,
+                valid=v_valid)
+        else:
+            vert = None
+
+        # -- commit finished samples ----------------------------------------
+        died = alive & ~alive2
+        acc = carry["acc"] + jnp.where(died[..., None], cur, 0.0)
+        done = carry["done"] + died.astype(jnp.int32)
+
+        new_carry = dict(
+            started=started, done=done, acc=acc, cur=cur,
+            alive=alive2, fresh=jnp.zeros(L, bool),
+            o=jnp.where(alive2[..., None], o2, o),
+            d=jnp.where(alive2[..., None], wo_world, d),
+            p_prev=jnp.where(alive2[..., None], p2, p_prev),
+            thr=thr2, eta=eta2,
+            wo_pdf_prev=wo_pdf, delta_prev=sampled_delta,
+            depth=depth2,
+            n_rays=carry["n_rays"] + n_rays_it,
+        )
+        hit_light = jnp.where(alive[..., None], slot, 0.0)
+        outs = dict(slot=hit_light + (l_nee if cfg.do_nee else 0.0),
+                    fresh=fresh, vert=vert, nee=nee_rec)
+        if cfg.record_vertices and cfg.nee_always:
+            outs["hitlight"] = hit_light
+        return new_carry, outs
+
+    carry0 = carry if carry is not None else init_carry(L)
+    if not cfg.record_vertices:
+        # no stacked per-iteration outputs needed: run the whole chunk in
+        # ONE dispatch with an early-exit while_loop (every scan-style
+        # continuation dispatch pays a host-sync RTT on the TPU tunnel).
+        # The while body runs a 16-iteration inner scan: a bare while
+        # iteration pays ~2 ms of loop/cond overhead on TPU, ~4x the
+        # body's own cost, so the termination check is amortized.
+        BLK = 64
+
+        def w_cond(st):
+            c, it = st
+            return (it < it_base + K) & ~jnp.all(c["done"] >= spp)
+
+        def w_body(st):
+            c, it = st
+            c2, _ = jax.lax.scan(body, c, it + jnp.arange(BLK))
+            return (c2, it + BLK)
+
+        carry, _ = jax.lax.while_loop(
+            w_cond, w_body, (carry0, jnp.int32(it_base)))
+        outs = None
+    else:
+        carry, outs = jax.lax.scan(body, carry0, it_base + jnp.arange(K))
+
+    vertices = None
+    if cfg.record_vertices:
+        # Segmented EXCLUSIVE suffix sum of the per-iteration light stream
+        # S[k] = H[k] (emitter/env hits at k's intersect) + N[k] (NEE at
+        # k's shade), reset at `fresh` segment starts. The vertex shaded
+        # at iteration k sees rad[k] = sum_{j>k, same path} S[j]: that is
+        # exactly the classic loop's own(l_hit) + later-slots rule, since
+        # its own segment's emitter hit lands at iteration k+1. For
+        # nee=always the classic rule drops the own l_hit, so subtract
+        # the in-segment H[k+1].
+        slots = outs["slot"]          # [K, L, 3]
+        fresh = outs["fresh"]         # [K, L] segment starts
+
+        def suffix_step(nxt, xs):
+            s, fr = xs
+            out = nxt  # exclusive: light strictly after this iteration
+            nxt2 = jnp.where(fr[..., None], 0.0, s + nxt)
+            return nxt2, out
+
+        _, later = jax.lax.scan(
+            suffix_step, jnp.zeros_like(slots[0]),
+            (slots, fresh), reverse=True)
+        rad = later
+        if cfg.nee_always:
+            h = outs["hitlight"]
+            h_next = jnp.concatenate(
+                [jnp.where(fresh[1:][..., None], 0.0, h[1:]),
+                 jnp.zeros_like(h[:1])], axis=0)
+            rad = rad - h_next
+        vert = outs["vert"]
+        vert["radiance"] = rad
+        vertices = dict(bsdf=vert, nee=outs["nee"])
+
+    return dict(rgb=carry["acc"], w=carry["done"].astype(jnp.float32),
+                n_rays=carry["n_rays"], started=carry["started"],
+                done=carry["done"], all_done=jnp.all(carry["done"] >= spp),
+                vertices=vertices), carry

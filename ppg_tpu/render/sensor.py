@@ -19,7 +19,37 @@ import numpy as np
 from ..core import warp
 
 
-class PerspectiveSensor:
+class _SensorHash:
+    """Value-based hashing so jit caches keyed on a static sensor arg hit
+    across calls that rebuild an identical sensor (the traced constants —
+    origin/axes — are baked from the same values)."""
+
+    def _sig(self):
+        import numpy as np
+
+        cached = self.__dict__.get("_sig_cache")
+        if cached is not None:
+            return cached
+        vals = []
+        for k in sorted(self.__dict__):
+            v = self.__dict__[k]
+            if hasattr(v, "tobytes"):
+                vals.append((k, np.asarray(v).tobytes()))
+            else:
+                vals.append((k, v))
+        sig = (type(self).__name__, tuple(vals))
+        self.__dict__["_sig_cache"] = sig
+        return sig
+
+    def __hash__(self):
+        return hash(self._sig())
+
+    def __eq__(self, other):
+        return (type(other) is type(self)
+                and self._sig() == other._sig())
+
+
+class PerspectiveSensor(_SensorHash):
     needs_lens_sample = False
 
     def __init__(self, sensor_cfg, film_cfg, crop=None):
@@ -84,7 +114,7 @@ class ThinLensSensor(PerspectiveSensor):
         return o, d, self.near * inv_z, self.far * inv_z
 
 
-class OrthographicSensor:
+class OrthographicSensor(_SensorHash):
     """Parallel projection (orthographic.cpp); view extents come from the
     toWorld scale, applied through the full affine transform."""
 
@@ -114,7 +144,7 @@ class OrthographicSensor:
         return o, d, jnp.full(L, self.near), jnp.full(L, self.far)
 
 
-class SphericalSensor:
+class SphericalSensor(_SensorHash):
     """Latitude-longitude environment camera (spherical.cpp:67-83):
     d = (sin(phi) sin(theta), cos(theta), -cos(phi) sin(theta)) with
     phi = 2 pi u, theta = pi v."""

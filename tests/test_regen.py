@@ -1,0 +1,99 @@
+"""Agreement tests for the regenerative persistent-wavefront tracer
+(integrators/regen.py) against the classic fixed-bounce wavefront
+(integrators/wavefront.py), which is the reference implementation of the
+Li() semantics (guided_path.cpp:1712-2157).
+
+Both estimators are unbiased for the same integrand, so equal-spp means
+must agree within Monte-Carlo noise; sample bookkeeping (started / done
+counts) must be exact.
+"""
+
+import numpy as np
+import pytest
+
+from ppg_tpu.scene.testscenes import mini_cbox
+
+
+def _renders(nee="never", spp=48, res=40, max_depth=6, **regen_kw):
+    from ppg_tpu.integrators.driver import make_config, render, render_regen
+
+    sc = mini_cbox(res=res, max_depth=max_depth, nee=nee)
+    cfg = make_config(sc, guiding=False, record_vertices=False)
+    img_c = render(sc, spp=spp, seed=3, cfg=cfg)
+    img_r = render_regen(sc, spp=spp, seed=4, cfg=cfg, **regen_kw)
+    return img_c, img_r
+
+
+def _assert_agree(img_c, img_r, spp, block_tol=0.25):
+    # whole-image means: any systematic estimator difference shows up at
+    # the >5% level, far above the pooled-MC noise of ~10^5 samples
+    mc, mr = float(img_c.mean()), float(img_r.mean())
+    assert abs(mc - mr) / mc < 0.05, (mc, mr)
+    # 8x8-downsampled block means agree (catches pixel-indexing /
+    # lane-ownership bugs, which displace energy spatially); per-block
+    # tolerance is loose because nee=never light hits are heavy-tailed
+    h = (img_c.shape[0] // 8) * 8
+    w = (img_c.shape[1] // 8) * 8
+
+    def blocks(im):
+        return im[:h, :w].mean(-1).reshape(h // 8, 8, w // 8, 8).mean((1, 3))
+
+    bc, br = blocks(img_c), blocks(img_r)
+    mask = bc > 0.1 * bc.mean()
+    assert np.median(np.abs(bc - br)[mask] / bc[mask]) < block_tol
+
+
+def test_regen_matches_classic_nee_never():
+    # nee=never is heavy-tailed (hit-or-miss luminaire): needs the spp
+    # to pull the pooled-mean MC error well under the 5% gate
+    spp = 256
+    img_c, img_r = _renders(nee="never", spp=spp, res=24)
+    _assert_agree(img_c, img_r, spp)
+
+
+def test_regen_matches_classic_nee_always():
+    spp = 48
+    img_c, img_r = _renders(nee="always", spp=spp)
+    _assert_agree(img_c, img_r, spp)
+
+
+def test_regen_exact_sample_counts():
+    import jax
+    import jax.numpy as jnp
+
+    from ppg_tpu.integrators.driver import _regen_dispatch, make_config
+    from ppg_tpu.integrators.wavefront import DeviceScene
+    from ppg_tpu.render.sensor import make_sensor
+
+    sc = mini_cbox(res=32, max_depth=6)
+    dev = DeviceScene.from_scene(sc)
+    cfg = make_config(sc, guiding=False, record_vertices=False)
+    sensor = make_sensor(sc.sensor, sc.film)
+    L, spp = 1024, 11
+    out, _ = _regen_dispatch(
+        dev, cfg, jax.random.key(0), np.int32(7), sensor=sensor,
+        pix_start=jnp.int32(0), L=L, spp=jnp.int32(spp),
+        K=jnp.int32(spp * 24 + 64), carry=None, it_base=jnp.int32(0))
+    assert bool(out["all_done"])
+    np.testing.assert_array_equal(np.asarray(out["started"]), spp)
+    np.testing.assert_array_equal(np.asarray(out["done"]), spp)
+    # every completed sample weighs exactly 1 in the film
+    np.testing.assert_array_equal(np.asarray(out["w"]), float(spp))
+
+
+def test_regen_continuation_dispatches():
+    # tiny K forces the driver's carry-continuation path; the result must
+    # still complete every sample and agree with the classic estimator
+    spp = 32
+    img_c, img_r = _renders(nee="never", spp=spp, res=32, K=24)
+    _assert_agree(img_c, img_r, spp)
+
+
+def test_regen_eligibility_gate():
+    from ppg_tpu.integrators.driver import make_config, regen_eligible
+
+    sc = mini_cbox(res=16)
+    cfg = make_config(sc, guiding=False, record_vertices=False)
+    assert regen_eligible(sc, cfg)
+    cfg_rec = make_config(sc, guiding=False, record_vertices=True)
+    assert not regen_eligible(sc, cfg_rec)
