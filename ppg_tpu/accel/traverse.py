@@ -377,18 +377,32 @@ def bvh_closest(geom: GeometryArrays, o, d, t_min, t_max, stop_on_hit=False):
 
 
 
+def _on_tpu():
+    return jax.default_backend() == "tpu"
+
+
+def _brute(geom: GeometryArrays, o, d, t_min, t_max):
+    """Small-scene sweep: the Pallas VMEM-resident kernel on TPU (the XLA
+    sweep round-trips ~1400 [L] intermediates through HBM), XLA on CPU."""
+    if _on_tpu():
+        from .pallas_brute import brute_pallas
+
+        return brute_pallas(geom.tri, o, d, t_min, t_max)
+    return brute_force_closest(geom, o, d, t_min, t_max)
+
+
 def closest_hit(geom: GeometryArrays, o, d, t_min, t_max, force_bvh=False):
     """Dispatch: brute force for small scenes, threaded BVH otherwise.
     Returns (packed tri index or -1, t, u, v)."""
     if geom.num_tris <= BRUTE_MAX and not force_bvh:
-        return brute_force_closest(geom, o, d, t_min, t_max)
+        return _brute(geom, o, d, t_min, t_max)
     return bvh_closest(geom, o, d, t_min, t_max)
 
 
 def any_hit(geom: GeometryArrays, o, d, t_min, t_max):
     """Occlusion test (shadow rays). Returns bool [L]."""
     if geom.num_tris <= BRUTE_MAX:
-        idx, _, _, _ = brute_force_closest(geom, o, d, t_min, t_max)
+        idx, _, _, _ = _brute(geom, o, d, t_min, t_max)
         return idx >= 0
     idx, _, _, _ = bvh_closest(geom, o, d, t_min, t_max, stop_on_hit=True)
     return idx >= 0
