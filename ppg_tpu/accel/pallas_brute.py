@@ -73,7 +73,15 @@ def _kernel(tri_ref, rays_ref, besti_ref, t_ref, u_ref, v_ref, *, T):
             jnp.full((ROWS, 128), -1, jnp.int32),
             jnp.zeros((ROWS, 128), jnp.float32),
             jnp.zeros((ROWS, 128), jnp.float32))
-    best_t, best_i, best_u, best_v = jax.lax.fori_loop(0, T, step, init)
+    if T <= 64:
+        # full unroll: the fori_loop serializes on the loop carry, an
+        # unrolled chain lets the compiler software-pipeline the sweeps
+        state = init
+        for k in range(T):
+            state = step(k, state)
+        best_t, best_i, best_u, best_v = state
+    else:
+        best_t, best_i, best_u, best_v = jax.lax.fori_loop(0, T, step, init)
     besti_ref[:] = best_i
     t_ref[:] = jnp.where(best_i < 0, INF, best_t)
     u_ref[:] = best_u

@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import warp
+from ..core.vecmath import small_table_gather
 from ..scene.scene import (
     MAT_NAMES,
     MAT_BLEND,
@@ -167,7 +168,7 @@ jax.tree_util.register_pytree_node(
 
 def gather_params(mats: MaterialArrays, mid):
     """One packed row gather -> dict of per-lane parameter views."""
-    row = mats.packed[mid]
+    row = small_table_gather(mats.packed, mid)
     out = {}
     for f, (off, w, kind) in MaterialArrays.SLOTS.items():
         if kind == "i":

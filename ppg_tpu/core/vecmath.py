@@ -69,3 +69,25 @@ def luminance(rgb):
     return (
         0.212671 * rgb[..., 0] + 0.715160 * rgb[..., 1] + 0.072169 * rgb[..., 2]
     )
+
+
+# TPU row gathers cost ~100 us per op at 64k lanes regardless of row
+# width; a fused chain of per-row selects is pure VPU work that costs
+# T*W compares+selects per lane, so it wins whenever the table is small
+# (the threshold is the measured breakeven on v5e). Bit-exact for packed
+# rows that embed bitcast int fields (select copies bits; arithmetic
+# gathers like one-hot matmuls would flush denormal bit patterns).
+SELECT_GATHER_MAX_ELEMS = 4096
+
+
+def small_table_gather(table, idx):
+    """table [T, W], idx [L] int -> [L, W]; select-chain for small
+    tables, regular gather otherwise. idx must be in-range (callers
+    clip)."""
+    T, W = int(table.shape[0]), int(table.shape[1])
+    if T * W > SELECT_GATHER_MAX_ELEMS or T <= 1:
+        return table[idx]
+    out = jnp.broadcast_to(table[0], idx.shape + (W,))
+    for k in range(1, T):
+        out = jnp.where((idx == k)[..., None], table[k], out)
+    return out

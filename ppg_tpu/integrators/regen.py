@@ -67,9 +67,25 @@ def init_carry(L):
     )
 
 
-def _rand(key, it, tag, shape):
-    return jax.random.uniform(
-        jax.random.fold_in(jax.random.fold_in(key, it), tag), shape)
+class _RandBlock:
+    """One fused uniform draw per iteration: each request takes a column
+    slab of a single [L, n] matrix drawn with ONE fold_in + threefry
+    call (a dozen separate tagged draws per iteration spend a
+    significant share of the body in key hashing). The column count is
+    computed statically from the config flags, so the layout is
+    identical across traces."""
+
+    def __init__(self, key, it, L, n_cols):
+        self.next = 0
+        self.u = jax.random.uniform(jax.random.fold_in(key, it),
+                                    (L, n_cols))
+
+    def take(self, k=1, flat=False):
+        a = self.next
+        self.next = a + k
+        assert self.next <= self.u.shape[1], "rand column budget"
+        cols = self.u[:, a:a + k]
+        return cols[:, 0] if flat else cols
 
 
 def trace_regen(scene: DeviceScene, cfg: PTConfig, key, sensor, pix_start,
@@ -111,12 +127,22 @@ def trace_regen(scene: DeviceScene, cfg: PTConfig, key, sensor, pix_start,
     n_emitter_slots = (scene.emitters.num + (1 if cfg.has_env else 0)
                        + scene.delta.num)
 
+    lens = getattr(sensor, "needs_lens_sample", False)
+    n_rand_cols = (2 + (2 if lens else 0) + (1 if cfg.has_mask else 0)
+                   + (1 if cfg.has_blend else 0)
+                   + (1 if cfg.has_coating else 0) + 3 + (2 if cfg.do_nee
+                   else 0) + 1)
+    if cfg.guiding and sdtree is not None and cfg.is_built:
+        from ..guiding import sdtree as _G
+
+        n_rand_cols += _G.MAX_Q_DEPTH + 2
+
     def body(carry, it):
+        rng = _RandBlock(key, it, L, n_rand_cols)
         # -- 1. regenerate finished lanes with their next camera sample --
         want = ~carry["alive"] & (carry["started"] < spp)
-        jit2 = _rand(key, it, 4, (L, 2))
-        u_lens = (_rand(key, it, 5, (L, 2))
-                  if getattr(sensor, "needs_lens_sample", False) else None)
+        jit2 = rng.take(2)
+        u_lens = rng.take(2) if lens else None
         o_c, d_c, tmin_c, tmax_c = sensor.sample_rays(pos_base + jit2, u_lens)
         w1 = want[..., None]
 
@@ -221,7 +247,7 @@ def trace_regen(scene: DeviceScene, cfg: PTConfig, key, sensor, pix_start,
             prob = jnp.clip(
                 opacity[..., 0] * 0.212671 + opacity[..., 1] * 0.715160
                 + opacity[..., 2] * 0.072169, 1e-6, 1.0 - 1e-6)
-            u_m = _rand(key, it, 7, (L,))
+            u_m = rng.take(flat=True)
             go_nested = is_mask & (u_m < prob)
             pass_thru = is_mask & (u_m >= prob)
             mid_n = jnp.where(is_mask, jnp.maximum(params["nested"], 0), mid)
@@ -267,7 +293,7 @@ def trace_regen(scene: DeviceScene, cfg: PTConfig, key, sensor, pix_start,
             mid_b = jnp.where(is_blend, jnp.maximum(params["nested2"], 0), mid)
             params_a = tex_override(B.gather_params(scene.mats, mid_a))
             params_b = tex_override(B.gather_params(scene.mats, mid_b))
-            u_bl = _rand(key, it, 10, (L,))
+            u_bl = rng.take(flat=True)
             pick_b2 = is_blend & (u_bl < w_bl)
             params = jax.tree.map(
                 lambda pa, pb, pr: jnp.where(
@@ -296,7 +322,7 @@ def trace_regen(scene: DeviceScene, cfg: PTConfig, key, sensor, pix_start,
             smooth = jnp.where(is_coat, sm_c | is_rough_coat, smooth)
             delta_only = jnp.where(is_coat, do_c & ~is_rough_coat, delta_only)
             transmissive = jnp.where(is_coat, tr_c, transmissive)
-            u_coat = _rand(key, it, 11, (L, 1))
+            u_coat = rng.take(1)
         else:
             is_coat = None
 
@@ -370,7 +396,7 @@ def trace_regen(scene: DeviceScene, cfg: PTConfig, key, sensor, pix_start,
             voxel = jnp.ones((L, 3), jnp.float32)
             frac = jnp.full(L, cfg.bsdf_fraction)
 
-        u_bsdf = _rand(key, it, 0, (L, 3))
+        u_bsdf = rng.take(3)
         if guide and cfg.is_built:
             use_guide_mix = (dtree_id >= 0) & ~delta_only
             pick_bsdf = u_bsdf[:, 0] < frac
@@ -385,7 +411,7 @@ def trace_regen(scene: DeviceScene, cfg: PTConfig, key, sensor, pix_start,
                 wi, ua)
             if cfg.has_blend:
                 w_a, pdf_a = blend_fix(wo_a, w_a, pdf_a, wi)
-            u_tree = _rand(key, it, 1, (L, G.MAX_Q_DEPTH + 2))
+            u_tree = rng.take(G.MAX_Q_DEPTH + 2)
             d_tree = G.sample_dir(sdtree, jnp.maximum(dtree_id, 0), u_tree)
             wo_b = to_local(s_ax, t_ax, sh_n_s, d_tree)
 
@@ -429,7 +455,7 @@ def trace_regen(scene: DeviceScene, cfg: PTConfig, key, sensor, pix_start,
         # -- NEE ----------------------------------------------------------
         nee_rec = None
         if cfg.do_nee:
-            u_nee = _rand(key, it, 2, (L, 2))
+            u_nee = rng.take(2)
             ref_n = jnp.where(transmissive[..., None], 0.0, sh_n_s)
             ds, _ = _sample_emitters(scene, cfg, p2, ref_n, u_nee)
             nee_ok = act & smooth & (ds["pdf"] > 0)
@@ -492,7 +518,7 @@ def trace_regen(scene: DeviceScene, cfg: PTConfig, key, sensor, pix_start,
             sp = jnp.where(has_tree_rr, sp_tree, 1.0)
         else:
             sp = jnp.minimum(jnp.max(thr2, axis=-1) * eta2 * eta2, 0.95)
-        u_rr = _rand(key, it, 3, (L,))
+        u_rr = rng.take(flat=True)
         sp_eff = jnp.where(rr_on, sp, 1.0)
         alive2 = act_c & (u_rr < sp_eff)
         thr2 = thr2 / jnp.maximum(sp_eff, 1e-9)[..., None]

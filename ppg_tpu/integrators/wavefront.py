@@ -25,7 +25,8 @@ import jax.numpy as jnp
 
 from ..accel.traverse import closest_hit
 from ..bsdf import bsdf as B
-from ..core.vecmath import build_frame, dot, normalize, to_local, to_world
+from ..core.vecmath import (build_frame, dot, normalize,
+                            small_table_gather, to_local, to_world)
 from ..emitters import area as E
 from ..emitters import delta as DE
 from ..emitters import envmap as EV
@@ -214,8 +215,8 @@ jax.tree_util.register_pytree_node(
 
 
 def fetch_row(scene: DeviceScene, tri):
-    """One packed shade-row gather [L,30]."""
-    return scene.shade[tri]
+    """One packed shade-row gather [L,30] (select-chain when small)."""
+    return small_table_gather(scene.shade, tri)
 
 
 def decode_row(row, bu, bv):
