@@ -20,6 +20,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main():
+    from ppg_tpu import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
     import numpy as np
 

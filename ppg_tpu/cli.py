@@ -45,6 +45,9 @@ def main(argv=None):
                          "flag maps to data-parallel chips (shard_map + "
                          "psum over ICI). 1 = single chip")
     args = ap.parse_args(argv)
+    from . import enable_compilation_cache
+
+    enable_compilation_cache()
 
     from .utils.logging import log, set_level
 

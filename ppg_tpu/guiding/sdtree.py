@@ -567,4 +567,6 @@ def splat_records(sdt: SDTreeArrays, rec, spatial_filter="nearest",
         out["opt_bgrad"] = jnp.where(do_step, 0.0, bgrad)
         out["opt_bweight"] = jnp.where(do_step, 0.0, bweight)
 
-    return SDTreeArrays(**out)
+    # preserve the depth class (pytree aux): splat output must carry the
+    # same static metadata as its input so it can flow through scan
+    return SDTreeArrays(s_depth=sdt.s_depth, q_depth=sdt.q_depth, **out)

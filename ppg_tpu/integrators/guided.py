@@ -33,15 +33,9 @@ from .wavefront import DeviceScene, PTConfig, trace_paths
 VAR_CLAMP = 10000.0  # firefly clamp on per-pixel variance (:1310)
 
 
-@partial(
-    jax.jit,
-    static_argnames=("cfg", "sensor", "film", "chunk", "spatial_filter",
-                     "directional_filter", "learn_fraction"),
-    donate_argnames=("film_buf", "sq_buf", "sdtree"),
-)
-def _guided_chunk(scene, cfg, sensor, film, chunk, film_buf, sq_buf, sdtree,
-                  key, pix_start, spatial_filter, directional_filter,
-                  learn_fraction):
+def _chunk_step(scene, cfg, sensor, film, chunk, spatial_filter,
+                directional_filter, learn_fraction, film_buf, sq_buf,
+                sdtree, key, pix_start):
     W = sensor.W
     ids = pix_start + jnp.arange(chunk)
     px = (ids % W).astype(jnp.float32)
@@ -82,8 +76,70 @@ def _guided_chunk(scene, cfg, sensor, film, chunk, film_buf, sq_buf, sdtree,
     return film_buf, sq_buf, sdtree
 
 
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "sensor", "film", "chunk", "spatial_filter",
+                     "directional_filter", "learn_fraction"),
+    donate_argnames=("film_buf", "sq_buf", "sdtree"),
+)
+def _guided_pass(scene, cfg, sensor, film, chunk, film_buf, sq_buf, sdtree,
+                 key, salts, pix_starts, spatial_filter, directional_filter,
+                 learn_fraction):
+    """One whole training pass (all spp x chunk sub-steps) in ONE
+    dispatch: a lax.scan over (salt, pix_start) pairs chains the trace +
+    SD-tree splat steps on-device. One program per pass sidesteps the
+    TPU-tunnel dispatch pathologies (each host-side dispatch in a
+    donation chain costs ~0.5-3 s wall regardless of compute)."""
+
+    def step(carry, xs):
+        film_buf, sq_buf, sdtree = carry
+        salt, pix_start = xs
+        k = jax.random.fold_in(key, salt)
+        film_buf, sq_buf, sdtree = _chunk_step(
+            scene, cfg, sensor, film, chunk, spatial_filter,
+            directional_filter, learn_fraction, film_buf, sq_buf, sdtree,
+            k, pix_start)
+        return (film_buf, sq_buf, sdtree), None
+
+    (film_buf, sq_buf, sdtree), _ = jax.lax.scan(
+        step, (film_buf, sq_buf, sdtree), (salts, pix_starts))
+    return film_buf, sq_buf, sdtree
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "sensor", "L"),
+    donate_argnames=("img_buf", "sq_buf"),
+)
+def _guided_regen_chunk(scene, cfg, sensor, img_buf, sq_buf, sdtree, key,
+                        salt, pix_start, L, spp, K):
+    """Record-free (final-iteration) pass batch for one chunk through the
+    regenerative tracer: all spp in one dispatch at near-full lane
+    utilization, per-sample sums and squared sums accumulated into the
+    flat film buffers with a contiguous dynamic-slice add."""
+    from .regen import trace_regen
+
+    k = jax.random.fold_in(key, salt)
+    out, _ = trace_regen(scene, cfg, k, sensor, pix_start, L, spp, K,
+                         sdtree=sdtree)
+
+    def add(buf, vals):
+        zeros = (0,) * (buf.ndim - 1)
+        cur = jax.lax.dynamic_slice(
+            buf, (pix_start,) + zeros, (L,) + buf.shape[1:])
+        return jax.lax.dynamic_update_slice(
+            buf, cur + vals, (pix_start,) + zeros)
+
+    img_buf = (add(img_buf[0], out["rgb"]), add(img_buf[1], out["w"]))
+    sq_buf = (add(sq_buf[0], out["rgb2"]), add(sq_buf[1], out["w"]))
+    return img_buf, sq_buf
+
+
 class GuidedPathTracer:
     def __init__(self, sc, chunk=1 << 16, overrides=None):
+        from .. import enable_compilation_cache
+
+        enable_compilation_cache()
         ip = dict(sc.integrator)
         ip.update(overrides or {})
         self.sc = sc
@@ -155,6 +211,11 @@ class GuidedPathTracer:
             return self.film.unflatten(buf)
         return buf
 
+    def _regen_ok(self, cfg):
+        return (not cfg.record_vertices and not cfg.has_media
+                and cfg.sampler == "independent"
+                and self.film.rfilter == "box")
+
     def _render_passes(self, n_passes, sdtree, is_built, do_nee, is_final,
                        film_buf, seed_base):
         W, H = self.film.W, self.film.H
@@ -164,19 +225,42 @@ class GuidedPathTracer:
         n_chunks = (W * H + self.chunk - 1) // self.chunk
         t0 = time.time()
         base = jax.random.key(seed_base)
-        for p in range(n_passes):
-            for s in range(self.spp_per_pass):
+        if self._regen_ok(cfg):
+            # record-free batches go through the regenerative tracer: all
+            # spp of a slab in ONE dispatch per chunk (see regen.py); slabs
+            # bound the while-loop length under the TPU watchdog and keep
+            # the i32 ray counter safe
+            N = n_passes * self.spp_per_pass
+            done = 0
+            slab_i = 0
+            while done < N:
+                slab = min(N - done, 256)
+                K = np.int32(slab * 24 + 64)
                 for c in range(n_chunks):
-                    key = jax.random.fold_in(
-                        jax.random.fold_in(jax.random.fold_in(base, p), s), c
-                    )
-                    img_buf, sq_buf, sdtree = _guided_chunk(
-                        self.scene_dev, cfg, self.sensor, self.film,
-                        self.chunk, img_buf, sq_buf, sdtree, key,
-                        jnp.int32(c * self.chunk),
-                        self.spatial_filter, self.directional_filter,
-                        self.loss if self.loss != "none" else None,
-                    )
+                    img_buf, sq_buf = _guided_regen_chunk(
+                        self.scene_dev, cfg, self.sensor, img_buf, sq_buf,
+                        sdtree, base, np.int32(slab_i * n_chunks + c),
+                        np.int32(c * self.chunk), self.chunk,
+                        np.int32(slab), K)
+                done += slab
+                slab_i += 1
+        else:
+            n_sub = self.spp_per_pass * n_chunks
+            pix_starts = np.tile(
+                np.arange(n_chunks, dtype=np.int32) * self.chunk,
+                self.spp_per_pass)
+            for p in range(n_passes):
+                salts = np.int32(p * n_sub) + np.arange(n_sub, dtype=np.int32)
+                img_buf, sq_buf, sdtree = _guided_pass(
+                    self.scene_dev, cfg, self.sensor, self.film,
+                    self.chunk, img_buf, sq_buf, sdtree, base,
+                    salts, pix_starts,
+                    self.spatial_filter, self.directional_filter,
+                    self.loss if self.loss != "none" else None,
+                )
+                # sync each pass: pipelined donation-chained dispatches
+                # stall multi-second on the TPU tunnel
+                jax.block_until_ready(img_buf)
         jax.block_until_ready(img_buf)
         seconds = time.time() - t0
 

@@ -58,7 +58,7 @@ def init_carry(L):
     f3 = lambda: jnp.zeros((L, 3), jnp.float32)
     return dict(
         started=jnp.zeros(L, jnp.int32), done=jnp.zeros(L, jnp.int32),
-        acc=f3(), cur=f3(),
+        acc=f3(), acc2=f3(), cur=f3(),
         alive=jnp.zeros(L, bool), fresh=jnp.zeros(L, bool),
         o=f3(), d=jnp.tile(jnp.asarray([[0.0, 0, 1]], jnp.float32), (L, 1)),
         p_prev=f3(), thr=f3(), eta=jnp.ones(L),
@@ -540,10 +540,13 @@ def trace_regen(scene: DeviceScene, cfg: PTConfig, key, sensor, pix_start,
         # -- commit finished samples ----------------------------------------
         died = alive & ~alive2
         acc = carry["acc"] + jnp.where(died[..., None], cur, 0.0)
+        # per-sample squared accumulation for the variance estimator
+        # (performRenderPasses' squaredImage, guided_path.cpp:1288-1319)
+        acc2 = carry["acc2"] + jnp.where(died[..., None], cur * cur, 0.0)
         done = carry["done"] + died.astype(jnp.int32)
 
         new_carry = dict(
-            started=started, done=done, acc=acc, cur=cur,
+            started=started, done=done, acc=acc, acc2=acc2, cur=cur,
             alive=alive2, fresh=jnp.zeros(L, bool),
             o=jnp.where(alive2[..., None], o2, o),
             d=jnp.where(alive2[..., None], wo_world, d),
@@ -618,7 +621,8 @@ def trace_regen(scene: DeviceScene, cfg: PTConfig, key, sensor, pix_start,
         vert["radiance"] = rad
         vertices = dict(bsdf=vert, nee=outs["nee"])
 
-    return dict(rgb=carry["acc"], w=carry["done"].astype(jnp.float32),
+    return dict(rgb=carry["acc"], rgb2=carry["acc2"],
+                w=carry["done"].astype(jnp.float32),
                 n_rays=carry["n_rays"], started=carry["started"],
                 done=carry["done"], all_done=jnp.all(carry["done"] >= spp),
                 vertices=vertices), carry

@@ -674,7 +674,7 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
         # -- medium lanes: phase sampling replaces the BSDF ------------------
         if cfg.has_media:
             u_ph = draw(j, 9, (L, 2))
-            d_ph, pdf_ph = MED.hg_sample(m_g, d, u_ph)
+            d_ph, pdf_ph = MED.phase_sample(m_g, d, u_ph)
             wo_world = jnp.where(in_med[..., None], d_ph, wo_world)
             bsdf_weight = jnp.where(in_med[..., None], 1.0, bsdf_weight)
             wo_pdf = jnp.where(in_med, pdf_ph, wo_pdf)
@@ -702,7 +702,7 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
                 # in-medium NEE: the phase function is the "BSDF"
                 # (sigma_s is already folded into the throughput by the
                 # segment's distance-sampling weight)
-                ph_nee = MED.hg_eval_pdf(m_g, dot(d, ds["d"]))
+                ph_nee = MED.phase_eval_pdf(m_g, dot(d, ds["d"]))
                 f_nee = jnp.where(in_med[..., None], ph_nee[..., None], f_nee)
                 bsdf_pdf_nee = jnp.where(in_med, ph_nee, bsdf_pdf_nee)
             if guide and cfg.is_built:

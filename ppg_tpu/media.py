@@ -255,6 +255,20 @@ def hg_eval_pdf(g, cos_theta):
     return jnp.where(iso, INV_4PI, hg)
 
 
+def _dir_around(d_in, cos_theta, phi):
+    """Direction at (cos_theta, phi) in a frame around d_in."""
+    sin_theta = jnp.sqrt(jnp.clip(1.0 - cos_theta**2, 0.0, 1.0))
+    up = jnp.where((jnp.abs(d_in[..., 2]) < 0.999)[..., None],
+                   jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), d_in.shape),
+                   jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0]), d_in.shape))
+    sx = jnp.cross(up, d_in)
+    sx = sx / jnp.maximum(jnp.linalg.norm(sx, axis=-1, keepdims=True), 1e-12)
+    sy = jnp.cross(d_in, sx)
+    return (sx * (sin_theta * jnp.cos(phi))[..., None]
+            + sy * (sin_theta * jnp.sin(phi))[..., None]
+            + d_in * cos_theta[..., None])
+
+
 def hg_sample(g, d_in, u2):
     """Sample the outgoing direction around d_in (hg.cpp:sample).
     Returns (d_out, pdf)."""
@@ -263,16 +277,44 @@ def hg_sample(g, d_in, u2):
     ct_hg = (1.0 + g * g - sq * sq) / jnp.maximum(2.0 * g, 1e-8)
     ct_iso = 1.0 - 2.0 * u2[..., 0]
     cos_theta = jnp.where(iso, ct_iso, jnp.clip(ct_hg, -1.0, 1.0))
-    sin_theta = jnp.sqrt(jnp.clip(1.0 - cos_theta**2, 0.0, 1.0))
-    phi = 2.0 * np.pi * u2[..., 1]
-    # frame around d_in
-    up = jnp.where((jnp.abs(d_in[..., 2]) < 0.999)[..., None],
-                   jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), d_in.shape),
-                   jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0]), d_in.shape))
-    sx = jnp.cross(up, d_in)
-    sx = sx / jnp.maximum(jnp.linalg.norm(sx, axis=-1, keepdims=True), 1e-12)
-    sy = jnp.cross(d_in, sx)
-    d_out = (sx * (sin_theta * jnp.cos(phi))[..., None]
-             + sy * (sin_theta * jnp.sin(phi))[..., None]
-             + d_in * cos_theta[..., None])
+    d_out = _dir_around(d_in, cos_theta, 2.0 * np.pi * u2[..., 1])
     return d_out, hg_eval_pdf(g, cos_theta)
+
+
+# phase-type sentinel carried in the per-medium g slot: |g| <= 1 is
+# HG/isotropic, RAYLEIGH_G selects the Rayleigh phase (rayleigh.cpp)
+RAYLEIGH_G = 2.0
+
+
+def rayleigh_eval_pdf(cos_theta):
+    """Rayleigh phase value (= pdf): 3/(16 pi) (1 + cos^2)."""
+    return 3.0 / (16.0 * np.pi) * (1.0 + cos_theta * cos_theta)
+
+
+def rayleigh_sample_ct(u):
+    """Invert the Rayleigh CDF over cos_theta: c^3 + 3c + (4 - 8u) = 0,
+    solved in closed form (Cardano with p=3: c = z - 1/z)."""
+    d = 4.0 - 8.0 * u
+    s = jnp.sqrt(d * d * 0.25 + 1.0)
+    z = jnp.cbrt(-0.5 * d + s)
+    return jnp.clip(z - 1.0 / z, -1.0, 1.0)
+
+
+def phase_eval_pdf(g, cos_theta):
+    """Per-lane phase dispatch over the g slot (HG/iso vs Rayleigh)."""
+    ray = g > 1.5
+    return jnp.where(ray, rayleigh_eval_pdf(cos_theta),
+                     hg_eval_pdf(jnp.where(ray, 0.0, g), cos_theta))
+
+
+def phase_sample(g, d_in, u2):
+    ray = g > 1.5
+    g_hg = jnp.where(ray, 0.0, g)
+    iso = jnp.abs(g_hg) < 1e-4
+    sq = (1.0 - g_hg * g_hg) / (1.0 - g_hg + 2.0 * g_hg * u2[..., 0])
+    ct_hg = (1.0 + g_hg * g_hg - sq * sq) / jnp.maximum(2.0 * g_hg, 1e-8)
+    ct_iso = 1.0 - 2.0 * u2[..., 0]
+    cos_theta = jnp.where(iso, ct_iso, jnp.clip(ct_hg, -1.0, 1.0))
+    cos_theta = jnp.where(ray, rayleigh_sample_ct(u2[..., 0]), cos_theta)
+    d_out = _dir_around(d_in, cos_theta, 2.0 * np.pi * u2[..., 1])
+    return d_out, phase_eval_pdf(g, cos_theta)

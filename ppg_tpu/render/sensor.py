@@ -170,11 +170,34 @@ class SphericalSensor(_SensorHash):
         return o, d, jnp.full(L, 1e-4), jnp.full(L, 1e30)
 
 
+class RadianceMeterSensor(_SensorHash):
+    """Single-direction radiance probe (radiancemeter.cpp): every sample
+    shoots the to_world -Z... +Z axis ray from the origin; the film is
+    typically 1x1 and accumulates the mean incident radiance."""
+
+    needs_lens_sample = False
+
+    def __init__(self, sensor_cfg, film_cfg, crop=None):
+        self.W = film_cfg["width"]
+        self.H = film_cfg["height"]
+        m = np.asarray(sensor_cfg["to_world"], np.float64)
+        self.origin = jnp.asarray(m[:3, 3], jnp.float32)
+        d = m[:3, 2] / np.linalg.norm(m[:3, 2])
+        self.dir = jnp.asarray(d, jnp.float32)
+
+    def sample_rays(self, sample_pos, u_lens=None):
+        L = sample_pos.shape[0]
+        o = jnp.broadcast_to(self.origin, (L, 3))
+        d = jnp.broadcast_to(self.dir, (L, 3))
+        return o, d, jnp.full(L, 1e-4), jnp.full(L, 1e30)
+
+
 _SENSORS = {
     "perspective": PerspectiveSensor,
     "thinlens": ThinLensSensor,
     "orthographic": OrthographicSensor,
     "spherical": SphericalSensor,
+    "radiancemeter": RadianceMeterSensor,
 }
 
 

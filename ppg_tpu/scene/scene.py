@@ -610,6 +610,12 @@ def build_scene(xml: SceneXML, missing_ok=True) -> SceneData:
         ph = spec.child("phase")
         if ph is not None and ph.otype == "hg":
             g = float(ph.props.get("g", 0.8))
+        elif ph is not None and ph.otype == "rayleigh":
+            from ..media import RAYLEIGH_G
+
+            g = RAYLEIGH_G
+        elif ph is not None and ph.otype not in ("isotropic",):
+            raise NotImplementedError(f"phase type {ph.otype!r}")
 
         if spec.otype == "heterogeneous":
             vols = {c.props.get("_name", "density"): c

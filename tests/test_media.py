@@ -122,3 +122,45 @@ class TestMediumRender:
         scat = _render_slab(sa=0.0, ss=0.8, md=8)
         assert scat[12, 12, 0] < clear[12, 12, 0]
         assert scat.mean() <= clear.mean() * 1.05
+
+
+class TestRayleighPhase:
+    def test_pdf_normalized(self):
+        rng = np.random.default_rng(2)
+        v = rng.normal(size=(200_000, 3))
+        v /= np.linalg.norm(v, axis=-1, keepdims=True)
+        pdf = np.asarray(MED.rayleigh_eval_pdf(
+            jnp.asarray(v[:, 2].astype(np.float32))))
+        integral = pdf.mean() * 4 * np.pi
+        assert abs(integral - 1.0) < 0.02
+
+    def test_sample_matches_pdf_histogram(self):
+        # cardano inversion: sampled cos_theta must follow the marginal
+        # (3/8)(1 + c^2); chi-square-style binned comparison
+        rng = np.random.default_rng(3)
+        N = 400_000
+        u = jnp.asarray(rng.random((N, 2)), jnp.float32)
+        d_in = jnp.asarray(np.tile([0.0, 0, 1], (N, 1)), jnp.float32)
+        g = jnp.full((N,), MED.RAYLEIGH_G)
+        d_out, pdf = MED.phase_sample(g, d_in, u)
+        ct = np.asarray(d_out[:, 2])
+        # reported pdf equals the analytic value at the sampled direction
+        pdf2 = np.asarray(MED.rayleigh_eval_pdf(jnp.asarray(ct)))
+        rel = np.abs(np.asarray(pdf) - pdf2) / np.maximum(pdf2, 1e-6)
+        assert np.quantile(rel, 0.95) < 1e-3
+        hist, edges = np.histogram(ct, bins=32, range=(-1, 1), density=True)
+        mid = 0.5 * (edges[:-1] + edges[1:])
+        expect = (3.0 / 8.0) * (1.0 + mid * mid)
+        assert np.abs(hist - expect).max() < 0.02
+
+    def test_phase_dispatch_mixes_lanes(self):
+        # lanes with |g|<=1 use HG, sentinel lanes use Rayleigh
+        u = jnp.asarray(np.random.default_rng(4).random((1000, 2)),
+                        jnp.float32)
+        d_in = jnp.asarray(np.tile([0.0, 0, 1], (1000, 1)), jnp.float32)
+        g = jnp.where(jnp.arange(1000) % 2 == 0, MED.RAYLEIGH_G, 0.9)
+        d_out, pdf = MED.phase_sample(g, d_in, u)
+        ct = np.asarray(d_out[:, 2])
+        # hg g=0.9 lanes are strongly forward; rayleigh lanes are symmetric
+        assert ct[1::2].mean() > 0.7
+        assert abs(ct[0::2].mean()) < 0.05

@@ -97,3 +97,24 @@ def test_regen_eligibility_gate():
     assert regen_eligible(sc, cfg)
     cfg_rec = make_config(sc, guiding=False, record_vertices=True)
     assert not regen_eligible(sc, cfg_rec)
+
+
+def test_guided_final_pass_regen_matches_classic():
+    # the guided driver's record-free (final) batches go through the
+    # regen tracer; forcing the classic path must give the same estimator
+    from ppg_tpu.integrators.guided import GuidedPathTracer
+
+    sc = mini_cbox(res=24, max_depth=5, nee="never")
+    sc.integrator.update(dict(type="guided_path", budgetType="spp",
+                              budget=24, sppPerPass=4))
+
+    imgs = {}
+    for mode in ("regen", "classic"):
+        tracer = GuidedPathTracer(sc, chunk=576)
+        if mode == "classic":
+            tracer._regen_ok = lambda cfg: False
+        imgs[mode] = tracer.render(seed=mode == "regen")
+    a, b = imgs["regen"], imgs["classic"]
+    assert np.isfinite(a).all() and np.isfinite(b).all()
+    ma, mb = float(a.mean()), float(b.mean())
+    assert abs(ma - mb) / mb < 0.12, (ma, mb)

@@ -109,3 +109,16 @@ def test_spherical_covers_sphere():
     assert d[:, 1].max() > 0.95 and d[:, 1].min() < -0.95
     assert (d[:, 0] > 0.5).any() and (d[:, 0] < -0.5).any()
     assert (d[:, 2] > 0.5).any() and (d[:, 2] < -0.5).any()
+
+
+def test_radiancemeter_reads_lambertian_wall():
+    # meter at (0,1,-3) looking +z at the diffuse floor... aim straight
+    # down at the lit floor: radiance = E/pi * rho = 1 * 0.5
+    sensor = """<sensor type="radiancemeter">
+      <transform name="toWorld">
+        <lookAt origin="0, 1, 0" target="0, 0, 0" up="0, 0, 1"/>
+      </transform>""" + _FILM + "</sensor>"
+    img, sc = _render_with(sensor, spp=64)
+    # every pixel shoots the same ray; direct light on white 0.5 albedo
+    val = img.mean(axis=(0, 1))
+    np.testing.assert_allclose(val, 0.5, rtol=0.1)
