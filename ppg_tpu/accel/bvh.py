@@ -27,17 +27,22 @@ B8_MAX_TRIS = 6
 
 
 def build_bvh8(positions, faces):
-    """8-wide BVH with packed 64-float rows (see native/bvh_builder.cpp
-    for the layout). Returns dict(rows [N8,64] f32, prim_ids [T]).
-    Uses the C++ builder when available, else collapses the numpy BVH2."""
+    """8-wide BVH with packed 80-float SoA rows (see native/
+    bvh_builder.cpp for the layout). Returns dict(rows [N8,80] f32,
+    prim_ids [T]). Uses the C++ builder when available, else collapses
+    the numpy BVH2 (64-wide tri-major rows, repacked to 80 by the
+    caller via traverse._repack80)."""
     F = len(faces)
     if F == 0:
-        rows = np.zeros((1, 64), np.float32)  # empty leaf row (cnt 0)
+        rows = np.zeros((1, 80), np.float32)  # empty leaf row (cnt 0)
         return dict(rows=rows, prim_ids=np.zeros(0, np.int32))
     out = _build8_native(positions, faces)
     if out is not None:
         return out
-    return _collapse8(positions, faces)
+    out = _collapse8(positions, faces)
+    from .traverse import _repack80
+
+    return dict(rows=_repack80(out["rows"]), prim_ids=out["prim_ids"])
 
 
 def _build8_native(positions, faces):
@@ -57,7 +62,7 @@ def _build8_native(positions, faces):
     n = lib.ppg_bvh8_build(fp(verts), len(verts), ip(f), len(f), n_threads)
     if n <= 0:
         return None
-    rows = np.empty((n, 64), np.float32)
+    rows = np.empty((n, 80), np.float32)
     prim_ids = np.empty(len(f), np.int32)
     lib.ppg_bvh8_copy(fp(rows), ip(prim_ids))
     return dict(rows=rows, prim_ids=prim_ids)

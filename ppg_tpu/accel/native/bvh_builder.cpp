@@ -266,17 +266,20 @@ Flat *g_flat = nullptr;
 
 // ---------------------------------------------------------------------------
 // BVH8 emission: collapse the binary tree into 8-wide nodes, one packed
-// 64-float row per node (CWBVH-flavored layout for single-gather TPU
-// traversal):
+// 80-float row per node (CWBVH-flavored layout for single-gather TPU
+// traversal; everything is SoA 8-blocks so the consumer reads only
+// lane-aligned [L,8] slices of the gathered block):
 //   internal row: minx[8] miny[8] minz[8] maxx[8] maxy[8] maxz[8] (SoA,
 //     cols 0-47), child info i32 bitcast (cols 48-55; 0 = empty slot,
-//     bit30 = leaf), pad (56-63)
-//   leaf row: up to 6 woop triangles (p0,e1,e2) x 9 floats (cols 0-53),
-//     count (col 54, i32), packed tri base index (col 55, i32)
+//     bit30 = leaf), pad (56-79)
+//   leaf row: up to 8 woop triangles in SoA blocks p0x[8] p0y[8] p0z[8]
+//     e1x[8] e1y[8] e1z[8] e2x[8] e2y[8] e2z[8] (cols 0-71), count
+//     (col 72, i32), packed tri base index (col 73, i32)
 // ---------------------------------------------------------------------------
 
 constexpr int B8_LEAF_BIT = 1 << 30;
-constexpr int B8_MAX_TRIS = 6;
+constexpr int B8_MAX_TRIS = 8;
+constexpr int B8_ROW = 80;
 
 struct Bvh8Out {
   std::vector<float> rows;
@@ -293,30 +296,29 @@ struct Bvh8Emitter {
       : b(bb), verts(v), faces(f) {}
 
   int alloc_row() {
-    out.rows.resize(out.rows.size() + 64, 0.0f);
-    return (int)out.rows.size() / 64 - 1;
+    out.rows.resize(out.rows.size() + B8_ROW, 0.0f);
+    return (int)out.rows.size() / B8_ROW - 1;
   }
 
   int emit_leaf(const BuildNode &n) {
     int r = alloc_row();
-    float *row = out.rows.data() + 64 * r;
+    float *row = out.rows.data() + B8_ROW * r;
     int base = (int)out.prim_out.size();
     for (int i = 0; i < n.count; ++i) {
       int id = b.prim_ids[n.first + i];
       const float *p0 = verts + 3 * faces[3 * id + 0];
       const float *p1 = verts + 3 * faces[3 * id + 1];
       const float *p2 = verts + 3 * faces[3 * id + 2];
-      float *t = row + 9 * i;
       for (int k = 0; k < 3; ++k) {
-        t[k] = p0[k];
-        t[3 + k] = p1[k] - p0[k];
-        t[6 + k] = p2[k] - p0[k];
+        row[8 * k + i] = p0[k];                    // p0x/p0y/p0z blocks
+        row[24 + 8 * k + i] = p1[k] - p0[k];       // e1 blocks
+        row[48 + 8 * k + i] = p2[k] - p0[k];       // e2 blocks
       }
       out.prim_out.push_back(id);
     }
     int32_t cnt = n.count, bs = base;
-    std::memcpy(row + 54, &cnt, 4);
-    std::memcpy(row + 55, &bs, 4);
+    std::memcpy(row + 72, &cnt, 4);
+    std::memcpy(row + 73, &bs, 4);
     return r;
   }
 
@@ -351,7 +353,7 @@ struct Bvh8Emitter {
     int child_rows[8];
     for (int i = 0; i < n_slots; ++i)
       child_rows[i] = emit_node(b.nodes[slots[i]]);
-    float *row = out.rows.data() + 64 * r;  // re-fetch: vector reallocated
+    float *row = out.rows.data() + B8_ROW * r;  // re-fetch: vector reallocated
     for (int i = 0; i < 8; ++i) {
       if (i < n_slots) {
         const AABB &bx = b.nodes[slots[i]].box;
@@ -424,7 +426,7 @@ int32_t ppg_bvh_build(const float *verts, int32_t n_verts, const int32_t *faces,
   return (int)g_flat->is_leaf.size();
 }
 
-// Builds a BVH8 (collapsed from a binary SAH build with <=6-triangle
+// Builds a BVH8 (collapsed from a binary SAH build with <=8-triangle
 // leaves); returns the row count. Copy out with ppg_bvh8_copy.
 int32_t ppg_bvh8_build(const float *verts, int32_t n_verts,
                        const int32_t *faces, int32_t n_faces,
@@ -468,7 +470,7 @@ int32_t ppg_bvh8_build(const float *verts, int32_t n_verts,
     em.emit_node(b.nodes[root]);
   }
   g_bvh8 = new Bvh8Out(std::move(em.out));
-  return (int32_t)(g_bvh8->rows.size() / 64);
+  return (int32_t)(g_bvh8->rows.size() / B8_ROW);
 }
 
 void ppg_bvh8_copy(float *rows, int32_t *prim_ids) {

@@ -72,12 +72,14 @@ class GeometryArrays:
 
     tri   [T,12] f32 : p0(3), e1(3), e2(3), pad(3) — BVH leaf order
                        (brute-force path + testing referee)
-    rows  [N8,64] f32: internal — 8 child AABBs SoA (minx[8] miny[8]
+    rows  [N8,80] f32: internal — 8 child AABBs SoA (minx[8] miny[8]
                        minz[8] maxx[8] maxy[8] maxz[8], cols 0-47),
                        child infos i32-bitcast at 48-55 (0 = empty,
-                       bit 30 = leaf); leaf — up to 6 woop triangles
-                       (9 floats each, cols 0-53), count @54, packed
-                       tri base @55.
+                       bit 30 = leaf); leaf — up to 8 woop triangles in
+                       SoA 8-blocks (p0x[8] p0y[8] p0z[8] e1x..e1z
+                       e2x..e2z, cols 0-71), count @72, packed tri
+                       base @73 (repacked from the builders' 64-float
+                       tri-major rows by _repack80).
     perm  [T]    i32 : packed row -> original face index
     """
 
@@ -126,12 +128,52 @@ def build_geometry(positions, faces) -> GeometryArrays:
     rows = np.asarray(bvh["rows"], np.float32)
     # round up to multiples of 8 to bound recompiles across scenes
     depth = ((_bvh8_depth(rows) + 2 + 7) // 8) * 8
+    if rows.shape[1] == 64:  # python fallback builder emits the old width
+        rows = _repack80(rows)
     return GeometryArrays(
         jnp.asarray(tri),
         jnp.asarray(rows),
         jnp.asarray(perm.astype(np.int32)),
         stack_depth=depth,
     )
+
+
+def _repack80(rows):
+    """[N8,64] builder rows -> [N8,80] traversal rows: leaf triangles
+    re-laid out from tri-major (9 floats per tri, builder layout) into
+    SoA 8-blocks (p0x[8] p0y[8] p0z[8] e1*[24] e2*[24], meta @72-73) so
+    every traversal-side read is a lane-aligned [L,8] slice of the
+    gathered block (single-column extracts re-tile the whole gather —
+    see bvh_closest). Internal rows were already 8-block SoA and keep
+    their columns; the classification walks the child infos."""
+    N = rows.shape[0]
+    out = np.zeros((N, 80), np.float32)
+    internal = np.zeros(N, bool)
+    if N == 1:
+        leaf_ids = np.array([0], np.int64)
+    else:
+        infos_all = rows[:, 48:56].view(np.int32)
+        internal[0] = True
+        seen_leaf = np.zeros(N, bool)
+        frontier = np.array([0], np.int64)
+        while len(frontier):
+            ch = infos_all[frontier].reshape(-1)
+            ch = ch[ch != 0]
+            is_lf = (ch & int(LEAF_BIT)) != 0
+            seen_leaf[(ch[is_lf] & int(IDX_MASK)).astype(np.int64)] = True
+            nxt = (ch[~is_lf] & int(IDX_MASK)).astype(np.int64)
+            internal[nxt] = True
+            frontier = nxt
+        leaf_ids = np.where(seen_leaf & ~internal)[0]
+    out[internal, :56] = rows[internal, :56]
+    lr = rows[leaf_ids]
+    tri9 = lr[:, :54].reshape(-1, 6, 9)
+    soa = np.zeros((len(leaf_ids), 9, 8), np.float32)
+    soa[:, :, :6] = np.transpose(tri9, (0, 2, 1))
+    out[leaf_ids, :72] = soa.reshape(len(leaf_ids), 72)
+    out[leaf_ids, 72] = lr[:, 54]
+    out[leaf_ids, 73] = lr[:, 55]
+    return out
 
 
 def _i32(x):
@@ -210,14 +252,14 @@ MAX_STEPS = 8192  # watchdog guard; BVH8 walks are ~15-50 steps
 def bvh_closest(geom: GeometryArrays, o, d, t_min, t_max, stop_on_hit=False):
     """Ordered BVH8 closest hit for a wavefront of rays [L,3].
 
-    One packed 64-float row-gather per iteration (TPU gather cost is
+    One packed 80-float row-gather per iteration (TPU gather cost is
     per-op, not per-byte, so the 8-wide node is ~free vs a binary node
     and cuts the iteration count ~3-10x). Each lane is either:
       node  — slab-test the row's 8 children (restricted to the lane's
               pending mask when revisiting), descend into the nearest
               hit child, and push one COMPRESSED group entry
               (node << 8 | remaining-hit-mask) for the rest;
-      leaf  — intersect the row's <=6 embedded woop triangles in one
+      leaf  — intersect the row's <=8 SoA-packed woop triangles in one
               iteration, then pop;
       pop   — one-hot read of the group stack top; popped groups are
               re-slab-tested against the tightened best_t, so far
@@ -226,13 +268,22 @@ def bvh_closest(geom: GeometryArrays, o, d, t_min, t_max, stop_on_hit=False):
     computed at build) updated with one-hot selects - vector ops, no
     scatter. An undersized stack silently drops pending groups and loses
     hits, so the depth is measured, never guessed.
+
+    LAYOUT RULE (profiled): all row consumption is [L, 8] lane-aligned
+    BLOCK slices of the gathered [L, 80] result — extracting single
+    columns re-tiles the whole gathered block (~3.4 ms/step at 64k
+    lanes, 70%% of traversal); 8-column blocks stay in the gather's
+    native (8,128) tiling, and the [L] ray components broadcast in as
+    cheap [L,1] operands.
     """
     L = o.shape[0]
-    ox, oy, oz = _components(o)
-    dx, dy, dz = _components(d)
+    ox, oy, oz = (a[:, None] for a in _components(o))   # [L,1]
+    dx, dy, dz = (a[:, None] for a in _components(d))
     ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
+    t_min1 = t_min[:, None]
     SD = geom.stack_depth
     iota = jax.lax.broadcasted_iota(jnp.int32, (L, SD), 1)
+    iota8 = jnp.arange(8, dtype=jnp.int32)[None, :]      # [1,8]
 
     def cond(state):
         return jnp.any(state["cur"] >= 0) & (state["it"] < MAX_STEPS)
@@ -244,81 +295,81 @@ def bvh_closest(geom: GeometryArrays, o, d, t_min, t_max, stop_on_hit=False):
         best_u, best_v = state["best_u"], state["best_v"]
 
         active = cur >= 0
-        row = geom.rows[jnp.maximum(cur, 0)]  # [L,64] single gather
-        limit = jnp.minimum(best_t, t_max)
+        row = geom.rows[jnp.maximum(cur, 0)]  # [L,80] single gather
+        limit = jnp.minimum(best_t, t_max)[:, None]
 
-        # --- leaf phase: up to 6 woop triangles in this row ----------------
-        # Leaf inputs MUST be zeroed for non-leaf lanes: the intersection
-        # math on internal-row floats produces NaN/inf, and the XLA TPU
-        # backend MISCOMPILES the fused `where(take, tt, best_t)` chain
-        # when the unselected branch is NaN (observed: corrupted best_t ->
-        # mass ray misses under jit; correct eagerly and on CPU). Zeroed
-        # rows give det = 0 -> take = False with all-finite intermediates.
+        # --- leaf phase: up to 8 SoA-packed woop triangles ----------------
+        # Inputs MUST be zeroed for non-leaf lanes: the intersection math
+        # on internal-row floats produces NaN/inf, and the XLA TPU backend
+        # MISCOMPILES the fused `where(take, tt, best_t)` chain when the
+        # unselected branch is NaN (observed: corrupted best_t -> mass ray
+        # misses under jit). Zeroed rows give det = 0 -> take = False with
+        # all-finite intermediates.
         lf = active & leaf
         lrow = jnp.where(lf[:, None], row, 0.0)
-        cnt = _i32(lrow[:, 54])
-        base = _i32(lrow[:, 55])
-        for k in range(6):
-            c = 9 * k
-            e1x, e1y, e1z = lrow[:, c + 3], lrow[:, c + 4], lrow[:, c + 5]
-            e2x, e2y, e2z = lrow[:, c + 6], lrow[:, c + 7], lrow[:, c + 8]
-            pvx = dy * e2z - dz * e2y
-            pvy = dz * e2x - dx * e2z
-            pvz = dx * e2y - dy * e2x
-            det = e1x * pvx + e1y * pvy + e1z * pvz
-            inv = jnp.where(jnp.abs(det) < 1e-12, 0.0, 1.0 / det)
-            tvx = ox - lrow[:, c + 0]
-            tvy = oy - lrow[:, c + 1]
-            tvz = oz - lrow[:, c + 2]
-            uu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
-            qvx = tvy * e1z - tvz * e1y
-            qvy = tvz * e1x - tvx * e1z
-            qvz = tvx * e1y - tvy * e1x
-            vv = (dx * qvx + dy * qvy + dz * qvz) * inv
-            tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
-            take = (
-                lf & (k < cnt)
-                & (inv != 0.0) & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
-                & (tt > t_min) & (tt < jnp.minimum(best_t, t_max))
-            )
-            best_i = jnp.where(take, base + k, best_i)
-            best_u = jnp.where(take, uu, best_u)
-            best_v = jnp.where(take, vv, best_v)
-            best_t = jnp.where(take, tt, best_t)
-        limit = jnp.minimum(best_t, t_max)
+        cnt = _i32(lrow[:, 72:80])[:, 0:1]    # count @72 (8-block slice)
+        base = _i32(lrow[:, 72:80])[:, 1:2]   # base  @73
+        p0x, p0y, p0z = lrow[:, 0:8], lrow[:, 8:16], lrow[:, 16:24]
+        e1x, e1y, e1z = lrow[:, 24:32], lrow[:, 32:40], lrow[:, 40:48]
+        e2x, e2y, e2z = lrow[:, 48:56], lrow[:, 56:64], lrow[:, 64:72]
+        pvx = dy * e2z - dz * e2y
+        pvy = dz * e2x - dx * e2z
+        pvz = dx * e2y - dy * e2x
+        det = e1x * pvx + e1y * pvy + e1z * pvz
+        inv = jnp.where(jnp.abs(det) < 1e-12, 0.0, 1.0 / det)
+        tvx, tvy, tvz = ox - p0x, oy - p0y, oz - p0z
+        uu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
+        qvx = tvy * e1z - tvz * e1y
+        qvy = tvz * e1x - tvx * e1z
+        qvz = tvx * e1y - tvy * e1x
+        vv = (dx * qvx + dy * qvy + dz * qvz) * inv
+        tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
+        take = (
+            lf[:, None] & (iota8 < cnt)
+            & (inv != 0.0) & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+            & (tt > t_min1) & (tt < limit)
+        )
+        ttm = jnp.where(take, tt, INF)
+        kbest = jnp.argmin(ttm, axis=1)                       # [L]
+        sel8 = iota8 == kbest[:, None]                        # [L,8]
+        t_leaf = jnp.min(ttm, axis=1)                         # [L]
+        got = t_leaf < best_t
+        pick = lambda a: jnp.sum(jnp.where(sel8, a, 0.0), axis=1)
+        best_i = jnp.where(got, base[:, 0] + kbest, best_i)
+        best_u = jnp.where(got, pick(uu), best_u)
+        best_v = jnp.where(got, pick(vv), best_v)
+        best_t = jnp.where(got, t_leaf, best_t)
+        limit = jnp.minimum(best_t, t_max)[:, None]
 
-        # --- node phase: slab-test 8 children ------------------------------
+        # --- node phase: slab-test 8 children -----------------------------
         nd = active & ~leaf
-        pmask = jnp.where(pend == 0, 0xFF, pend)
-        best_tn = jnp.full(L, INF)
-        chosen = jnp.zeros(L, jnp.int32)
-        chosen_bit = jnp.zeros(L, jnp.int32)
-        hit_mask = jnp.zeros(L, jnp.int32)
-        for k in range(8):
-            info = _i32(row[:, 48 + k])
-            t0x = (row[:, 0 + k] - ox) * ix
-            t1x = (row[:, 24 + k] - ox) * ix
-            t0y = (row[:, 8 + k] - oy) * iy
-            t1y = (row[:, 32 + k] - oy) * iy
-            t0z = (row[:, 16 + k] - oz) * iz
-            t1z = (row[:, 40 + k] - oz) * iz
-            tn = jnp.maximum(
-                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
-                jnp.minimum(t0z, t1z),
-            )
-            tf = jnp.minimum(
-                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
-                jnp.maximum(t0z, t1z),
-            )
-            hit = (
-                (tn <= tf) & (tf >= t_min) & (tn <= limit)
-                & (info != 0) & ((pmask >> k) & 1 == 1)
-            )
-            hit_mask = hit_mask | jnp.where(hit, 1 << k, 0)
-            closer = hit & (tn < best_tn)
-            best_tn = jnp.where(closer, tn, best_tn)
-            chosen = jnp.where(closer, info, chosen)
-            chosen_bit = jnp.where(closer, 1 << k, chosen_bit)
+        nrow = jnp.where(nd[:, None], row, 0.0)  # same NaN-safety rule
+        pmask = jnp.where(pend == 0, 0xFF, pend)[:, None]
+        info8 = _i32(nrow[:, 48:56])
+        t0x = (nrow[:, 0:8] - ox) * ix
+        t1x = (nrow[:, 24:32] - ox) * ix
+        t0y = (nrow[:, 8:16] - oy) * iy
+        t1y = (nrow[:, 32:40] - oy) * iy
+        t0z = (nrow[:, 16:24] - oz) * iz
+        t1z = (nrow[:, 40:48] - oz) * iz
+        tn = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+            jnp.minimum(t0z, t1z),
+        )
+        tf = jnp.minimum(
+            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+            jnp.maximum(t0z, t1z),
+        )
+        hit8 = (
+            nd[:, None] & (tn <= tf) & (tf >= t_min1) & (tn <= limit)
+            & (info8 != 0) & ((pmask >> iota8) & 1 == 1)
+        )
+        tnm = jnp.where(hit8, tn, INF)
+        kn = jnp.argmin(tnm, axis=1)
+        seln = iota8 == kn[:, None]
+        chosen = jnp.sum(jnp.where(seln, info8, 0), axis=1)    # [L]
+        chosen_bit = jnp.sum(jnp.where(seln, 1 << iota8, 0), axis=1)
+        hit_mask = jnp.sum(jnp.where(hit8, 1 << iota8, 0), axis=1)
 
         any_hit = nd & (hit_mask != 0)
         if stop_on_hit:

@@ -64,12 +64,18 @@ def main(argv=None):
     from .scene.scene import load_scene
 
     for scene_path in args.scenes:
-        out = args.output or os.path.splitext(scene_path)[0] + ".exr"
-        if args.skip_existing and os.path.exists(out):
+        out = args.output
+        if args.skip_existing and out and os.path.exists(out):
             log(f"skipping {scene_path} (output exists)")
             continue
         log(f"loading {scene_path}")
         sc = load_scene(scene_path, defaults)
+        ftype = str(sc.film.get("type", "hdrfilm"))
+        default_ext = {"ldrfilm": ".png", "mfilm": ".m"}.get(ftype, ".exr")
+        out = out or os.path.splitext(scene_path)[0] + default_ext
+        if args.skip_existing and os.path.exists(out):
+            log(f"skipping {scene_path} (output exists)")
+            continue
         itype = args.integrator or sc.integrator.get("type", "path")
         log(f"rendering with integrator={itype} "
             f"{sc.film['width']}x{sc.film['height']}")
@@ -104,8 +110,40 @@ def main(argv=None):
         else:
             raise SystemExit(f"unsupported integrator {itype!r}")
 
-        exr.write(out, np.asarray(img, np.float32))
+        _write_film(out, np.asarray(img, np.float32), sc.film)
         log(f"wrote {out}")
+
+
+def _write_film(out, img, film):
+    """Develop to the film plugin's output format: hdrfilm/tiledhdrfilm
+    -> EXR (hdrfilm.cpp:536), ldrfilm -> gamma-corrected 8-bit PNG
+    (ldrfilm.cpp), mfilm -> matlab/numpy-readable text (mfilm.cpp)."""
+    from .io import exr
+
+    ftype = str(film.get("type", "hdrfilm"))
+    if ftype == "ldrfilm":
+        gamma = float(film.get("gamma", -1))
+        if gamma <= 0:  # sRGB
+            srgb = np.where(img <= 0.0031308, img * 12.92,
+                            1.055 * np.maximum(img, 1e-9) ** (1 / 2.4)
+                            - 0.055)
+        else:
+            srgb = np.maximum(img, 0.0) ** (1.0 / gamma)
+        out8 = (np.clip(srgb, 0, 1) * 255 + 0.5).astype(np.uint8)
+        from PIL import Image
+
+        Image.fromarray(out8).save(out)
+    elif ftype == "mfilm":
+        digits = int(film.get("digits", 4))
+        with open(out, "w") as f:
+            for c in range(img.shape[-1]):
+                if c:
+                    f.write(",\n")
+                rows = [",".join(f"{v:.{digits}g}" for v in row)
+                        for row in img[..., c]]
+                f.write("[" + ";\n".join(rows) + "]")
+    else:
+        exr.write(out, img)
 
 
 def _render_sharded(sc, cfg, spp, args):

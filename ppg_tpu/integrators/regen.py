@@ -568,10 +568,12 @@ def trace_regen(scene: DeviceScene, cfg: PTConfig, key, sensor, pix_start,
         # no stacked per-iteration outputs needed: run the whole chunk in
         # ONE dispatch with an early-exit while_loop (every scan-style
         # continuation dispatch pays a host-sync RTT on the TPU tunnel).
-        # The while body runs a 16-iteration inner scan: a bare while
-        # iteration pays ~2 ms of loop/cond overhead on TPU, ~4x the
-        # body's own cost, so the termination check is amortized.
-        BLK = 64
+        # The while body runs a BLK-iteration inner scan: a bare while
+        # iteration pays ~2 ms of loop/cond overhead on TPU, so the
+        # termination check is amortized — but each extra block past
+        # all-done is pure waste, so BLK shrinks when the per-iteration
+        # body is expensive (BVH scenes: ~100x the small-scene body).
+        BLK = 64 if scene.geom.num_tris <= 1024 else 8
 
         def w_cond(st):
             c, it = st

@@ -852,6 +852,7 @@ def build_scene(xml: SceneXML, missing_ok=True) -> SceneData:
     film = dict(width=W, height=H)
     if film_spec is not None:
         film.update(film_spec.props)
+        film["type"] = film_spec.otype
     film["rfilter"] = rfilter_spec.otype if rfilter_spec is not None else "gaussian"
 
     if positions.size:

@@ -125,3 +125,43 @@ def test_bvh8_from_inside_sphere_jitted():
     ot = np.asarray(ot)
     assert (oi >= 0).all(), f"missed {int((oi < 0).sum())}/{L} from inside"
     assert np.allclose(ot, 100.0, atol=0.5)
+
+
+def test_bvh8_matches_brute_on_deep_random_soup():
+    """Referee test on a tree deep enough to exercise the group stack and
+    the SoA leaf repack (_repack80): bvh_closest must agree with the
+    brute-force sweep exactly on hit index (and t within fp tolerance)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ppg_tpu.accel import traverse as TR
+
+    rng = np.random.default_rng(11)
+    T = 20000
+    # clustered tris: deep, uneven BVH
+    centers = rng.normal(size=(T, 1, 3)) * np.array([5.0, 1.0, 5.0])
+    tris = centers + rng.normal(size=(T, 3, 3)) * 0.4
+    positions = tris.reshape(-1, 3)
+    faces = np.arange(3 * T, dtype=np.int32).reshape(-1, 3)
+    geom = TR.build_geometry(positions, faces)
+    assert geom.rows.shape[1] == 80
+
+    L = 512
+    o = jnp.asarray(rng.normal(size=(L, 3)) * 4.0, jnp.float32)
+    d = rng.normal(size=(L, 3))
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True),
+                    jnp.float32)
+    tmin = jnp.zeros(L)
+    tmax = jnp.full(L, 1e9)
+    bi, bt, bu, bv = jax.jit(TR.bvh_closest)(geom, o, d, tmin, tmax)
+    ri, rt, ru, rv = jax.jit(TR.brute_force_closest)(geom, o, d, tmin, tmax)
+    bi, bt = np.asarray(bi), np.asarray(bt)
+    ri, rt = np.asarray(ri), np.asarray(rt)
+    hit = ri >= 0
+    assert hit.sum() > L // 4  # the scene is dense enough to be a real test
+    # identical triangle unless two tris tie in t within fp noise
+    disagree = (bi != ri)
+    tie = np.abs(np.where(hit, bt, 0) - np.where(hit, rt, 0)) < 1e-4
+    assert (disagree & ~tie).sum() == 0, int((disagree & ~tie).sum())
+    np.testing.assert_allclose(bt[hit], rt[hit], rtol=1e-4, atol=1e-4)
