@@ -58,6 +58,10 @@ def make_config(sc, **overrides) -> PTConfig:
                                (MAT_COATING, MAT_ROUGHCOATING)))
         ),
         has_vertexcolors=getattr(sc, "colors", None) is not None,
+        has_wireframe=bool(
+            sc.textures is not None
+            and any(s.otype == "wireframe" for s in sc.textures.specs)
+        ),
         sampler=str(sc.sampler.get("type", "independent")),
     )
     kw.update(overrides)

@@ -216,6 +216,11 @@ def trace_regen(scene: DeviceScene, cfg: PTConfig, key, sensor, pix_start,
         else:
             vcol = None
 
+        if cfg.has_wireframe:
+            wf_tri = scene.geom.tri[tri2s]
+        else:
+            wf_tri = None
+
         def tex_override(pr):
             if not cfg.has_tex:
                 return pr
@@ -228,6 +233,14 @@ def trace_regen(scene: DeviceScene, cfg: PTConfig, key, sensor, pix_start,
                     is_vc = scene.tex.vcflag[
                         jnp.clip(tid + 1, 0, n_slots_tex - 1)]
                     val = jnp.where(is_vc[..., None], vcol, val)
+                if cfg.has_wireframe:
+                    from ..scene.textures import wireframe_color
+
+                    is_wf = scene.tex.wfp[
+                        jnp.clip(tid + 1, 0, n_slots_tex - 1), 0] >= 0
+                    wcol = wireframe_color(scene.tex, tid + 1, wf_tri,
+                                           bu2, bv2)
+                    val = jnp.where(is_wf[..., None], wcol, val)
                 pr[field] = jnp.where((tid >= 0)[..., None], val, pr[field])
             return pr
 

@@ -64,6 +64,7 @@ class PTConfig:
     has_blend: bool = False  # scene has blendbsdf/mixturebsdf materials
     has_coating: bool = False  # scene has coating/roughcoating materials
     has_vertexcolors: bool = False  # meshes carry per-vertex colors
+    has_wireframe: bool = False  # scene has wireframe textures
     sampler: str = "independent"  # sampler plugin type (render/samplers.py)
 
     @property
@@ -177,6 +178,16 @@ class DeviceScene:
                  for s in sc.textures.specs],
                 sc.textures.scene_xml.dir
             )
+            wfp = np.array(tex.wfp)
+            if np.any(wfp[:, 0] == 0.0) and len(sc.faces):
+                # lineWidth=0 -> 10% of the average edge length
+                # (wireframe.cpp:90-106; averaged scene-wide here, the
+                # reference averages per mesh — documented deviation)
+                v = sc.positions[sc.faces]
+                e = np.linalg.norm(
+                    v - np.roll(v, -1, axis=1), axis=-1).mean()
+                wfp[:, 0] = np.where(wfp[:, 0] == 0.0, 0.1 * e, wfp[:, 0])
+                tex.wfp = jnp.asarray(wfp)
         else:
             tex = TextureAtlas.empty()
 
@@ -415,6 +426,11 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
         else:
             vcol = None
 
+        if cfg.has_wireframe:
+            wf_tri = scene.geom.tri[carry["tri"]]
+        else:
+            wf_tri = None
+
         def tex_override(pr):
             """Replace textured parameters with atlas lookups."""
             if not cfg.has_tex:
@@ -428,6 +444,14 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
                     is_vc = scene.tex.vcflag[
                         jnp.clip(tid + 1, 0, n_slots_tex - 1)]
                     val = jnp.where(is_vc[..., None], vcol, val)
+                if cfg.has_wireframe:
+                    from ..scene.textures import wireframe_color
+
+                    is_wf = scene.tex.wfp[
+                        jnp.clip(tid + 1, 0, n_slots_tex - 1), 0] >= 0
+                    wcol = wireframe_color(scene.tex, tid + 1, wf_tri,
+                                           carry["bu"], carry["bv"])
+                    val = jnp.where(is_wf[..., None], wcol, val)
                 pr[field] = jnp.where((tid >= 0)[..., None], val, pr[field])
             return pr
 

@@ -806,6 +806,16 @@ def build_scene(xml: SceneXML, missing_ok=True) -> SceneData:
     texcoords = np.concatenate(all_uv) if all_uv else np.zeros((0, 2))
     colors = np.concatenate(all_col) if any_colors else None
 
+    curv_specs = [s for s in textures.specs if s.otype == "curvature"]
+    if curv_specs and colors is None and len(faces):
+        # bake the curvature gradient into vertex colors; read lane-side
+        # through the vertexcolors path (see TextureAtlas.build)
+        sp = curv_specs[0].props
+        colors = curvature_colors(
+            positions, faces,
+            show_k=str(sp.get("curvature", "gaussian")) == "gaussian",
+            scale=float(sp.get("scale", 1.0)))
+
     # emitter CDFs over triangle areas (TriMesh::samplePosition semantics)
     offs, cnts, ids, cdfs, invs, rads = [], [], [], [], [], []
     pos = 0
@@ -908,3 +918,56 @@ def _default_bsdf():
 
 def load_scene(path, defaults=None, missing_ok=True) -> SceneData:
     return build_scene(SceneXML(path, defaults), missing_ok=missing_ok)
+
+
+def curvature_colors(positions, faces, show_k=True, scale=1.0):
+    """Per-vertex mean/Gaussian curvature baked to the reference's
+    red/blue gradient (curvature.cpp:74-87: negative -> blue, positive
+    -> red, |v|*scale clamped to 1). K via the angle-defect formula,
+    H via the cotangent Laplacian with the vertex normal fixing the
+    sign — standard discrete estimates standing in for Mitsuba's
+    per-shape getCurvature()."""
+    V = len(positions)
+    p = positions[faces].astype(np.float64)  # [F,3,3]
+    fn = np.cross(p[:, 1] - p[:, 0], p[:, 2] - p[:, 0])
+    a2 = np.linalg.norm(fn, axis=-1)
+    area = 0.5 * a2
+    fn_unit = fn / np.maximum(a2, 1e-30)[:, None]
+
+    ang_sum = np.zeros(V)
+    area_sum = np.zeros(V)
+    lap = np.zeros((V, 3))
+    vnorm = np.zeros((V, 3))
+    for i in range(3):
+        vi = faces[:, i]
+        u = p[:, (i + 1) % 3] - p[:, i]
+        w = p[:, (i + 2) % 3] - p[:, i]
+        cosang = np.sum(u * w, -1) / np.maximum(
+            np.linalg.norm(u, axis=-1) * np.linalg.norm(w, axis=-1), 1e-30)
+        ang = np.arccos(np.clip(cosang, -1.0, 1.0))
+        np.add.at(ang_sum, vi, ang)
+        np.add.at(area_sum, vi, area / 3.0)
+        np.add.at(vnorm, vi, fn)
+        # cotangent term: the angle at corner i is opposite edge
+        # (i+1, i+2); accumulate cot(ang) * (p_a - p_b) on both ends
+        cot = cosang / np.maximum(np.sqrt(np.maximum(
+            1.0 - cosang * cosang, 1e-30)), 1e-30)
+        va, vb = faces[:, (i + 1) % 3], faces[:, (i + 2) % 3]
+        d = p[:, (i + 2) % 3] - p[:, (i + 1) % 3]
+        np.add.at(lap, va, cot[:, None] * d)
+        np.add.at(lap, vb, -cot[:, None] * d)
+
+    if show_k:
+        val = (2.0 * np.pi - ang_sum) / np.maximum(area_sum, 1e-30)
+    else:
+        hn = lap / np.maximum(4.0 * area_sum, 1e-30)[:, None]
+        mag = np.linalg.norm(hn, axis=-1)
+        # the discrete mean-curvature vector points toward the concave
+        # side; convex (sphere-like) surfaces get POSITIVE H
+        sign = -np.sign(np.sum(hn * vnorm, -1))
+        val = mag * np.where(sign == 0, 1.0, sign)
+
+    out = np.zeros((V, 3), np.float32)
+    out[:, 0] = np.clip(np.where(val > 0, val * scale, 0.0), 0.0, 1.0)
+    out[:, 2] = np.clip(np.where(val < 0, -val * scale, 0.0), 0.0, 1.0)
+    return out

@@ -85,9 +85,9 @@ class TextureAtlas:
     1x1 white dummy; material rows store spec-index + 1 (0 = none).
     """
 
-    FIELDS = ("pixels", "meta", "uvx", "vcflag")
+    FIELDS = ("pixels", "meta", "uvx", "vcflag", "wfp")
 
-    def __init__(self, pixels, meta, uvx, vcflag=None):
+    def __init__(self, pixels, meta, uvx, vcflag=None, wfp=None):
         self.pixels = pixels
         self.meta = meta
         self.uvx = uvx
@@ -95,6 +95,11 @@ class TextureAtlas:
         # colors (src/textures/vertexcolors.cpp) instead of atlas pixels
         self.vcflag = (vcflag if vcflag is not None
                        else jnp.zeros(meta.shape[0], bool))
+        # per-slot wireframe params (src/textures/wireframe.cpp):
+        # [lineWidth (<0 = not wireframe), stepWidth, edge rgb,
+        #  interior rgb, pad]
+        self.wfp = (wfp if wfp is not None
+                    else jnp.full((meta.shape[0], 8), -1.0, jnp.float32))
 
     @classmethod
     def build(cls, specs, scene_dir):
@@ -134,9 +139,10 @@ class TextureAtlas:
             return load_texture(path, float(p.get("gamma", 0.0))), x4
 
         for p in specs:
-            if p.get("_otype") == "vertexcolors":
-                # handled lane-side from interpolated mesh colors; keep a
-                # white placeholder so slot indices stay aligned
+            if p.get("_otype") in ("vertexcolors", "curvature", "wireframe"):
+                # handled lane-side (vertex colors / baked curvature
+                # colors / barycentric edge distance); keep a white
+                # placeholder so slot indices stay aligned
                 imgs.append(np.ones((1, 1, 3), np.float32))
                 uvx.append(np.array([1, 1, 0, 0], np.float32))
                 continue
@@ -152,12 +158,29 @@ class TextureAtlas:
             flats.append(im.reshape(-1, 3))
             off += H * W
         vcflag = np.zeros(len(imgs), bool)
+        wfp = np.full((len(imgs), 8), -1.0, np.float32)
         for i, p in enumerate(specs):
-            if p.get("_otype") == "vertexcolors":
+            if p.get("_otype") in ("vertexcolors", "curvature"):
+                # curvature colors are baked into mesh vertex colors at
+                # scene build (scene.py) and read through the
+                # vertexcolors lane path — documented deviation: the
+                # red/blue gradient interpolates per-vertex instead of
+                # per-curvature-sample (curvature.cpp:74-87)
                 vcflag[i + 1] = True
+            elif p.get("_otype") == "wireframe":
+                def rgb3(v, d):
+                    a = np.asarray(getattr(v, "rgb", v if v is not None
+                                           else d), np.float32).reshape(-1)
+                    return np.full(3, a[0]) if a.size == 1 else a[:3]
+
+                wfp[i + 1, 0] = float(p.get("lineWidth", 0.0))
+                wfp[i + 1, 1] = min(max(float(p.get("stepWidth", 0.5)),
+                                        0.0), 1.0)
+                wfp[i + 1, 2:5] = rgb3(p.get("edgeColor"), [0.1] * 3)
+                wfp[i + 1, 5:8] = rgb3(p.get("interiorColor"), [0.5] * 3)
         return cls(jnp.asarray(np.concatenate(flats, 0)),
                    jnp.asarray(meta), jnp.asarray(np.stack(uvx)),
-                   jnp.asarray(vcflag))
+                   jnp.asarray(vcflag), jnp.asarray(wfp))
 
     @classmethod
     def empty(cls):
@@ -243,3 +266,36 @@ def perturb_normal(atlas: TextureAtlas, tex_id, is_normalmap, uv,
     n_new = jnp.where(
         (jnp.sum(n_new * sh_n, -1) < 0)[..., None], -n_new, n_new)
     return jnp.where((tex_id > 0)[..., None], n_new, sh_n)
+
+
+def wireframe_color(atlas: TextureAtlas, tex_id, tri_rows, bu, bv):
+    """Wireframe texture eval (src/textures/wireframe.cpp:81-123):
+    world-space distance from the shading point to the nearest triangle
+    edge LINE (unclamped projection, like the reference), smoothstepped
+    between lineWidth*(1-stepWidth) and lineWidth to blend edgeColor ->
+    interiorColor. tri_rows: [L,12] packed (p0, e1, e2) accel rows;
+    tex_id is the +1-biased slot id."""
+    tid = jnp.clip(tex_id, 0, atlas.wfp.shape[0] - 1)
+    wf = atlas.wfp[tid]
+    lw = wf[:, 0]
+    sw = wf[:, 1]
+    p0 = tri_rows[:, 0:3]
+    e1 = tri_rows[:, 3:6]
+    e2 = tri_rows[:, 6:9]
+    p = p0 + bu[:, None] * e1 + bv[:, None] * e2
+
+    def line_d2(c, dvec):
+        l2 = jnp.sum(dvec * dvec, -1)
+        w = p - c
+        t = jnp.sum(w * dvec, -1) / jnp.maximum(l2, 1e-30)
+        dd = w - t[:, None] * dvec
+        return jnp.sum(dd * dd, -1)
+
+    d2 = jnp.minimum(
+        jnp.minimum(line_d2(p0, e1), line_d2(p0, e2)),
+        line_d2(p0 + e1, e2 - e1))
+    x = jnp.sqrt(jnp.maximum(d2, 0.0))
+    e0 = lw * (1.0 - sw)
+    t = jnp.clip((x - e0) / jnp.maximum(lw - e0, 1e-30), 0.0, 1.0)
+    s = t * t * (3.0 - 2.0 * t)  # math::smoothStep
+    return wf[:, 2:5] * (1.0 - s)[:, None] + wf[:, 5:8] * s[:, None]
