@@ -211,6 +211,8 @@ def build_shape(spec, scene_xml):
         center = spec.props.get("center", np.zeros(3))
         radius = float(spec.props.get("radius", 1.0))
         mesh = make_sphere(np.asarray(center, np.float64), radius)
+    elif spec.otype == "heightfield":
+        mesh = make_heightfield(spec, scene_xml)
     else:
         raise NotImplementedError(f"shape type {spec.otype!r}")
 
@@ -225,3 +227,46 @@ def build_shape(spec, scene_xml):
     elif flip_normals:
         mesh.normals = -mesh.normals
     return mesh
+
+
+def make_heightfield(spec, scene_xml):
+    """Height field (src/shapes/heightfield.cpp, createTriMesh path):
+    grid vertices at integer object-space (x, y) with z = scale * data,
+    uv spanning [0,1]^2, two triangles per cell. Heights come from an
+    image file (channel average, like the reference's single-channel
+    conversion) or a nested procedural texture rasterized at
+    width x height."""
+    pr = spec.props
+    scale = float(pr.get("scale", 1.0))
+    fn = pr.get("filename", "")
+    if fn:
+        from .textures import load_texture
+
+        img = load_texture(scene_xml.resolve_path(fn), gamma=1.0)
+        data = np.asarray(img, np.float64).mean(axis=-1)
+    else:
+        tex = None
+        for c in spec.children:
+            if getattr(c, "cls", None) == "texture":
+                tex = c
+        if tex is None:
+            raise ValueError("heightfield: needs filename or a texture")
+        from .textures import rasterize_procedural
+
+        res = max(int(pr.get("width", 128)), int(pr.get("height", 128)), 2)
+        if tex.otype not in ("checkerboard", "gridtexture"):
+            raise NotImplementedError(
+                f"heightfield texture {tex.otype!r} (procedural only)")
+        data = rasterize_procedural(tex.otype, dict(tex.props),
+                                    res=res).mean(axis=-1)
+    H, W = data.shape
+    ys, xs = np.mgrid[0:H, 0:W]
+    pos = np.stack([xs.ravel(), ys.ravel(),
+                    scale * data.ravel()], -1).astype(np.float64)
+    uv = np.stack([(xs / max(W - 1, 1)).ravel(),
+                   (ys / max(H - 1, 1)).ravel()], -1)
+    i = (ys[:-1, :-1] * W + xs[:-1, :-1]).ravel()
+    f1 = np.stack([i, i + 1, i + W + 1], -1)
+    f2 = np.stack([i, i + W + 1, i + W], -1)
+    faces = np.concatenate([f1, f2]).astype(np.int32)
+    return TriMeshData(pos, faces, None, uv)

@@ -206,3 +206,33 @@ end_header
     cfg = make_config(sc, guiding=False, do_nee=True)
     img = render(sc, spp=64, chunk=256, cfg=cfg)
     assert abs(img[8, 8].mean() - 0.5) < 0.02, img[8, 8]
+
+
+def test_heightfield_shape(tmp_path):
+    import numpy as np
+
+    from ppg_tpu.scene.scene import load_scene
+
+    from PIL import Image
+
+    h = (np.arange(16)[None, :] * np.ones((16, 1)) * 16).astype(np.uint8)
+    Image.fromarray(h, mode="L").save(tmp_path / "h.png")
+    xml = """<scene version="0.5.0">
+<integrator type="path"/>
+<sensor type="perspective"><float name="fov" value="45"/>
+ <transform name="toWorld"><lookAt origin="8,8,30" target="8,8,0" up="0,1,0"/></transform>
+ <sampler type="independent"/><film type="hdrfilm">
+ <integer name="width" value="8"/><integer name="height" value="8"/><rfilter type="box"/></film></sensor>
+<shape type="heightfield">
+ <string name="filename" value="h.png"/>
+ <float name="scale" value="4"/>
+ <bsdf type="diffuse"/></shape>
+</scene>"""
+    p = tmp_path / "s.xml"
+    p.write_text(xml)
+    sc = load_scene(str(p))
+    assert sc.num_tris == 2 * 15 * 15
+    # ramp along x scaled by 4: max height = 4 * (15*16/255)
+    zmax = sc.positions[:, 2].max()
+    assert abs(zmax - 4 * (15 * 16) / 255) < 0.05
+    assert sc.positions[:, 0].max() == 15 and sc.positions[:, 1].max() == 15
