@@ -87,6 +87,7 @@ def _render_chunk(scene, cfg, sensor, film, chunk, buffers, key, pix_start,
               if sensor.needs_lens_sample else None)
     o, d, tmin, tmax = sensor.sample_rays(pos, u_lens)
     out = trace_paths(scene, cfg, key, o, d, tmin, tmax, sdtree=sdtree,
+                      sensor=sensor,
                       pixel_ids=ids, sample_idx=sample_idx)
     li = out["li"]
     valid = ids < W * sensor.H

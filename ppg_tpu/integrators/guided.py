@@ -45,7 +45,8 @@ def _chunk_step(scene, cfg, sensor, film, chunk, spatial_filter,
     u_lens = (jax.random.uniform(jax.random.fold_in(key, 19), (chunk, 2))
               if sensor.needs_lens_sample else None)
     o, d, tmin, tmax = sensor.sample_rays(pos, u_lens)
-    out = trace_paths(scene, cfg, key, o, d, tmin, tmax, sdtree=sdtree)
+    out = trace_paths(scene, cfg, key, o, d, tmin, tmax, sdtree=sdtree,
+                      sensor=sensor)
     li = out["li"]
     valid = ids < W * sensor.H
     if film.rfilter == "box":

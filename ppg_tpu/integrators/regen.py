@@ -221,6 +221,19 @@ def trace_regen(scene: DeviceScene, cfg: PTConfig, key, sensor, pix_start,
         else:
             wf_tri = None
 
+        if cfg.has_tex and hasattr(sensor, "footprint"):
+            # primary (fresh) lanes carry camera ray differentials ->
+            # MIP level; bounce lanes sample the base level (matching
+            # the reference path tracer's camera-only differentials)
+            foot_w = jnp.where(fresh, sensor.footprint(t2), 0.0)
+            foot_uv = jnp.stack(
+                [foot_w / jnp.maximum(
+                    jnp.linalg.norm(dpdu, axis=-1), 1e-12),
+                 foot_w / jnp.maximum(
+                     jnp.linalg.norm(dpdv, axis=-1), 1e-12)], -1)
+        else:
+            foot_uv = None
+
         def tex_override(pr):
             if not cfg.has_tex:
                 return pr
@@ -228,7 +241,7 @@ def trace_regen(scene: DeviceScene, cfg: PTConfig, key, sensor, pix_start,
             for field, tslot in (("reflectance", "tex_reflectance"),
                                  ("opacity", "tex_opacity")):
                 tid = pr[tslot]
-                val = sample_atlas(scene.tex, tid + 1, uv)
+                val = sample_atlas(scene.tex, tid + 1, uv, foot_uv)
                 if cfg.has_vertexcolors:
                     is_vc = scene.tex.vcflag[
                         jnp.clip(tid + 1, 0, n_slots_tex - 1)]

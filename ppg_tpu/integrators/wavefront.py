@@ -327,7 +327,7 @@ def _sample_emitters(scene: DeviceScene, cfg: PTConfig, p, ref_n, u_nee):
 
 
 def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
-                sdtree=None, pixel_ids=None, sample_idx=0):
+                sdtree=None, pixel_ids=None, sample_idx=0, sensor=None):
     """Trace a wavefront of L camera rays to completion.
 
     pixel_ids/sample_idx feed the deterministic QMC samplers
@@ -431,6 +431,22 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
         else:
             wf_tri = None
 
+        if cfg.has_tex and sensor is not None and hasattr(sensor,
+                                                          "footprint"):
+            # primary-hit ray differentials (isotropic): pixel footprint
+            # at the camera hit mapped through dpdu/dpdv into uv space,
+            # selecting the MIP level (secondary bounces sample the base
+            # level, like the reference path tracer's camera-only
+            # differentials)
+            foot_w = jnp.where(j == 0, sensor.footprint(carry["t"]), 0.0)
+            foot_uv = jnp.stack(
+                [foot_w / jnp.maximum(
+                    jnp.linalg.norm(dpdu, axis=-1), 1e-12),
+                 foot_w / jnp.maximum(
+                     jnp.linalg.norm(dpdv, axis=-1), 1e-12)], -1)
+        else:
+            foot_uv = None
+
         def tex_override(pr):
             """Replace textured parameters with atlas lookups."""
             if not cfg.has_tex:
@@ -439,7 +455,7 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
             for field, slot in (("reflectance", "tex_reflectance"),
                                 ("opacity", "tex_opacity")):
                 tid = pr[slot]
-                val = sample_atlas(scene.tex, tid + 1, uv)
+                val = sample_atlas(scene.tex, tid + 1, uv, foot_uv)
                 if cfg.has_vertexcolors:
                     is_vc = scene.tex.vcflag[
                         jnp.clip(tid + 1, 0, n_slots_tex - 1)]

@@ -63,7 +63,8 @@ def sharded_render_pass(mesh, scene, cfg, sensor, film, sdtree, key, chunk,
                                      (ids.shape[0], 2))
                   if getattr(sensor, "needs_lens_sample", False) else None)
         o, d, tmin, tmax = sensor.sample_rays(pos, u_lens)
-        out = trace_paths(scene, cfg, k, o, d, tmin, tmax, sdtree=sdtree)
+        out = trace_paths(scene, cfg, k, o, d, tmin, tmax, sdtree=sdtree,
+                          sensor=sensor)
         valid = ids < W * H
         li = jnp.where(valid[..., None], out["li"], 0.0)
         spos = jnp.where(valid[..., None], pos, -100.0)
@@ -153,7 +154,8 @@ def seed_parallel_pass(mesh2, scene, cfg, sensor, film, sdtree, key, chunk,
                                      (ids.shape[0], 2))
                   if getattr(sensor, "needs_lens_sample", False) else None)
         o, d, tmin, tmax = sensor.sample_rays(pos, u_lens)
-        out = trace_paths(scene, cfg, k, o, d, tmin, tmax, sdtree=sdtree)
+        out = trace_paths(scene, cfg, k, o, d, tmin, tmax, sdtree=sdtree,
+                          sensor=sensor)
         valid = ids < W * H
         li = jnp.where(valid[..., None], out["li"], 0.0)
         spos = jnp.where(valid[..., None], pos, -100.0)

@@ -52,6 +52,12 @@ class _SensorHash:
 class PerspectiveSensor(_SensorHash):
     needs_lens_sample = False
 
+    def footprint(self, t):
+        """World-space pixel footprint at hit distance t (isotropic
+        approximation of the camera ray differentials that drive the
+        reference's EWA lookups, perspective.cpp sampleRayDifferential)."""
+        return t * (2.0 * self.tan_half / self.W)
+
     def __init__(self, sensor_cfg, film_cfg, crop=None):
         self.W = film_cfg["width"]
         self.H = film_cfg["height"]
@@ -118,6 +124,10 @@ class OrthographicSensor(_SensorHash):
     """Parallel projection (orthographic.cpp); view extents come from the
     toWorld scale, applied through the full affine transform."""
 
+    def footprint(self, t):
+        # parallel rays: constant world-space pixel size
+        return jnp.full_like(t, self.px_world)
+
     needs_lens_sample = False
 
     def __init__(self, sensor_cfg, film_cfg, crop=None):
@@ -129,6 +139,7 @@ class OrthographicSensor(_SensorHash):
         m = np.asarray(sensor_cfg["to_world"], np.float64)
         self.origin = jnp.asarray(m[:3, 3], jnp.float32)
         self.axes = jnp.asarray(m[:3, :3], jnp.float32)
+        self.px_world = float(2.0 * np.linalg.norm(m[:3, 0]) / self.W)
 
     def sample_rays(self, sample_pos, u_lens=None):
         u = sample_pos[:, 0] / self.W
@@ -148,6 +159,9 @@ class SphericalSensor(_SensorHash):
     """Latitude-longitude environment camera (spherical.cpp:67-83):
     d = (sin(phi) sin(theta), cos(theta), -cos(phi) sin(theta)) with
     phi = 2 pi u, theta = pi v."""
+
+    def footprint(self, t):
+        return t * (2.0 * np.pi / self.W)
 
     needs_lens_sample = False
 
@@ -176,6 +190,10 @@ class RadianceMeterSensor(_SensorHash):
     typically 1x1 and accumulates the mean incident radiance."""
 
     needs_lens_sample = False
+
+    def footprint(self, t):
+        # single-direction probe: no meaningful pixel footprint
+        return jnp.zeros_like(t)
 
     def __init__(self, sensor_cfg, film_cfg, crop=None):
         self.W = film_cfg["width"]

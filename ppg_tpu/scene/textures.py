@@ -85,9 +85,11 @@ class TextureAtlas:
     1x1 white dummy; material rows store spec-index + 1 (0 = none).
     """
 
-    FIELDS = ("pixels", "meta", "uvx", "vcflag", "wfp")
+    FIELDS = ("pixels", "meta", "uvx", "vcflag", "wfp", "mip_meta")
+    MAX_LEVELS = 13
 
-    def __init__(self, pixels, meta, uvx, vcflag=None, wfp=None):
+    def __init__(self, pixels, meta, uvx, vcflag=None, wfp=None,
+                 mip_meta=None):
         self.pixels = pixels
         self.meta = meta
         self.uvx = uvx
@@ -100,6 +102,15 @@ class TextureAtlas:
         #  interior rgb, pad]
         self.wfp = (wfp if wfp is not None
                     else jnp.full((meta.shape[0], 8), -1.0, jnp.float32))
+        # MIP pyramid metadata [N * MAX_LEVELS, 3] = (offset, W, H) per
+        # (slot, level); levels past a texture's last repeat its 1x1 top
+        # (bitmap.cpp MIP chain; trilinear isotropic filtering instead of
+        # EWA — documented deviation)
+        if mip_meta is None:
+            mip_meta = jnp.reshape(
+                jnp.tile(meta[:, None, :], (1, self.MAX_LEVELS, 1)),
+                (meta.shape[0] * self.MAX_LEVELS, 3))
+        self.mip_meta = mip_meta
 
     @classmethod
     def build(cls, specs, scene_dir):
@@ -150,13 +161,22 @@ class TextureAtlas:
             imgs.append(img)
             uvx.append(x4)
         meta = np.zeros((len(imgs), 3), np.int32)
+        mip_meta = np.zeros((len(imgs), cls.MAX_LEVELS, 3), np.int32)
         off = 0
         flats = []
         for i, im in enumerate(imgs):
-            H, W = im.shape[:2]
-            meta[i] = (off, W, H)
-            flats.append(im.reshape(-1, 3))
-            off += H * W
+            for lvl in range(cls.MAX_LEVELS):
+                H, W = im.shape[:2]
+                if lvl == 0:
+                    meta[i] = (off, W, H)
+                mip_meta[i, lvl] = (off, W, H)
+                flats.append(im.reshape(-1, 3))
+                off += H * W
+                if W == 1 and H == 1:
+                    # repeat the 1x1 top for the remaining levels
+                    mip_meta[i, lvl + 1:] = mip_meta[i, lvl]
+                    break
+                im = _downsample2(im)
         vcflag = np.zeros(len(imgs), bool)
         wfp = np.full((len(imgs), 8), -1.0, np.float32)
         for i, p in enumerate(specs):
@@ -180,7 +200,8 @@ class TextureAtlas:
                 wfp[i + 1, 5:8] = rgb3(p.get("interiorColor"), [0.5] * 3)
         return cls(jnp.asarray(np.concatenate(flats, 0)),
                    jnp.asarray(meta), jnp.asarray(np.stack(uvx)),
-                   jnp.asarray(vcflag), jnp.asarray(wfp))
+                   jnp.asarray(vcflag), jnp.asarray(wfp),
+                   jnp.asarray(mip_meta.reshape(-1, 3)))
 
     @classmethod
     def empty(cls):
@@ -197,13 +218,19 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def sample_atlas(atlas: TextureAtlas, tex_id, uv):
-    """Bilinear lookup with repeat wrap. tex_id [L] i32 (PLUS ONE vs the
-    builder's spec index; <=0 lanes return white), uv [L, 2]."""
-    tid = jnp.clip(tex_id, 0, atlas.meta.shape[0] - 1)
-    m = atlas.meta[tid]
-    x4 = atlas.uvx[tid]
-    off, W, H = m[..., 0], m[..., 1], m[..., 2]
+def _downsample2(im):
+    """2x box downsample with odd-dimension truncation handling."""
+    H, W = im.shape[:2]
+    H2, W2 = max(H // 2, 1), max(W // 2, 1)
+    im = im[:H2 * 2 if H > 1 else 1, :W2 * 2 if W > 1 else 1]
+    if H > 1:
+        im = 0.5 * (im[0::2] + im[1::2])
+    if W > 1:
+        im = 0.5 * (im[:, 0::2] + im[:, 1::2])
+    return im
+
+
+def _bilinear(atlas, off, W, H, x4, uv):
     Wf = W.astype(jnp.float32)
     Hf = H.astype(jnp.float32)
     # bitmap.cpp eval: uv transform, then pixel space, half-texel centered
@@ -221,10 +248,44 @@ def sample_atlas(atlas: TextureAtlas, tex_id, uv):
         yi = jnp.remainder(yi, H)
         return atlas.pixels[off + yi * W + xi]
 
-    v = (tex(x0, y0) * (1 - dx) * (1 - dy)
-         + tex(x0 + 1, y0) * dx * (1 - dy)
-         + tex(x0, y0 + 1) * (1 - dx) * dy
-         + tex(x0 + 1, y0 + 1) * dx * dy)
+    return (tex(x0, y0) * (1 - dx) * (1 - dy)
+            + tex(x0 + 1, y0) * dx * (1 - dy)
+            + tex(x0, y0 + 1) * (1 - dx) * dy
+            + tex(x0 + 1, y0 + 1) * dx * dy)
+
+
+def sample_atlas(atlas: TextureAtlas, tex_id, uv, foot_uv=None):
+    """Bilinear lookup with repeat wrap. tex_id [L] i32 (PLUS ONE vs the
+    builder's spec index; <=0 lanes return white), uv [L, 2].
+
+    foot_uv (optional [L,2]): isotropic uv-space footprint of the
+    sample (primary-hit ray differentials mapped through dpdu/dpdv);
+    selects a MIP level pair for trilinear filtering, lod =
+    log2(max footprint in texels). None or 0 -> base level, matching
+    the reference path tracer where only camera rays carry
+    differentials (bitmap.cpp eval / mipmap.h)."""
+    tid = jnp.clip(tex_id, 0, atlas.meta.shape[0] - 1)
+    x4 = atlas.uvx[tid]
+    if foot_uv is None:
+        m = atlas.meta[tid]
+        v = _bilinear(atlas, m[..., 0], m[..., 1], m[..., 2], x4, uv)
+        return jnp.where((tex_id > 0)[..., None], v, 1.0)
+
+    LMAX = TextureAtlas.MAX_LEVELS
+    m0 = atlas.meta[tid]
+    texels = jnp.maximum(
+        jnp.abs(foot_uv[..., 0] * x4[..., 0]) *
+        m0[..., 1].astype(jnp.float32),
+        jnp.abs(foot_uv[..., 1] * x4[..., 1]) *
+        m0[..., 2].astype(jnp.float32))
+    lod = jnp.clip(jnp.log2(jnp.maximum(texels, 1e-9)), 0.0, LMAX - 1.0)
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    frac = (lod - l0)[..., None]
+    ma = atlas.mip_meta[tid * LMAX + l0]
+    mb = atlas.mip_meta[tid * LMAX + jnp.minimum(l0 + 1, LMAX - 1)]
+    va = _bilinear(atlas, ma[..., 0], ma[..., 1], ma[..., 2], x4, uv)
+    vb = _bilinear(atlas, mb[..., 0], mb[..., 1], mb[..., 2], x4, uv)
+    v = va * (1 - frac) + vb * frac
     return jnp.where((tex_id > 0)[..., None], v, 1.0)
 
 

@@ -62,3 +62,55 @@ def test_gridtexture():
     # field pixels bright, line pixels dark
     assert (lit > 0.4).mean() > 0.4
     assert (lit < 0.2).mean() > 0.05
+
+
+class TestMipFiltering:
+    def _atlas(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ppg_tpu.scene.textures import TextureAtlas
+
+        # high-frequency checker: mip top level converges to the mean
+        img = np.zeros((64, 64, 3), np.float32)
+        img[::2, ::2] = 1.0
+        img[1::2, 1::2] = 1.0
+
+        import tempfile, os
+        from PIL import Image
+
+        f = tempfile.NamedTemporaryFile(suffix=".png", delete=False)
+        Image.fromarray((img * 255).astype(np.uint8)).save(f.name)
+        atlas = TextureAtlas.build(
+            [dict(_otype="bitmap", filename=f.name, gamma=1.0)], "/")
+        os.unlink(f.name)
+        return atlas
+
+    def test_mip_chain_halves(self):
+        import numpy as np
+
+        atlas = self._atlas()
+        mm = np.asarray(atlas.mip_meta).reshape(-1, 13, 3)
+        assert tuple(mm[1, 0, 1:]) == (64, 64)
+        assert tuple(mm[1, 1, 1:]) == (32, 32)
+        assert tuple(mm[1, 6, 1:]) == (1, 1)
+        assert tuple(mm[1, 12, 1:]) == (1, 1)  # repeats the top
+
+    def test_minified_lookup_averages(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ppg_tpu.scene.textures import sample_atlas
+
+        atlas = self._atlas()
+        tid = jnp.ones(4, jnp.int32)
+        uv = jnp.asarray([[0.1, 0.1], [0.4, 0.7], [0.9, 0.2], [0.5, 0.5]])
+        # footprint covering the whole texture -> area average ~0.5
+        big = jnp.full((4, 2), 1.0)
+        v = np.asarray(sample_atlas(atlas, tid, uv, big))
+        np.testing.assert_allclose(v, 0.5, atol=0.05)
+        # near-zero footprint -> base level point sample
+        small = jnp.full((4, 2), 1e-8)
+        v0 = np.asarray(sample_atlas(atlas, tid, uv, small))
+        vb = np.asarray(sample_atlas(atlas, tid, uv))
+        np.testing.assert_allclose(v0, vb, atol=1e-5)
