@@ -109,6 +109,62 @@ def _guided_pass(scene, cfg, sensor, film, chunk, film_buf, sq_buf, sdtree,
 
 @partial(
     jax.jit,
+    static_argnames=("cfg", "sensor", "L", "K", "n_chunks",
+                     "spatial_filter", "directional_filter",
+                     "learn_fraction"),
+    donate_argnames=("img_buf", "sq_buf", "sdtree"),
+)
+def _guided_regen_pass(scene, cfg, sensor, img_buf, sq_buf, sdtree, key,
+                       salt0, L, spp, K, n_chunks, spatial_filter,
+                       directional_filter, learn_fraction):
+    """One TRAINING slab (spp samples of every pixel) in ONE dispatch:
+    a scan over chunks, each chunk running the regenerative tracer's
+    record path (static-K scan with segmented suffix-sum radiance) and
+    splatting its stacked vertex/NEE records into the building tree.
+    Replaces spp x chunks separate classic dispatches whose donation
+    chains stall multi-second each on the TPU tunnel."""
+    from .regen import trace_regen
+
+    def add_at(buf, pix_start, vals):
+        zeros = (0,) * (buf.ndim - 1)
+        cur = jax.lax.dynamic_slice(
+            buf, (pix_start,) + zeros, (L,) + buf.shape[1:])
+        return jax.lax.dynamic_update_slice(
+            buf, cur + vals, (pix_start,) + zeros)
+
+    def step(carry, c):
+        img_buf, sq_buf, sdtree = carry
+        k = jax.random.fold_in(key, salt0 + c)
+        pix_start = c * L
+        out, _ = trace_regen(scene, cfg, k, sensor, pix_start, L,
+                             jnp.int32(spp), K, sdtree=sdtree)
+        img_buf = (add_at(img_buf[0], pix_start, out["rgb"]),
+                   add_at(img_buf[1], pix_start, out["w"]))
+        sq_buf = (add_at(sq_buf[0], pix_start, out["rgb2"]),
+                  add_at(sq_buf[1], pix_start, out["w"]))
+        verts = out["vertices"]
+        stat_w = 0.5 if (cfg.do_nee and not cfg.nee_always) else 1.0
+        recs = R.vertex_records(verts["bsdf"], stat_w)
+        lf = learn_fraction if cfg.is_built else None
+        uj = jax.random.uniform(jax.random.fold_in(k, 23),
+                                (recs["valid"].shape[0], 3))
+        sdtree = G.splat_records(
+            sdtree, recs, spatial_filter, directional_filter, lf, uj)
+        if verts["nee"] is not None:
+            nrecs = R.nee_records(verts["nee"])
+            uj2 = jax.random.uniform(jax.random.fold_in(k, 29),
+                                     (nrecs["valid"].shape[0], 3))
+            sdtree = G.splat_records(
+                sdtree, nrecs, spatial_filter, directional_filter, lf, uj2)
+        return (img_buf, sq_buf, sdtree), None
+
+    (img_buf, sq_buf, sdtree), _ = jax.lax.scan(
+        step, (img_buf, sq_buf, sdtree), jnp.arange(n_chunks))
+    return img_buf, sq_buf, sdtree
+
+
+@partial(
+    jax.jit,
     static_argnames=("cfg", "sensor", "L"),
     donate_argnames=("img_buf", "sq_buf"),
 )
@@ -217,6 +273,15 @@ class GuidedPathTracer:
                 and cfg.sampler == "independent"
                 and self.film.rfilter == "box")
 
+    def _regen_train_ok(self, cfg):
+        # regen training trades MORE stacked record rows (K vs bounces)
+        # for near-full traversal utilization: a win only when traversal
+        # dominates the iteration (big BVH scenes); on brute-force-sized
+        # scenes the splat is the cost and the fused classic pass wins
+        return (not cfg.has_media and cfg.sampler == "independent"
+                and self.film.rfilter == "box"
+                and int(self.scene_dev.geom.num_tris) > 1024)
+
     def _render_passes(self, n_passes, sdtree, is_built, do_nee, is_final,
                        film_buf, seed_base):
         W, H = self.film.W, self.film.H
@@ -243,6 +308,31 @@ class GuidedPathTracer:
                         sdtree, base, np.int32(slab_i * n_chunks + c),
                         np.int32(c * self.chunk), self.chunk,
                         np.int32(slab), K)
+                done += slab
+                slab_i += 1
+        elif self._regen_train_ok(cfg):
+            # TRAINING through the regenerative record path: one dispatch
+            # per spp slab covering all chunks (scan inside the jit with
+            # the SD-tree chained through the carry); slab size bounds
+            # the stacked-record memory ([K, L] per chunk, transient)
+            from .regen import iterations_for
+
+            N = n_passes * self.spp_per_pass
+            slab0 = max(1, min(self.spp_per_pass, 8))
+            done = 0
+            slab_i = 0
+            lf = self.loss if self.loss != "none" else None
+            while done < N:
+                slab = min(N - done, slab0)
+                K = iterations_for(slab, cfg.max_depth, cfg.rr_depth)
+                img_buf, sq_buf, sdtree = _guided_regen_pass(
+                    self.scene_dev, cfg, self.sensor, img_buf, sq_buf,
+                    sdtree, base, np.int32(slab_i * n_chunks),
+                    self.chunk, np.int32(slab), int(K), n_chunks,
+                    self.spatial_filter, self.directional_filter, lf)
+                # sync each slab: pipelined donation-chained dispatches
+                # stall multi-second on the TPU tunnel
+                jax.block_until_ready(img_buf[0])
                 done += slab
                 slab_i += 1
         else:

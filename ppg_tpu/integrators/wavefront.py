@@ -399,7 +399,7 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
         if cfg.has_media:
             in_med = carry["in_medium"] & act
             med = carry["med"]
-            m_sigma_t, m_albedo, m_g = MED.fetch(scene.media, med)
+            m_sigma_t, m_albedo, m_pp = MED.fetch(scene.media, med)
         else:
             in_med = jnp.zeros(L, bool)
             med = jnp.full(L, -1, jnp.int32)
@@ -714,9 +714,10 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
         # -- medium lanes: phase sampling replaces the BSDF ------------------
         if cfg.has_media:
             u_ph = draw(j, 9, (L, 2))
-            d_ph, pdf_ph = MED.phase_sample(m_g, d, u_ph)
+            d_ph, pdf_ph, w_ph = MED.phase_sample_full(m_pp, d, u_ph)
             wo_world = jnp.where(in_med[..., None], d_ph, wo_world)
-            bsdf_weight = jnp.where(in_med[..., None], 1.0, bsdf_weight)
+            bsdf_weight = jnp.where(in_med[..., None], w_ph[..., None],
+                                    bsdf_weight)
             wo_pdf = jnp.where(in_med, pdf_ph, wo_pdf)
             bsdf_pdf = jnp.where(in_med, pdf_ph, bsdf_pdf)
             sampled_delta = jnp.where(in_med, False, sampled_delta)
@@ -742,9 +743,10 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
                 # in-medium NEE: the phase function is the "BSDF"
                 # (sigma_s is already folded into the throughput by the
                 # segment's distance-sampling weight)
-                ph_nee = MED.phase_eval_pdf(m_g, dot(d, ds["d"]))
-                f_nee = jnp.where(in_med[..., None], ph_nee[..., None], f_nee)
-                bsdf_pdf_nee = jnp.where(in_med, ph_nee, bsdf_pdf_nee)
+                ph_val = MED.phase_eval(m_pp, d, ds["d"])
+                ph_pdf = MED.phase_pdf(m_pp, d, ds["d"])
+                f_nee = jnp.where(in_med[..., None], ph_val[..., None], f_nee)
+                bsdf_pdf_nee = jnp.where(in_med, ph_pdf, bsdf_pdf_nee)
             if guide and cfg.is_built:
                 dtree_pdf_nee = G.pdf_dir(sdtree, jnp.maximum(dtree_id, 0), ds["d"])
                 wo_pdf_nee = jnp.where(

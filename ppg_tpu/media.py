@@ -35,7 +35,20 @@ import jax.numpy as jnp
 import numpy as np
 
 INV_4PI = 1.0 / (4.0 * np.pi)
-ROW_W = 28
+ROW_W = 36
+KKAY_G = 3.0  # g-slot sentinel: Kajiya-Kay fiber phase (kkay.cpp)
+
+
+def kkay_normalization(exponent):
+    """Simpson-quadrature normalization for perpendicular illumination
+    (kkay.cpp configure(), 1000 intervals)."""
+    n = 1000
+    h = np.pi / n
+    theta = h * np.arange(1, n)
+    vals = np.cos(theta - np.pi / 2) ** exponent * np.sin(theta)
+    coef = np.where(np.arange(1, n) % 2 == 1, 4.0, 2.0)
+    integral = np.sum(vals * coef) * h / 3.0
+    return float(1.0 / (integral * 2.0 * np.pi))
 WOODCOCK_STEPS = 64  # fixed majorant-interaction budget per bounce
 
 
@@ -59,6 +72,17 @@ class MediaArrays:
         for i, m in enumerate(table):
             rows[i, 3:6] = m["albedo"]
             rows[i, 6] = m.get("g", 0.0)
+            # Kajiya-Kay fiber phase (g sentinel KKAY_G): constant fiber
+            # orientation + (ks, kd, exponent, normalization)
+            if m.get("g", 0.0) == KKAY_G:
+                o = np.asarray(m.get("orientation", [0.0, 0.0, 1.0]),
+                               np.float64)
+                ln = np.linalg.norm(o)
+                rows[i, 28:31] = o / ln if ln > 0 else 0.0
+                rows[i, 31] = m.get("ks", 0.4)
+                rows[i, 32] = m.get("kd", 0.2)
+                rows[i, 33] = m.get("exponent", 4.0)
+                rows[i, 34] = kkay_normalization(m.get("exponent", 4.0))
             if not m.get("hetero"):
                 rows[i, 0:3] = m["sigma_t"]
                 continue
@@ -110,7 +134,24 @@ def fetch(media: MediaArrays, mid):
     sigma_t = jnp.where(in_medium[..., None], row[:, 0:3], 0.0)
     albedo = jnp.where(in_medium[..., None], row[:, 3:6], 0.0)
     g = jnp.where(in_medium, row[:, 6], 0.0)
-    return sigma_t, albedo, g
+    return sigma_t, albedo, PhaseParams(g, row)
+
+
+class PhaseParams:
+    """Per-lane phase dispatch data (pytree): the g slot doubles as a
+    type sentinel (|g|<=1 HG/iso, RAYLEIGH_G, KKAY_G) and the kkay
+    lanes read orientation/ks/kd/exponent/normalization from the row."""
+
+    def __init__(self, g, row):
+        self.g = g
+        self.row = row
+
+
+jax.tree_util.register_pytree_node(
+    PhaseParams,
+    lambda p: ((p.g, p.row), None),
+    lambda aux, ch: PhaseParams(*ch),
+)
 
 
 def fetch_row(media: MediaArrays, mid):
@@ -318,3 +359,62 @@ def phase_sample(g, d_in, u2):
     cos_theta = jnp.where(ray, rayleigh_sample_ct(u2[..., 0]), cos_theta)
     d_out = _dir_around(d_in, cos_theta, 2.0 * np.pi * u2[..., 1])
     return d_out, phase_eval_pdf(g, cos_theta)
+
+
+def kkay_eval(pp, d_in, d_out):
+    """Kajiya-Kay phase value (kkay.cpp eval): specular lobe around the
+    fiber-preserving "reflected" direction + diffuse floor. d_in points
+    ALONG propagation (pRec.wi points backwards, hence the sign)."""
+    axis = pp.row[:, 28:31]
+    ks = pp.row[:, 31]
+    kd = pp.row[:, 32]
+    expn = pp.row[:, 33]
+    norm = pp.row[:, 34]
+    has_axis = jnp.sum(axis * axis, -1) > 0
+    # frame.toLocal with n = axis: build tangent frame
+    up = jnp.where((jnp.abs(axis[..., 2]) < 0.999)[..., None],
+                   jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), axis.shape),
+                   jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0]), axis.shape))
+    sx = jnp.cross(up, axis)
+    sx = sx / jnp.maximum(jnp.linalg.norm(sx, axis=-1, keepdims=True), 1e-12)
+    sy = jnp.cross(axis, sx)
+    lx = jnp.sum(d_out * sx, -1)
+    ly = jnp.sum(d_out * sy, -1)
+    # reference: reflectedLocal.z = -dot(wi, n); our d_in = -wi
+    lz = jnp.sum(d_in * axis, -1)
+    denom = jnp.maximum(lx * lx + ly * ly, 1e-12)
+    a = jnp.sqrt(jnp.clip((1.0 - lz * lz) / denom, 0.0, 1e12))
+    R = (sx * (lx * a)[..., None] + sy * (ly * a)[..., None]
+         + axis * lz[..., None])
+    spec = jnp.maximum(jnp.sum(R * d_out, -1), 0.0) ** expn * norm * ks
+    val = spec + kd * INV_4PI
+    return jnp.where(has_axis, val, kd * INV_4PI)
+
+
+def phase_eval(pp, d_in, d_out):
+    """Full-vector phase eval with per-lane type dispatch."""
+    ct = jnp.sum(d_in * d_out, -1)
+    base = phase_eval_pdf(jnp.where(pp.g > 2.5, 0.0, pp.g), ct)
+    return jnp.where(pp.g > 2.5, kkay_eval(pp, d_in, d_out), base)
+
+
+def phase_pdf(pp, d_in, d_out):
+    """Sampling pdf of phase_sample_full (kkay samples the uniform
+    sphere, kkay.cpp pdf())."""
+    ct = jnp.sum(d_in * d_out, -1)
+    base = phase_eval_pdf(jnp.where(pp.g > 2.5, 0.0, pp.g), ct)
+    return jnp.where(pp.g > 2.5, INV_4PI, base)
+
+
+def phase_sample_full(pp, d_in, u2):
+    """(d_out, pdf, weight): HG/rayleigh importance-sample their own
+    density (weight 1); kkay samples the uniform sphere with weight
+    eval * 4pi (kkay.cpp sample)."""
+    kk = pp.g > 2.5
+    d_hg, pdf_hg = phase_sample(jnp.where(kk, 0.0, pp.g), d_in, u2)
+    ct = 1.0 - 2.0 * u2[..., 0]
+    d_uni = _dir_around(d_in, ct, 2.0 * np.pi * u2[..., 1])
+    d_out = jnp.where(kk[..., None], d_uni, d_hg)
+    pdf = jnp.where(kk, INV_4PI, pdf_hg)
+    w = jnp.where(kk, kkay_eval(pp, d_in, d_out) * (4.0 * np.pi), 1.0)
+    return d_out, pdf, w

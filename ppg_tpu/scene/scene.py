@@ -607,6 +607,7 @@ def build_scene(xml: SceneXML, missing_ok=True) -> SceneData:
         pr = spec.props
         scale = float(pr.get("scale", 1.0))
         g = 0.0
+        kkay = {}
         ph = spec.child("phase")
         if ph is not None and ph.otype == "hg":
             g = float(ph.props.get("g", 0.8))
@@ -614,6 +615,18 @@ def build_scene(xml: SceneXML, missing_ok=True) -> SceneData:
             from ..media import RAYLEIGH_G
 
             g = RAYLEIGH_G
+        elif ph is not None and ph.otype == "kkay":
+            from ..media import KKAY_G
+
+            g = KKAY_G
+            kkay = dict(
+                ks=float(ph.props.get("ks", 0.4)),
+                kd=float(ph.props.get("kd", 0.2)),
+                exponent=float(ph.props.get("exponent", 4.0)),
+                # constant fiber orientation (the reference reads it from
+                # the medium's orientation volume; constvolume subset)
+                orientation=np.asarray(
+                    pr.get("orientation", [0.0, 0.0, 1.0]), np.float64))
         elif ph is not None and ph.otype not in ("isotropic",):
             raise NotImplementedError(f"phase type {ph.otype!r}")
 
@@ -651,6 +664,7 @@ def build_scene(xml: SceneXML, missing_ok=True) -> SceneData:
             else:
                 al = _rgb(pr.get("albedo"), [0.9, 0.9, 0.9])
             media_rows.append(dict(
+                **kkay,
                 hetero=True, density=dens, bbox_min=bmin, bbox_max=bmax,
                 to_world=np.asarray(
                     dens_spec.props.get("toWorld",
@@ -665,7 +679,7 @@ def build_scene(xml: SceneXML, missing_ok=True) -> SceneData:
                 sa = _rgb(pr.get("sigmaA"), [0.5, 0.5, 0.5]) * scale
                 st = ss + sa
                 al = np.where(st > 0, ss / np.maximum(st, 1e-30), 0.0)
-            media_rows.append(dict(sigma_t=st, albedo=al, g=g))
+            media_rows.append(dict(sigma_t=st, albedo=al, g=g, **kkay))
         medium_cache[id(spec)] = len(media_rows) - 1
         return medium_cache[id(spec)]
 

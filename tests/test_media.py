@@ -164,3 +164,52 @@ class TestRayleighPhase:
         # hg g=0.9 lanes are strongly forward; rayleigh lanes are symmetric
         assert ct[1::2].mean() > 0.7
         assert abs(ct[0::2].mean()) < 0.05
+
+
+class TestKajiyaKayPhase:
+    def _pp(self, axis, ks=1.0, kd=0.0, exponent=4.0):
+        row = np.zeros((1, MED.ROW_W), np.float32)
+        row[0, 6] = MED.KKAY_G
+        row[0, 28:31] = axis
+        row[0, 31] = ks
+        row[0, 32] = kd
+        row[0, 33] = exponent
+        row[0, 34] = MED.kkay_normalization(exponent)
+        return MED.PhaseParams(jnp.full(1, MED.KKAY_G), jnp.asarray(row))
+
+    def test_perpendicular_normalization(self):
+        # ks=1, kd=0, light perpendicular to the fiber: phase integrates
+        # to 1 over the sphere (the reference's normalization criterion)
+        pp = self._pp([0, 0, 1.0])
+        rng = np.random.default_rng(5)
+        N = 200_000
+        v = rng.normal(size=(N, 3))
+        v /= np.linalg.norm(v, axis=-1, keepdims=True)
+        d_in = jnp.asarray(np.tile([1.0, 0, 0], (N, 1)), jnp.float32)
+        row = jnp.tile(pp.row, (N, 1))
+        ppN = MED.PhaseParams(jnp.full(N, MED.KKAY_G), row)
+        vals = np.asarray(MED.phase_eval(ppN, d_in, jnp.asarray(
+            v, jnp.float32)))
+        integral = vals.mean() * 4 * np.pi
+        assert abs(integral - 1.0) < 0.03, integral
+
+    def test_sample_weight_equals_eval_over_pdf(self):
+        pp = self._pp([0, 1.0, 0], ks=0.5, kd=0.3)
+        N = 4096
+        rng = np.random.default_rng(6)
+        row = jnp.tile(pp.row, (N, 1))
+        ppN = MED.PhaseParams(jnp.full(N, MED.KKAY_G), row)
+        d_in = jnp.asarray(np.tile([0.0, 0, 1.0], (N, 1)), jnp.float32)
+        u = jnp.asarray(rng.random((N, 2)), jnp.float32)
+        d_out, pdf, w = MED.phase_sample_full(ppN, d_in, u)
+        ev = np.asarray(MED.phase_eval(ppN, d_in, d_out))
+        np.testing.assert_allclose(np.asarray(pdf), 1 / (4 * np.pi),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(w), ev * 4 * np.pi,
+                                   rtol=1e-4, atol=1e-6)
+
+    def test_zero_orientation_falls_back_to_diffuse(self):
+        pp = self._pp([0.0, 0, 0], ks=0.7, kd=0.2)
+        d = jnp.asarray([[0.0, 0, 1.0]], jnp.float32)
+        v = np.asarray(MED.phase_eval(pp, d, d))
+        np.testing.assert_allclose(v, 0.2 / (4 * np.pi), rtol=1e-5)

@@ -113,8 +113,23 @@ def test_guided_final_pass_regen_matches_classic():
         tracer = GuidedPathTracer(sc, chunk=576)
         if mode == "classic":
             tracer._regen_ok = lambda cfg: False
+            tracer._regen_train_ok = lambda cfg: False
         imgs[mode] = tracer.render(seed=mode == "regen")
     a, b = imgs["regen"], imgs["classic"]
     assert np.isfinite(a).all() and np.isfinite(b).all()
     ma, mb = float(a.mean()), float(b.mean())
     assert abs(ma - mb) / mb < 0.12, (ma, mb)
+
+
+def test_guided_regen_training_with_learned_fraction():
+    # the regen record path must feed the Adam bsdfSamplingFraction
+    # learner (kl loss) without NaNs and produce a usable image
+    from ppg_tpu.integrators.guided import GuidedPathTracer
+
+    sc = mini_cbox(res=16, max_depth=4, nee="always")
+    sc.integrator.update(dict(type="guided_path", budgetType="spp",
+                              budget=12, sppPerPass=4,
+                              bsdfSamplingFractionLoss="kl"))
+    tracer = GuidedPathTracer(sc, chunk=256)
+    img = tracer.render(seed=2)
+    assert np.isfinite(img).all() and img.mean() > 0.01
