@@ -62,6 +62,7 @@ def make_config(sc, **overrides) -> PTConfig:
             sc.textures is not None
             and any(s.otype == "wireframe" for s in sc.textures.specs)
         ),
+        has_subsurf=bool(getattr(sc, "subsurfaces", None)),
         sampler=str(sc.sampler.get("type", "independent")),
     )
     kw.update(overrides)
@@ -121,7 +122,8 @@ def regen_eligible(sc, cfg):
     """The regenerative tracer covers box-filter, independent-sampler,
     media-free, record-free renders; everything else uses the classic
     fixed-bounce wavefront."""
-    return (not cfg.has_media and cfg.sampler == "independent"
+    return (not cfg.has_media and not cfg.has_subsurf
+            and cfg.sampler == "independent"
             and str(sc.film.get("rfilter", "box")) == "box"
             and not cfg.record_vertices)
 
@@ -174,11 +176,27 @@ def render_regen(sc, spp, seed=0, chunk=1 << 16, cfg=None, scene_dev=None,
     return rgb / np.maximum(wsum, 1e-20)[..., None]
 
 
+def ensure_subsurface(sc, dev):
+    """Populate dev.subsurf with the dipole irradiance point cloud
+    (cached on the scene; a no-op for scenes without subsurfaces)."""
+    if not getattr(sc, "subsurfaces", None):
+        return dev
+    cached = getattr(sc, "_subsurf_cache", None)
+    if cached is None:
+        from ..subsurface import build_subsurface
+
+        cached = build_subsurface(sc, dev)
+        sc._subsurf_cache = cached
+    dev.subsurf = cached
+    return dev
+
+
 def render(sc, spp, seed=0, chunk=1 << 16, cfg=None, scene_dev=None,
            squared=False):
     """Render `spp` samples per pixel; returns float32 [H,W,3] (and the
     squared-sample accumulation when squared=True, for variance tracking)."""
     dev = scene_dev if scene_dev is not None else DeviceScene.from_scene(sc)
+    dev = ensure_subsurface(sc, dev)
     cfg = cfg or make_config(sc, guiding=False)
     W, H = sc.film["width"], sc.film["height"]
     sensor = make_sensor(sc.sensor, sc.film)

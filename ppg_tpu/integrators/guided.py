@@ -218,6 +218,9 @@ class GuidedPathTracer:
 
         self.base_cfg = make_config(sc, guiding=True, record_vertices=True)
         self.scene_dev = DeviceScene.from_scene(sc)
+        from .driver import ensure_subsurface
+
+        self.scene_dev = ensure_subsurface(sc, self.scene_dev)
         self.sensor = make_sensor(sc.sensor, sc.film)
         self.film = Film(
             sc.film["width"], sc.film["height"], sc.film.get("rfilter", "box")
@@ -270,6 +273,7 @@ class GuidedPathTracer:
 
     def _regen_ok(self, cfg):
         return (not cfg.record_vertices and not cfg.has_media
+                and not cfg.has_subsurf
                 and cfg.sampler == "independent"
                 and self.film.rfilter == "box")
 
@@ -278,7 +282,8 @@ class GuidedPathTracer:
         # for near-full traversal utilization: a win only when traversal
         # dominates the iteration (big BVH scenes); on brute-force-sized
         # scenes the splat is the cost and the fused classic pass wins
-        return (not cfg.has_media and cfg.sampler == "independent"
+        return (not cfg.has_media and not cfg.has_subsurf
+                and cfg.sampler == "independent"
                 and self.film.rfilter == "box"
                 and int(self.scene_dev.geom.num_tris) > 1024)
 

@@ -65,6 +65,7 @@ class PTConfig:
     has_coating: bool = False  # scene has coating/roughcoating materials
     has_vertexcolors: bool = False  # meshes carry per-vertex colors
     has_wireframe: bool = False  # scene has wireframe textures
+    has_subsurf: bool = False  # scene has dipole subsurface shapes
     sampler: str = "independent"  # sampler plugin type (render/samplers.py)
 
     @property
@@ -88,7 +89,7 @@ class DeviceScene:
     """
 
     FIELDS = ("geom", "mats", "emitters", "shade", "eps", "env", "tex",
-              "delta", "media")
+              "delta", "media", "subsurf")
 
     def __init__(self, **kw):
         for f in self.FIELDS:
@@ -204,8 +205,11 @@ class DeviceScene:
         else:
             media = MediaArrays.empty()
 
+        from ..subsurface import SubsurfArrays
+
         diag = float(np.linalg.norm(sc.aabb_max - sc.aabb_min))
         return cls(
+            subsurf=SubsurfArrays.empty(),
             geom=geom,
             mats=B.MaterialArrays.from_table(sc.materials),
             emitters=E.EmitterArrays.from_scene(sc),
@@ -725,6 +729,12 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
             dtree_pdf = jnp.where(in_med, 0.0, dtree_pdf)
 
         slot = f3()
+        if cfg.has_subsurf:
+            from ..subsurface import lo_sub
+
+            ss_id_l = jnp.where(act & ~in_med if cfg.has_media else act,
+                                scene.subsurf.tri_ss[carry["tri"]], -1)
+            slot = slot + thr * lo_sub(scene.subsurf, ss_id_l, p, wi_dot_sh)
         # -- next-event estimation (guided_path.cpp:1967-2021) --------------
         nee_rec = None
         if cfg.do_nee:

@@ -545,6 +545,8 @@ class SceneData:
     delta_emitters: list = field(default_factory=list)
     media: list = field(default_factory=list)
     tri_medium: np.ndarray = None  # [F] interior medium id, -1 = none
+    subsurfaces: list = field(default_factory=list)
+    tri_subsurf: np.ndarray = None  # [F] subsurface id, -1 = none
     aabb_min: np.ndarray = None
     aabb_max: np.ndarray = None
 
@@ -587,7 +589,8 @@ def build_scene(xml: SceneXML, missing_ok=True) -> SceneData:
 
     all_pos, all_faces, all_norm, all_uv, all_col = [], [], [], [], []
     any_colors = False
-    tri_mat, tri_emitter, tri_medium = [], [], []
+    tri_mat, tri_emitter, tri_medium, tri_subsurf = [], [], [], []
+    subsurf_rows = []
     emitter_rows = []
     media_rows = []
     vert_base = 0
@@ -812,6 +815,33 @@ def build_scene(xml: SceneXML, missing_ok=True) -> SceneData:
         med_spec = shape.child("medium")
         med_id = add_medium(med_spec) if med_spec is not None else -1
         tri_medium.extend([med_id] * F)
+        ss_spec = shape.child("subsurface")
+        ss_id = -1
+        if ss_spec is not None:
+            if ss_spec.otype != "dipole":
+                raise NotImplementedError(
+                    f"subsurface type {ss_spec.otype!r}")
+            sp = ss_spec.props
+            scale = float(sp.get("scale", 1.0))
+            if "material" in sp:
+                ss_v, sa_v, g_v = SCATTERING_PRESETS[
+                    str(sp["material"]).lower()]
+                ss_s = np.asarray(ss_v, np.float64) * scale
+                ss_a = np.asarray(sa_v, np.float64) * scale
+                g_m = float(np.mean(g_v))
+            else:
+                ss_s = _rgb(sp.get("sigmaS"), [2.55, 3.21, 3.77]) * scale
+                ss_a = _rgb(sp.get("sigmaA"),
+                            [0.0011, 0.0024, 0.014]) * scale
+                g_m = float(np.mean(_rgb(sp.get("g"), [0, 0, 0])))
+            eta = _ior(sp, "intIOR", 1.3) / _ior(sp, "extIOR", 1.000277)
+            subsurf_rows.append(dict(
+                sigma_s=ss_s, sigma_a=ss_a, g=g_m, eta=eta,
+                irr_samples=int(sp.get("irrSamples", 16)),
+                sample_mult=float(sp.get("sampleMultiplier", 1.0)),
+                tri_start=len(tri_mat) - F, n_tris=F))
+            ss_id = len(subsurf_rows) - 1
+        tri_subsurf.extend([ss_id] * F)
         vert_base += len(mesh.positions)
 
     positions = np.concatenate(all_pos) if all_pos else np.zeros((0, 3))
@@ -913,6 +943,8 @@ def build_scene(xml: SceneXML, missing_ok=True) -> SceneData:
         delta_emitters=delta_emitters,
         media=media_rows,
         tri_medium=np.array(tri_medium, np.int32),
+        subsurfaces=subsurf_rows,
+        tri_subsurf=np.array(tri_subsurf, np.int32),
         aabb_min=aabb_min,
         aabb_max=aabb_max,
     )

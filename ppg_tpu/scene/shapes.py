@@ -213,6 +213,8 @@ def build_shape(spec, scene_xml):
         mesh = make_sphere(np.asarray(center, np.float64), radius)
     elif spec.otype == "heightfield":
         mesh = make_heightfield(spec, scene_xml)
+    elif spec.otype == "hair":
+        mesh = make_hair(spec, scene_xml)
     else:
         raise NotImplementedError(f"shape type {spec.otype!r}")
 
@@ -270,3 +272,63 @@ def make_heightfield(spec, scene_xml):
     f2 = np.stack([i, i + W + 1, i + W], -1)
     faces = np.concatenate([f1, f2]).astype(np.int32)
     return TriMeshData(pos, faces, None, uv)
+
+
+def make_hair(spec, scene_xml):
+    """Hair fibers (src/shapes/hair.cpp) tessellated into per-segment
+    triangular tubes — the reference intersects capsules through a
+    dedicated kd-tree; on TPU the segments become ordinary BVH triangles
+    (sides x 2 tris per segment, radial smooth normals). `reduction`
+    randomly drops fibers like the reference (:660-668)."""
+    from ..io.hair import load_hair
+
+    pr = spec.props
+    verts, starts = load_hair(scene_xml.resolve_path(pr["filename"]))
+    radius = float(pr.get("radius", 0.025))
+    reduction = float(pr.get("reduction", 0.0))
+    sides = int(pr.get("sides", 4))
+    if reduction > 0:
+        rng = np.random.default_rng(1234)
+        fiber_id = np.cumsum(starts) - 1
+        keep_f = rng.random(int(fiber_id.max()) + 1) >= reduction
+        keep = keep_f[fiber_id]
+        verts, starts = verts[keep], starts[keep]
+        starts = starts.copy()
+        if len(starts):
+            starts[0] = True
+
+    # segments: consecutive vertex pairs within a fiber
+    a = verts[:-1]
+    b = verts[1:]
+    seg_ok = ~starts[1:]
+    a, b = a[seg_ok], b[seg_ok]
+    axis = b - a
+    ln = np.linalg.norm(axis, axis=-1)
+    good = ln > 1e-12
+    a, b, axis, ln = a[good], b[good], axis[good], ln[good]
+    S = len(a)
+    if S == 0:
+        return TriMeshData(np.zeros((0, 3)), np.zeros((0, 3), np.int32))
+    az = axis / ln[:, None]
+    up = np.where((np.abs(az[:, 2]) < 0.9)[:, None],
+                  np.array([0.0, 0, 1.0]), np.array([1.0, 0, 0.0]))
+    ax = np.cross(up, az)
+    ax /= np.maximum(np.linalg.norm(ax, axis=-1, keepdims=True), 1e-20)
+    ay = np.cross(az, ax)
+    ang = 2 * np.pi * np.arange(sides) / sides
+    ring = (np.cos(ang)[None, :, None] * ax[:, None]
+            + np.sin(ang)[None, :, None] * ay[:, None])  # [S,sides,3]
+    pos = np.concatenate([(a[:, None] + radius * ring),
+                          (b[:, None] + radius * ring)], axis=1)
+    nrm = np.concatenate([ring, ring], axis=1)
+    pos = pos.reshape(-1, 3)
+    nrm = nrm.reshape(-1, 3)
+    base = (2 * sides) * np.arange(S)[:, None]
+    i = np.arange(sides)
+    j = (i + 1) % sides
+    f1 = np.concatenate([
+        (np.stack([i, j, sides + j], -1)[None] + base[..., None]),
+        (np.stack([sides + j, sides + i, i], -1)[None] + base[..., None]),
+    ], axis=1)
+    faces = f1.reshape(-1, 3).astype(np.int32)
+    return TriMeshData(pos, faces, nrm, None)

@@ -236,3 +236,50 @@ def test_heightfield_shape(tmp_path):
     zmax = sc.positions[:, 2].max()
     assert abs(zmax - 4 * (15 * 16) / 255) < 0.05
     assert sc.positions[:, 0].max() == 15 and sc.positions[:, 1].max() == 15
+
+
+def test_hair_shape(tmp_path):
+    import numpy as np
+
+    from ppg_tpu.scene.scene import load_scene
+
+    # two fibers in the text format, blank-line separated
+    (tmp_path / "f.hair").write_text(
+        "0 0 0\n0 0 1\n0 0 2\n\n1 0 0\n1 0 1\n")
+    xml = """<scene version="0.5.0">
+<integrator type="path"/>
+<sensor type="perspective"><float name="fov" value="45"/>
+ <transform name="toWorld"><lookAt origin="0,4,1" target="0,0,1" up="0,0,1"/></transform>
+ <sampler type="independent"/><film type="hdrfilm">
+ <integer name="width" value="8"/><integer name="height" value="8"/><rfilter type="box"/></film></sensor>
+<shape type="hair">
+ <string name="filename" value="f.hair"/>
+ <float name="radius" value="0.05"/>
+ <bsdf type="diffuse"/></shape>
+</scene>"""
+    p = tmp_path / "s.xml"
+    p.write_text(xml)
+    sc = load_scene(str(p))
+    # 3 segments x (4 sides x 2 tris)
+    assert sc.num_tris == 3 * 8
+    # tube radius respected
+    r = np.linalg.norm(sc.positions[:16, :2] - [0, 0], axis=-1)
+    np.testing.assert_allclose(r, 0.05, atol=1e-6)
+
+
+def test_hair_binary_roundtrip(tmp_path):
+    import struct
+
+    import numpy as np
+
+    from ppg_tpu.io.hair import load_hair
+
+    buf = b"BINARY_HAIR" + struct.pack("<I", 4)
+    inf = struct.pack("<f", float("inf"))
+    pts = [(0, 0, 0), (0, 0, 1), (5, 0, 0), (5, 0, 1)]
+    data = inf + struct.pack("<3f", *pts[0]) + struct.pack("<3f", *pts[1])
+    data += inf + struct.pack("<3f", *pts[2]) + struct.pack("<3f", *pts[3])
+    (tmp_path / "b.hair").write_bytes(buf + data)
+    v, s = load_hair(str(tmp_path / "b.hair"))
+    np.testing.assert_allclose(v, pts)
+    assert list(s) == [True, False, True, False]
