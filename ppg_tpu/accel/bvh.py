@@ -23,26 +23,24 @@ import numpy as np
 MAX_LEAF = 4
 N_BINS = 16
 B8_LEAF_BIT = np.int32(1 << 30)
-B8_MAX_TRIS = 6
+B8_WIDE = 16
+B8_MAX_TRIS = 16
+B8_ROW = 160
 
 
 def build_bvh8(positions, faces):
-    """8-wide BVH with packed 80-float SoA rows (see native/
-    bvh_builder.cpp for the layout). Returns dict(rows [N8,80] f32,
+    """16-wide BVH with packed 160-float SoA rows (see native/
+    bvh_builder.cpp for the layout). Returns dict(rows [N16,160] f32,
     prim_ids [T]). Uses the C++ builder when available, else collapses
-    the numpy BVH2 (64-wide tri-major rows, repacked to 80 by the
-    caller via traverse._repack80)."""
+    the numpy BVH2 to the same layout."""
     F = len(faces)
     if F == 0:
-        rows = np.zeros((1, 80), np.float32)  # empty leaf row (cnt 0)
+        rows = np.zeros((1, B8_ROW), np.float32)  # empty leaf row (cnt 0)
         return dict(rows=rows, prim_ids=np.zeros(0, np.int32))
     out = _build8_native(positions, faces)
     if out is not None:
         return out
-    out = _collapse8(positions, faces)
-    from .traverse import _repack80
-
-    return dict(rows=_repack80(out["rows"]), prim_ids=out["prim_ids"])
+    return _collapse8(positions, faces)
 
 
 def _build8_native(positions, faces):
@@ -62,14 +60,16 @@ def _build8_native(positions, faces):
     n = lib.ppg_bvh8_build(fp(verts), len(verts), ip(f), len(f), n_threads)
     if n <= 0:
         return None
-    rows = np.empty((n, 80), np.float32)
+    rows = np.empty((n, B8_ROW), np.float32)
     prim_ids = np.empty(len(f), np.int32)
     lib.ppg_bvh8_copy(fp(rows), ip(prim_ids))
     return dict(rows=rows, prim_ids=prim_ids)
 
 
 def _collapse8(positions, faces):
-    """Pure-python fallback: binary build then 8-wide collapse."""
+    """Pure-python fallback: binary build then 16-wide collapse into the
+    same 160-float SoA rows as the native builder."""
+    W = B8_WIDE
     bvh = build_bvh(positions, faces, max_leaf=B8_MAX_TRIS,
                     allow_native=False)
     is_leaf = np.asarray(bvh["is_leaf"], bool)
@@ -89,17 +89,18 @@ def _collapse8(positions, faces):
     prim_out = []
 
     def emit_leaf(i):
-        row = np.zeros(64, np.float32)
+        row = np.zeros(B8_ROW, np.float32)
         base = len(prim_out)
         for k in range(int(lcnt[i])):
             fid = pids[loff[i] + k]
             p = v[fid]
-            row[9 * k: 9 * k + 3] = p[0]
-            row[9 * k + 3: 9 * k + 6] = p[1] - p[0]
-            row[9 * k + 6: 9 * k + 9] = p[2] - p[0]
+            for c in range(3):
+                row[W * c + k] = p[0][c]
+                row[3 * W + W * c + k] = p[1][c] - p[0][c]
+                row[6 * W + W * c + k] = p[2][c] - p[0][c]
             prim_out.append(fid)
-        row[54] = np.int32(lcnt[i]).view(np.float32)
-        row[55] = np.int32(base).view(np.float32)
+        row[9 * W] = np.int32(lcnt[i]).view(np.float32)
+        row[9 * W + 1] = np.int32(base).view(np.float32)
         rows.append(row)
         return len(rows) - 1
 
@@ -107,7 +108,7 @@ def _collapse8(positions, faces):
         if is_leaf[i]:
             return emit_leaf(i)
         slots = [i + 1, int(miss[i + 1])]
-        while len(slots) < 8:
+        while len(slots) < W:
             cands = [s for s in slots if not is_leaf[s]]
             if not cands:
                 break
@@ -115,21 +116,21 @@ def _collapse8(positions, faces):
             slots[slots.index(pick)] = pick + 1
             slots.append(int(miss[pick + 1]))
         ri = len(rows)
-        rows.append(np.zeros(64, np.float32))
+        rows.append(np.zeros(B8_ROW, np.float32))
         child_rows = [emit(s) for s in slots]
         row = rows[ri]
-        for k in range(8):
+        for k in range(W):
             if k < len(slots):
                 s = slots[k]
-                row[0 + k], row[8 + k], row[16 + k] = nmin[s]
-                row[24 + k], row[32 + k], row[40 + k] = nmax[s]
+                row[0 * W + k], row[1 * W + k], row[2 * W + k] = nmin[s]
+                row[3 * W + k], row[4 * W + k], row[5 * W + k] = nmax[s]
                 info = np.int32(child_rows[k])
                 if is_leaf[s]:
                     info = info | B8_LEAF_BIT
-                row[48 + k] = np.int32(info).view(np.float32)
+                row[6 * W + k] = np.int32(info).view(np.float32)
             else:
-                row[0 + k] = row[8 + k] = row[16 + k] = np.nan
-                row[24 + k] = row[32 + k] = row[40 + k] = np.nan
+                row[0 * W + k] = row[1 * W + k] = row[2 * W + k] = np.nan
+                row[3 * W + k] = row[4 * W + k] = row[5 * W + k] = np.nan
         return ri
 
     import sys

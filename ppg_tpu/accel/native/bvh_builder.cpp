@@ -265,21 +265,24 @@ void flatten(const Builder &b, int root, int sentinel, Flat &f) {
 Flat *g_flat = nullptr;
 
 // ---------------------------------------------------------------------------
-// BVH8 emission: collapse the binary tree into 8-wide nodes, one packed
-// 80-float row per node (CWBVH-flavored layout for single-gather TPU
-// traversal; everything is SoA 8-blocks so the consumer reads only
-// lane-aligned [L,8] slices of the gathered block):
-//   internal row: minx[8] miny[8] minz[8] maxx[8] maxy[8] maxz[8] (SoA,
-//     cols 0-47), child info i32 bitcast (cols 48-55; 0 = empty slot,
-//     bit30 = leaf), pad (56-79)
-//   leaf row: up to 8 woop triangles in SoA blocks p0x[8] p0y[8] p0z[8]
-//     e1x[8] e1y[8] e1z[8] e2x[8] e2y[8] e2z[8] (cols 0-71), count
-//     (col 72, i32), packed tri base index (col 73, i32)
+// BVH16 emission: collapse the binary tree into 16-wide nodes, one
+// packed 160-float row per node (CWBVH-flavored layout for single-gather
+// TPU traversal; everything is SoA 16-blocks so the consumer reads only
+// lane-aligned [L,16] slices of the gathered block — TPU gather cost
+// grows only ~17% from 80 to 160 floats while the wider fan-out nearly
+// halves the step count):
+//   internal row: minx[16] miny[16] minz[16] maxx[16] maxy[16] maxz[16]
+//     (SoA, cols 0-95), child info i32 bitcast (cols 96-111; 0 = empty
+//     slot, bit30 = leaf), pad (112-159)
+//   leaf row: up to 16 woop triangles in SoA 16-blocks p0x p0y p0z
+//     e1x e1y e1z e2x e2y e2z (cols 0-143), count (col 144, i32),
+//     packed tri base index (col 145, i32)
 // ---------------------------------------------------------------------------
 
 constexpr int B8_LEAF_BIT = 1 << 30;
-constexpr int B8_MAX_TRIS = 8;
-constexpr int B8_ROW = 80;
+constexpr int B8_WIDE = 16;
+constexpr int B8_MAX_TRIS = 16;
+constexpr int B8_ROW = 160;
 
 struct Bvh8Out {
   std::vector<float> rows;
@@ -310,15 +313,15 @@ struct Bvh8Emitter {
       const float *p1 = verts + 3 * faces[3 * id + 1];
       const float *p2 = verts + 3 * faces[3 * id + 2];
       for (int k = 0; k < 3; ++k) {
-        row[8 * k + i] = p0[k];                    // p0x/p0y/p0z blocks
-        row[24 + 8 * k + i] = p1[k] - p0[k];       // e1 blocks
-        row[48 + 8 * k + i] = p2[k] - p0[k];       // e2 blocks
+        row[B8_WIDE * k + i] = p0[k];                      // p0 blocks
+        row[3 * B8_WIDE + B8_WIDE * k + i] = p1[k] - p0[k];  // e1 blocks
+        row[6 * B8_WIDE + B8_WIDE * k + i] = p2[k] - p0[k];  // e2 blocks
       }
       out.prim_out.push_back(id);
     }
     int32_t cnt = n.count, bs = base;
-    std::memcpy(row + 72, &cnt, 4);
-    std::memcpy(row + 73, &bs, 4);
+    std::memcpy(row + 9 * B8_WIDE, &cnt, 4);
+    std::memcpy(row + 9 * B8_WIDE + 1, &bs, 4);
     return r;
   }
 
@@ -326,11 +329,11 @@ struct Bvh8Emitter {
   // 8 slots are filled or all slots are leaves/unexpandable.
   int emit_node(const BuildNode &n) {
     if (n.left < 0) return emit_leaf(n);
-    int slots[8];
+    int slots[B8_WIDE];
     int n_slots = 0;
     slots[n_slots++] = n.left;
     slots[n_slots++] = n.right;
-    while (n_slots < 8) {
+    while (n_slots < B8_WIDE) {
       int pick = -1;
       float best = -1.f;
       for (int i = 0; i < n_slots; ++i) {
@@ -350,30 +353,30 @@ struct Bvh8Emitter {
     int r = alloc_row();
     // recurse AFTER allocating this row so children land later; row data
     // written after children exist (need their row indices)
-    int child_rows[8];
+    int child_rows[B8_WIDE];
     for (int i = 0; i < n_slots; ++i)
       child_rows[i] = emit_node(b.nodes[slots[i]]);
     float *row = out.rows.data() + B8_ROW * r;  // re-fetch: vector reallocated
-    for (int i = 0; i < 8; ++i) {
+    for (int i = 0; i < B8_WIDE; ++i) {
       if (i < n_slots) {
         const AABB &bx = b.nodes[slots[i]].box;
-        row[0 + i] = bx.lo.x;
-        row[8 + i] = bx.lo.y;
-        row[16 + i] = bx.lo.z;
-        row[24 + i] = bx.hi.x;
-        row[32 + i] = bx.hi.y;
-        row[40 + i] = bx.hi.z;
+        row[0 * B8_WIDE + i] = bx.lo.x;
+        row[1 * B8_WIDE + i] = bx.lo.y;
+        row[2 * B8_WIDE + i] = bx.lo.z;
+        row[3 * B8_WIDE + i] = bx.hi.x;
+        row[4 * B8_WIDE + i] = bx.hi.y;
+        row[5 * B8_WIDE + i] = bx.hi.z;
         int32_t info = child_rows[i];
         if (b.nodes[slots[i]].left < 0) info |= B8_LEAF_BIT;
-        std::memcpy(row + 48 + i, &info, 4);
+        std::memcpy(row + 6 * B8_WIDE + i, &info, 4);
       } else {
         // NaN boxes fail every slab comparison; info==0 marks empty
         // (row 0 is always the root, never a child)
         float qnan = std::numeric_limits<float>::quiet_NaN();
-        row[0 + i] = row[8 + i] = row[16 + i] = qnan;
-        row[24 + i] = row[32 + i] = row[40 + i] = qnan;
+        row[0 * B8_WIDE + i] = row[1 * B8_WIDE + i] = row[2 * B8_WIDE + i] = qnan;
+        row[3 * B8_WIDE + i] = row[4 * B8_WIDE + i] = row[5 * B8_WIDE + i] = qnan;
         int32_t zero = 0;
-        std::memcpy(row + 48 + i, &zero, 4);
+        std::memcpy(row + 6 * B8_WIDE + i, &zero, 4);
       }
     }
     return r;
@@ -426,7 +429,7 @@ int32_t ppg_bvh_build(const float *verts, int32_t n_verts, const int32_t *faces,
   return (int)g_flat->is_leaf.size();
 }
 
-// Builds a BVH8 (collapsed from a binary SAH build with <=8-triangle
+// Builds a BVH16 (collapsed from a binary SAH build with <=16-triangle
 // leaves); returns the row count. Copy out with ppg_bvh8_copy.
 int32_t ppg_bvh8_build(const float *verts, int32_t n_verts,
                        const int32_t *faces, int32_t n_faces,

@@ -54,7 +54,7 @@ def _bvh8_depth(rows):
     stack silently drops groups (observed as mass ray misses)."""
     if rows.shape[0] == 1:
         return 1  # root is a single leaf row (tri data, no child infos)
-    infos = rows[:, 48:56].view(np.int32)
+    infos = rows[:, 96:112].view(np.int32)
     frontier = np.array([0], np.int64)
     depth = 0
     while len(frontier):
@@ -72,14 +72,13 @@ class GeometryArrays:
 
     tri   [T,12] f32 : p0(3), e1(3), e2(3), pad(3) — BVH leaf order
                        (brute-force path + testing referee)
-    rows  [N8,80] f32: internal — 8 child AABBs SoA (minx[8] miny[8]
-                       minz[8] maxx[8] maxy[8] maxz[8], cols 0-47),
-                       child infos i32-bitcast at 48-55 (0 = empty,
-                       bit 30 = leaf); leaf — up to 8 woop triangles in
-                       SoA 8-blocks (p0x[8] p0y[8] p0z[8] e1x..e1z
-                       e2x..e2z, cols 0-71), count @72, packed tri
-                       base @73 (repacked from the builders' 64-float
-                       tri-major rows by _repack80).
+    rows [N16,160] f32: internal — 16 child AABBs SoA (minx[16]
+                       miny[16] minz[16] maxx[16] maxy[16] maxz[16],
+                       cols 0-95), child infos i32-bitcast at 96-111
+                       (0 = empty, bit 30 = leaf); leaf — up to 16 woop
+                       triangles in SoA 16-blocks (p0x[16] p0y[16]
+                       p0z[16] e1* e2*, cols 0-143), count @144, packed
+                       tri base @145.
     perm  [T]    i32 : packed row -> original face index
     """
 
@@ -128,52 +127,12 @@ def build_geometry(positions, faces) -> GeometryArrays:
     rows = np.asarray(bvh["rows"], np.float32)
     # round up to multiples of 8 to bound recompiles across scenes
     depth = ((_bvh8_depth(rows) + 2 + 7) // 8) * 8
-    if rows.shape[1] == 64:  # python fallback builder emits the old width
-        rows = _repack80(rows)
     return GeometryArrays(
         jnp.asarray(tri),
         jnp.asarray(rows),
         jnp.asarray(perm.astype(np.int32)),
         stack_depth=depth,
     )
-
-
-def _repack80(rows):
-    """[N8,64] builder rows -> [N8,80] traversal rows: leaf triangles
-    re-laid out from tri-major (9 floats per tri, builder layout) into
-    SoA 8-blocks (p0x[8] p0y[8] p0z[8] e1*[24] e2*[24], meta @72-73) so
-    every traversal-side read is a lane-aligned [L,8] slice of the
-    gathered block (single-column extracts re-tile the whole gather —
-    see bvh_closest). Internal rows were already 8-block SoA and keep
-    their columns; the classification walks the child infos."""
-    N = rows.shape[0]
-    out = np.zeros((N, 80), np.float32)
-    internal = np.zeros(N, bool)
-    if N == 1:
-        leaf_ids = np.array([0], np.int64)
-    else:
-        infos_all = rows[:, 48:56].view(np.int32)
-        internal[0] = True
-        seen_leaf = np.zeros(N, bool)
-        frontier = np.array([0], np.int64)
-        while len(frontier):
-            ch = infos_all[frontier].reshape(-1)
-            ch = ch[ch != 0]
-            is_lf = (ch & int(LEAF_BIT)) != 0
-            seen_leaf[(ch[is_lf] & int(IDX_MASK)).astype(np.int64)] = True
-            nxt = (ch[~is_lf] & int(IDX_MASK)).astype(np.int64)
-            internal[nxt] = True
-            frontier = nxt
-        leaf_ids = np.where(seen_leaf & ~internal)[0]
-    out[internal, :56] = rows[internal, :56]
-    lr = rows[leaf_ids]
-    tri9 = lr[:, :54].reshape(-1, 6, 9)
-    soa = np.zeros((len(leaf_ids), 9, 8), np.float32)
-    soa[:, :, :6] = np.transpose(tri9, (0, 2, 1))
-    out[leaf_ids, :72] = soa.reshape(len(leaf_ids), 72)
-    out[leaf_ids, 72] = lr[:, 54]
-    out[leaf_ids, 73] = lr[:, 55]
-    return out
 
 
 def _i32(x):
@@ -250,55 +209,55 @@ MAX_STEPS = 8192  # watchdog guard; BVH8 walks are ~15-50 steps
 
 
 def bvh_closest(geom: GeometryArrays, o, d, t_min, t_max, stop_on_hit=False):
-    """Ordered BVH8 closest hit for a wavefront of rays [L,3].
+    """Ordered BVH16 closest hit for a wavefront of rays [L,3].
 
-    One packed 80-float row-gather per iteration (TPU gather cost is
-    per-op, not per-byte, so the 8-wide node is ~free vs a binary node
-    and cuts the iteration count ~3-10x). Each lane is either:
-      node  — slab-test the row's 8 children (restricted to the lane's
+    One packed 160-float row-gather per iteration (the gather is the
+    dominant per-step cost and grows only ~17% from 80 to 160 floats,
+    while the 16-wide fan-out nearly halves the step count). Each lane
+    is either:
+      node  — slab-test the row's 16 children (restricted to the lane's
               pending mask when revisiting), descend into the nearest
-              hit child, and push one COMPRESSED group entry
-              (node << 8 | remaining-hit-mask) for the rest;
-      leaf  — intersect the row's <=8 SoA-packed woop triangles in one
+              hit child, and push one pending group (node + remaining
+              hit mask, in two parallel [L, SD] i32 stacks);
+      leaf  — intersect the row's <=16 SoA-packed woop triangles in one
               iteration, then pop;
       pop   — one-hot read of the group stack top; popped groups are
               re-slab-tested against the tightened best_t, so far
               children prune for free.
-    The per-lane stack is [L, stack_depth] i32 (exact tree depth,
-    computed at build) updated with one-hot selects - vector ops, no
-    scatter. An undersized stack silently drops pending groups and loses
-    hits, so the depth is measured, never guessed.
+    An undersized stack silently drops pending groups and loses hits, so
+    the depth is measured at build, never guessed.
 
-    LAYOUT RULE (profiled): all row consumption is [L, 8] lane-aligned
-    BLOCK slices of the gathered [L, 80] result — extracting single
+    LAYOUT RULE (profiled): all row consumption is [L, 16] lane-aligned
+    BLOCK slices of the gathered [L, 160] result — extracting single
     columns re-tiles the whole gathered block (~3.4 ms/step at 64k
-    lanes, 70%% of traversal); 8-column blocks stay in the gather's
-    native (8,128) tiling, and the [L] ray components broadcast in as
-    cheap [L,1] operands.
+    lanes); 16-column blocks stay in the gather's native (8,128)
+    tiling, and the [L] ray components broadcast in as [L,1] operands.
     """
     L = o.shape[0]
     ox, oy, oz = (a[:, None] for a in _components(o))   # [L,1]
     dx, dy, dz = (a[:, None] for a in _components(d))
     ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
     t_min1 = t_min[:, None]
+    W = 16
     SD = geom.stack_depth
     iota = jax.lax.broadcasted_iota(jnp.int32, (L, SD), 1)
-    iota8 = jnp.arange(8, dtype=jnp.int32)[None, :]      # [1,8]
+    iotaw = jnp.arange(W, dtype=jnp.int32)[None, :]      # [1,16]
 
     def cond(state):
         return jnp.any(state["cur"] >= 0) & (state["it"] < MAX_STEPS)
 
     def body(state):
         cur, leaf, pend = state["cur"], state["leaf"], state["pend"]
-        stack, sp = state["stack"], state["sp"]
+        nstack, mstack = state["nstack"], state["mstack"]
+        sp = state["sp"]
         best_t, best_i = state["best_t"], state["best_i"]
         best_u, best_v = state["best_u"], state["best_v"]
 
         active = cur >= 0
-        row = geom.rows[jnp.maximum(cur, 0)]  # [L,80] single gather
+        row = geom.rows[jnp.maximum(cur, 0)]  # [L,160] single gather
         limit = jnp.minimum(best_t, t_max)[:, None]
 
-        # --- leaf phase: up to 8 SoA-packed woop triangles ----------------
+        # --- leaf phase: up to 16 SoA-packed woop triangles ---------------
         # Inputs MUST be zeroed for non-leaf lanes: the intersection math
         # on internal-row floats produces NaN/inf, and the XLA TPU backend
         # MISCOMPILES the fused `where(take, tt, best_t)` chain when the
@@ -307,11 +266,12 @@ def bvh_closest(geom: GeometryArrays, o, d, t_min, t_max, stop_on_hit=False):
         # all-finite intermediates.
         lf = active & leaf
         lrow = jnp.where(lf[:, None], row, 0.0)
-        cnt = _i32(lrow[:, 72:80])[:, 0:1]    # count @72 (8-block slice)
-        base = _i32(lrow[:, 72:80])[:, 1:2]   # base  @73
-        p0x, p0y, p0z = lrow[:, 0:8], lrow[:, 8:16], lrow[:, 16:24]
-        e1x, e1y, e1z = lrow[:, 24:32], lrow[:, 32:40], lrow[:, 40:48]
-        e2x, e2y, e2z = lrow[:, 48:56], lrow[:, 56:64], lrow[:, 64:72]
+        meta = _i32(lrow[:, 9 * W:10 * W])
+        cnt = meta[:, 0:1]     # count @144
+        base = meta[:, 1:2]    # base  @145
+        p0x, p0y, p0z = (lrow[:, W * c:W * (c + 1)] for c in range(3))
+        e1x, e1y, e1z = (lrow[:, W * c:W * (c + 1)] for c in range(3, 6))
+        e2x, e2y, e2z = (lrow[:, W * c:W * (c + 1)] for c in range(6, 9))
         pvx = dy * e2z - dz * e2y
         pvy = dz * e2x - dx * e2z
         pvz = dx * e2y - dy * e2x
@@ -325,33 +285,33 @@ def bvh_closest(geom: GeometryArrays, o, d, t_min, t_max, stop_on_hit=False):
         vv = (dx * qvx + dy * qvy + dz * qvz) * inv
         tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
         take = (
-            lf[:, None] & (iota8 < cnt)
+            lf[:, None] & (iotaw < cnt)
             & (inv != 0.0) & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
             & (tt > t_min1) & (tt < limit)
         )
         ttm = jnp.where(take, tt, INF)
         kbest = jnp.argmin(ttm, axis=1)                       # [L]
-        sel8 = iota8 == kbest[:, None]                        # [L,8]
+        selw = iotaw == kbest[:, None]                        # [L,16]
         t_leaf = jnp.min(ttm, axis=1)                         # [L]
         got = t_leaf < best_t
-        pick = lambda a: jnp.sum(jnp.where(sel8, a, 0.0), axis=1)
+        pick = lambda a: jnp.sum(jnp.where(selw, a, 0.0), axis=1)
         best_i = jnp.where(got, base[:, 0] + kbest, best_i)
         best_u = jnp.where(got, pick(uu), best_u)
         best_v = jnp.where(got, pick(vv), best_v)
         best_t = jnp.where(got, t_leaf, best_t)
         limit = jnp.minimum(best_t, t_max)[:, None]
 
-        # --- node phase: slab-test 8 children -----------------------------
+        # --- node phase: slab-test 16 children ----------------------------
         nd = active & ~leaf
         nrow = jnp.where(nd[:, None], row, 0.0)  # same NaN-safety rule
-        pmask = jnp.where(pend == 0, 0xFF, pend)[:, None]
-        info8 = _i32(nrow[:, 48:56])
-        t0x = (nrow[:, 0:8] - ox) * ix
-        t1x = (nrow[:, 24:32] - ox) * ix
-        t0y = (nrow[:, 8:16] - oy) * iy
-        t1y = (nrow[:, 32:40] - oy) * iy
-        t0z = (nrow[:, 16:24] - oz) * iz
-        t1z = (nrow[:, 40:48] - oz) * iz
+        pmask = jnp.where(pend == 0, 0xFFFF, pend)[:, None]
+        info16 = _i32(nrow[:, 6 * W:7 * W])
+        t0x = (nrow[:, 0 * W:1 * W] - ox) * ix
+        t1x = (nrow[:, 3 * W:4 * W] - ox) * ix
+        t0y = (nrow[:, 1 * W:2 * W] - oy) * iy
+        t1y = (nrow[:, 4 * W:5 * W] - oy) * iy
+        t0z = (nrow[:, 2 * W:3 * W] - oz) * iz
+        t1z = (nrow[:, 5 * W:6 * W] - oz) * iz
         tn = jnp.maximum(
             jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
             jnp.minimum(t0z, t1z),
@@ -360,25 +320,26 @@ def bvh_closest(geom: GeometryArrays, o, d, t_min, t_max, stop_on_hit=False):
             jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
             jnp.maximum(t0z, t1z),
         )
-        hit8 = (
+        hitw = (
             nd[:, None] & (tn <= tf) & (tf >= t_min1) & (tn <= limit)
-            & (info8 != 0) & ((pmask >> iota8) & 1 == 1)
+            & (info16 != 0) & ((pmask >> iotaw) & 1 == 1)
         )
-        tnm = jnp.where(hit8, tn, INF)
+        tnm = jnp.where(hitw, tn, INF)
         kn = jnp.argmin(tnm, axis=1)
-        seln = iota8 == kn[:, None]
-        chosen = jnp.sum(jnp.where(seln, info8, 0), axis=1)    # [L]
-        chosen_bit = jnp.sum(jnp.where(seln, 1 << iota8, 0), axis=1)
-        hit_mask = jnp.sum(jnp.where(hit8, 1 << iota8, 0), axis=1)
+        seln = iotaw == kn[:, None]
+        chosen = jnp.sum(jnp.where(seln, info16, 0), axis=1)    # [L]
+        chosen_bit = jnp.sum(jnp.where(seln, 1 << iotaw, 0), axis=1)
+        hit_mask = jnp.sum(jnp.where(hitw, 1 << iotaw, 0), axis=1)
 
         any_hit = nd & (hit_mask != 0)
         if stop_on_hit:
             any_hit = any_hit & (best_i < 0)
         rem = hit_mask & ~chosen_bit
         do_push = any_hit & (rem != 0)
-        entry = (cur << 8) | rem
         sel = iota == sp[:, None]
-        stack = jnp.where(sel & do_push[:, None], entry[:, None], stack)
+        push = sel & do_push[:, None]
+        nstack = jnp.where(push, cur[:, None], nstack)
+        mstack = jnp.where(push, rem[:, None], mstack)
         sp = jnp.where(do_push, sp + 1, sp)
 
         # --- pop ------------------------------------------------------------
@@ -391,20 +352,22 @@ def bvh_closest(geom: GeometryArrays, o, d, t_min, t_max, stop_on_hit=False):
         if stop_on_hit:
             done = done | found
         selp = iota == (sp - 1)[:, None]
-        top = jnp.sum(jnp.where(selp, stack, 0), axis=1)
+        top_n = jnp.sum(jnp.where(selp, nstack, 0), axis=1)
+        top_m = jnp.sum(jnp.where(selp, mstack, 0), axis=1)
         sp = jnp.where(can_pop, sp - 1, sp)
 
         new_cur = jnp.where(
             any_hit, chosen & IDX_MASK,
-            jnp.where(can_pop, top >> 8, jnp.where(done, -1, cur)))
+            jnp.where(can_pop, top_n, jnp.where(done, -1, cur)))
         new_leaf = jnp.where(
             any_hit, (chosen & LEAF_BIT) != 0,
             jnp.where(can_pop | done, False, leaf))
         new_pend = jnp.where(
-            any_hit, 0, jnp.where(can_pop, top & 0xFF, pend))
+            any_hit, 0, jnp.where(can_pop, top_m, pend))
 
         return dict(
-            cur=new_cur, leaf=new_leaf, pend=new_pend, stack=stack, sp=sp,
+            cur=new_cur, leaf=new_leaf, pend=new_pend,
+            nstack=nstack, mstack=mstack, sp=sp,
             best_t=best_t, best_i=best_i, best_u=best_u, best_v=best_v,
             it=state["it"] + 1,
         )
@@ -413,7 +376,8 @@ def bvh_closest(geom: GeometryArrays, o, d, t_min, t_max, stop_on_hit=False):
         cur=jnp.zeros(L, jnp.int32),
         leaf=jnp.zeros(L, bool),
         pend=jnp.zeros(L, jnp.int32),
-        stack=jnp.zeros((L, SD), jnp.int32),
+        nstack=jnp.zeros((L, SD), jnp.int32),
+        mstack=jnp.zeros((L, SD), jnp.int32),
         sp=jnp.zeros(L, jnp.int32),
         best_t=jnp.full(L, INF),
         best_i=jnp.full(L, -1, jnp.int32),

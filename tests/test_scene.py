@@ -128,8 +128,8 @@ def test_bvh8_from_inside_sphere_jitted():
 
 
 def test_bvh8_matches_brute_on_deep_random_soup():
-    """Referee test on a tree deep enough to exercise the group stack and
-    the SoA leaf repack (_repack80): bvh_closest must agree with the
+    """Referee test on a tree deep enough to exercise the group stacks
+    and the SoA 16-wide leaves: bvh_closest must agree with the
     brute-force sweep exactly on hit index (and t within fp tolerance)."""
     import jax
     import jax.numpy as jnp
@@ -145,7 +145,7 @@ def test_bvh8_matches_brute_on_deep_random_soup():
     positions = tris.reshape(-1, 3)
     faces = np.arange(3 * T, dtype=np.int32).reshape(-1, 3)
     geom = TR.build_geometry(positions, faces)
-    assert geom.rows.shape[1] == 80
+    assert geom.rows.shape[1] == 160
 
     L = 512
     o = jnp.asarray(rng.normal(size=(L, 3)) * 4.0, jnp.float32)
