@@ -262,6 +262,7 @@ def sampling_fraction(sdt: SDTreeArrays, dtree_id):
 # ---------------------------------------------------------------------------
 
 D_STACK = 48  # directional box-filter stack capacity per record
+D_TARGETS = 32  # max leaf quadrants one record can splat into (box filter)
 S_STACK = 24  # spatial box-filter stack capacity per record
 S_TARGETS = 16  # max spatial leaves one record can splat into
 
@@ -292,7 +293,17 @@ def dtree_box_splat(q_sum_flat, q_child, root, pc, amount, depth):
     """QuadTreeNode::record area-overlap splat (guided_path.cpp:322-338 via
     DTree::recordIrradiance :403-410): a box of the leaf-cell size centered
     at pc, value density amount/size^2, distributed over overlapping leaf
-    quadrants. Bounded explicit stack per record."""
+    quadrants. Bounded explicit stack per record.
+
+    The walk COLLECTS up to D_TARGETS (quadrant, weight) pairs per
+    record and commits them with ONE sort-based bincount afterwards —
+    an earlier version scatter-added inside the while body, and TPU
+    scatter with duplicate indices serializes so badly that refined
+    trees at full record counts tripped the device watchdog (observed
+    as a TPU kernel fault on the cbox-improved config). Overflowing
+    targets beyond D_TARGETS are dropped (the reference recurses
+    exactly; the deviation loses a negligible fraction of a record's
+    boundary energy)."""
     L = pc.shape[0]
     size = 0.5**depth.astype(jnp.float32)
     value = amount / jnp.maximum(size * size, 1e-38)
@@ -308,12 +319,15 @@ def dtree_box_splat(q_sum_flat, q_child, root, pc, amount, depth):
     st_node = st_node.at[:, 0].set(root)
     st_sz = st_sz.at[:, 0].set(1.0)
     lanes = jnp.arange(L)
+    tgt_idx = jnp.zeros((L, D_TARGETS), jnp.int32)
+    tgt_val = jnp.zeros((L, D_TARGETS), jnp.float32)
+    n_t = jnp.zeros(L, jnp.int32)
 
     def cond(state):
         return jnp.any(state[0] > 0)
 
     def body(state):
-        sp, st_node, st_ox, st_oy, st_sz, q_sum_flat = state
+        sp, st_node, st_ox, st_oy, st_sz, tgt_idx, tgt_val, n_t = state
         act = sp > 0
         top = jnp.maximum(sp - 1, 0)
         node = st_node[lanes, top]
@@ -335,10 +349,13 @@ def dtree_box_splat(q_sum_flat, q_child, root, pc, amount, depth):
             w = wx * wy
             child = q_child[node, q]
             leaf = child < 0
-            add_here = act & leaf & (w > 0)
-            q_sum_flat = q_sum_flat.at[node * 4 + q].add(
-                jnp.where(add_here, value * w, 0.0)
-            )
+            add_here = act & leaf & (w > 0) & (n_t < D_TARGETS)
+            tslot = jnp.minimum(n_t, D_TARGETS - 1)
+            tgt_idx = tgt_idx.at[lanes, tslot].set(
+                jnp.where(add_here, node * 4 + q, tgt_idx[lanes, tslot]))
+            tgt_val = tgt_val.at[lanes, tslot].set(
+                jnp.where(add_here, value * w, tgt_val[lanes, tslot]))
+            n_t = jnp.where(add_here, n_t + 1, n_t)
             push = act & ~leaf & (w > 0) & (sp < D_STACK)
             slot = jnp.minimum(sp, D_STACK - 1)
             st_node = st_node.at[lanes, slot].set(
@@ -348,11 +365,15 @@ def dtree_box_splat(q_sum_flat, q_child, root, pc, amount, depth):
             st_oy = st_oy.at[lanes, slot].set(jnp.where(push, cy, st_oy[lanes, slot]))
             st_sz = st_sz.at[lanes, slot].set(jnp.where(push, half, st_sz[lanes, slot]))
             sp = jnp.where(push, sp + 1, sp)
-        return sp, st_node, st_ox, st_oy, st_sz, q_sum_flat
+        return sp, st_node, st_ox, st_oy, st_sz, tgt_idx, tgt_val, n_t
 
-    state = (sp, st_node, st_ox, st_oy, st_sz, q_sum_flat)
+    state = (sp, st_node, st_ox, st_oy, st_sz, tgt_idx, tgt_val, n_t)
     state = jax.lax.while_loop(cond, body, state)
-    return state[5]
+    _, _, _, _, _, tgt_idx, tgt_val, n_t = state
+
+    from ..ops.reduce import bincount_add
+
+    return bincount_add(q_sum_flat, tgt_idx.reshape(-1), tgt_val.reshape(-1))
 
 
 def stree_box_targets(sdt: SDTreeArrays, p_world, voxel):
