@@ -1,10 +1,12 @@
-// Native binned-SAH BVH2 builder with threaded (hit/miss link) layout.
+// Native binned-SAH BVH builder: binary SAH build, collapsed to a
+// 16-wide BVH ([N16, 160]-float SoA rows) for the TPU wavefront walk.
 //
 // Plays the role of the reference's parallel SAH kd-tree builder
 // (mitsuba/include/mitsuba/render/gkdtree.h:709-1954): full-sweep binned
-// SAH over 16 bins per axis, multithreaded over subtrees. Emits the same
-// flat arrays as the Python referee in ../bvh.py — DFS node order with
-// miss links so traversal on the TPU is a branch-free index walk.
+// SAH over 16 bins per axis, multithreaded over subtrees. The binary
+// tree is collapsed into 16-ary rows (internal: 16 child AABBs + child
+// infos in SoA 16-blocks; leaf: up to 16 Woop triangles) consumed by
+// ../traverse.py's ordered group-stack traversal.
 //
 // C ABI (ctypes): two-phase — build into an internal arena, then copy out.
 //
