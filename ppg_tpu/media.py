@@ -20,10 +20,12 @@ returned weights use the balance-heuristic pdf over channels
 
 Heterogeneous media use stochastic Woodcock (delta) tracking against
 the scale*maxDensity majorant (heterogeneous.cpp EWoodcockTracking,
-m_maxDensity at :239), restructured as a FIXED-trip-count lax.scan per
-wavefront bounce — data-dependent while loops would serialize the whole
-wavefront on the slowest lane. Shadow transmittance uses ratio tracking
-with the same bound. Density grids are spectrally uniform scalars like
+m_maxDensity at :239), restructured as blocked lax.scans under a
+while_loop per wavefront bounce: each block is a fixed-trip scan (so
+the common case costs one block with no per-event condition checks) and
+the loop runs until every lane has decided, so the estimate is never
+budget-truncated. Shadow transmittance uses ratio tracking with the
+same structure. Density grids are spectrally uniform scalars like
 the reference (heterogeneous.cpp:109); albedo is a constant spectrum
 (constvolume) — gridvolume albedo is not supported yet.
 """
@@ -165,12 +167,15 @@ def density(media: MediaArrays, row, p):
     g = jnp.einsum("lij,lj->li", w2g[:, :, :3], p) + w2g[:, :, 3]
     res = row[:, 11:14]
     off = row[:, 10].astype(jnp.int32)
+    # insideness is tested on the CONTINUOUS grid coordinate (the full
+    # bbox, matching gridvolume lookupFloat); points in the last cell or
+    # exactly on the max face interpolate via the clamped base cell
+    inside = jnp.all((g >= 0) & (g <= res - 1), -1)
     x1 = jnp.floor(g).astype(jnp.int32)
-    f = g - x1
     nx = res[:, 0].astype(jnp.int32)
     ny = res[:, 1].astype(jnp.int32)
-    inside = jnp.all((x1 >= 0) & (x1 + 1 <= res.astype(jnp.int32) - 1), -1)
     x1c = jnp.clip(x1, 0, jnp.maximum(res.astype(jnp.int32) - 2, 0))
+    f = g - x1c  # fractional offset from the CLAMPED cell (1.0 at max face)
 
     def at(dx, dy, dz):
         idx = ((x1c[:, 2] + dz) * ny + (x1c[:, 1] + dy)) * nx + (x1c[:, 0] + dx)
@@ -184,20 +189,29 @@ def density(media: MediaArrays, row, p):
     return jnp.where(inside, d, 0.0)
 
 
+WOODCOCK_MAX_BLOCKS = 1024  # watchdog bound on majorant-event blocks
+
+
 def woodcock_sample(media: MediaArrays, mid, o, d, t_surf, key,
                     n_steps=WOODCOCK_STEPS):
     """Delta tracking along o + t d up to t_surf. Returns
     (is_medium, t, weight[3]) — weight is the single-scattering albedo
     at a scatter event, 1 for surface escape (the acceptance test makes
     the transmittance estimate unbiased). Lanes whose majorant is 0
-    always escape."""
+    always escape.
+
+    Majorant events are consumed in `n_steps`-iteration blocks inside a
+    while_loop that runs until every lane has decided (scatter or
+    surface), so a poor majorant bound (one dense voxel over a thin
+    grid) or a long maj*segment cannot exhaust a fixed budget and bias
+    the medium toward transparency. The block structure amortizes the
+    loop-condition cost the same way trace_regen's BLK scan does."""
     L = o.shape[0]
     row = fetch_row(media, mid)
     maj = row[:, 8]
     alb = row[:, 3:6]
     scale = row[:, 9]
     active0 = (mid >= 0) & (row[:, 7] > 0) & (maj > 0)
-    u = jax.random.uniform(key, (n_steps, L, 2))
 
     def step(carry, uk):
         t, alive, hit_med = carry
@@ -212,10 +226,20 @@ def woodcock_sample(media: MediaArrays, mid, o, d, t_surf, key,
         alive = alive & ~past & ~accept
         return (t, alive, hit_med), None
 
-    (t, alive, hit_med), _ = jax.lax.scan(
-        step, (jnp.zeros(L), active0, jnp.zeros(L, bool)), u)
-    # budget exhausted while still alive: treat as escape (documented bias
-    # bound: (1 - 1/e)^n_steps of the majorant-interaction tail)
+    def w_cond(st):
+        (t, alive, hit_med), blk = st
+        return jnp.any(alive) & (blk < WOODCOCK_MAX_BLOCKS)
+
+    def w_body(st):
+        carry, blk = st
+        u = jax.random.uniform(jax.random.fold_in(key, blk),
+                               (n_steps, L, 2))
+        carry, _ = jax.lax.scan(step, carry, u)
+        return carry, blk + 1
+
+    (t, alive, hit_med), _ = jax.lax.while_loop(
+        w_cond, w_body,
+        ((jnp.zeros(L), active0, jnp.zeros(L, bool)), jnp.int32(0)))
     is_med = hit_med
     w = jnp.where(is_med[:, None], alb, 1.0)
     return is_med, jnp.where(is_med, t, t_surf), w
@@ -225,13 +249,14 @@ def ratio_transmittance(media: MediaArrays, mid, o, d, dist, key,
                         n_steps=WOODCOCK_STEPS):
     """Ratio-tracking transmittance estimate through a heterogeneous
     medium over [0, dist] (unbiased; heterogeneous.cpp uses analytic
-    Simpson quadrature for the deterministic variant)."""
+    Simpson quadrature for the deterministic variant). Blocks of
+    `n_steps` events run under a while_loop until every lane has crossed
+    `dist` (see woodcock_sample) so the product is never truncated."""
     L = o.shape[0]
     row = fetch_row(media, mid)
     maj = row[:, 8]
     scale = row[:, 9]
     active0 = (mid >= 0) & (row[:, 7] > 0) & (maj > 0)
-    u = jax.random.uniform(key, (n_steps, L))
 
     def step(carry, uk):
         t, T, alive = carry
@@ -247,8 +272,19 @@ def ratio_transmittance(media: MediaArrays, mid, o, d, dist, key,
         alive = alive & ~past
         return (t, T, alive), None
 
-    (_, T, _), _ = jax.lax.scan(
-        step, (jnp.zeros(L), jnp.ones(L), active0), u)
+    def w_cond(st):
+        (t, T, alive), blk = st
+        return jnp.any(alive) & (blk < WOODCOCK_MAX_BLOCKS)
+
+    def w_body(st):
+        carry, blk = st
+        u = jax.random.uniform(jax.random.fold_in(key, blk), (n_steps, L))
+        carry, _ = jax.lax.scan(step, carry, u)
+        return carry, blk + 1
+
+    (_, T, _), _ = jax.lax.while_loop(
+        w_cond, w_body,
+        ((jnp.zeros(L), jnp.ones(L), active0), jnp.int32(0)))
     return jnp.where(active0, T, 1.0)
 
 
