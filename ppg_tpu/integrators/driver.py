@@ -23,7 +23,8 @@ from .wavefront import DeviceScene, PTConfig, trace_paths
 def make_config(sc, **overrides) -> PTConfig:
     import numpy as np
 
-    from ..scene.scene import MAT_COATING, MAT_MASK, MAT_ROUGHCOATING
+    from ..scene.scene import (MAT_COATING, MAT_MASK, MAT_NULL,
+                               MAT_ROUGHCOATING)
 
     ip = sc.integrator
     nee = str(ip.get("nee", "never"))
@@ -40,6 +41,10 @@ def make_config(sc, **overrides) -> PTConfig:
         has_mask=bool(
             sc.materials is not None
             and np.any(np.asarray(sc.materials.mtype) == MAT_MASK)
+        ),
+        has_null=bool(
+            sc.materials is not None
+            and np.any(np.asarray(sc.materials.mtype) == MAT_NULL)
         ),
         has_media=bool(getattr(sc, "media", None)),
         has_hetero=bool(any(m.get("hetero") for m in

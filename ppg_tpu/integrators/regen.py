@@ -38,19 +38,29 @@ from ..bsdf import bsdf as B
 from ..core.vecmath import build_frame, dot, to_local, to_world
 from ..emitters import area as E
 from ..emitters import envmap as EV
-from ..scene.scene import MAT_COATING, MAT_MASK, MAT_ROUGHCOATING
+from ..scene.scene import (MAT_COATING, MAT_MASK, MAT_NULL,
+                           MAT_ROUGHCOATING)
 from ..scene.textures import sample_atlas
 from .wavefront import (DeviceScene, PTConfig, SHADOW_EPS, _sample_emitters,
                         decode_row, fetch_row, mi_weight)
 
 
-def iterations_for(spp, max_depth, rr_depth=5, mean_len=None):
+def iterations_for(spp, max_depth, rr_depth=5, mean_len=None,
+                   built_rr=False):
     """Iteration budget so that sample discards are negligible: spp x
-    (expected path length) + a drain tail for the last samples."""
-    cap = 16 if max_depth < 0 else min(max_depth - 1, 64)
-    mean = mean_len if mean_len is not None else min(rr_depth + 3.0, cap + 1)
-    tail = cap + 1 + 8
-    return int(spp * mean + tail)
+    (expected path length) + a drain tail for the last samples.
+
+    `built_rr` marks guided rendering with a BUILT tree, whose RR
+    survival is clamped to 0.99 (guided_path.cpp:2124-2142): the mean
+    path length is then set by the depth cap (or ~rr_depth + 100 when
+    maxDepth is unlimited), not by throughput decay."""
+    cap = (512 if built_rr else 16) if max_depth < 0 \
+        else min(max_depth - 1, 64)
+    if mean_len is None:
+        extra = 100.0 if built_rr else 3.0
+        mean_len = min(rr_depth + extra, cap + 1)
+    tail = min(cap + 1, 64) + 8
+    return int(spp * mean_len + tail)
 
 
 def init_carry(L):
@@ -137,33 +147,17 @@ def trace_regen(scene: DeviceScene, cfg: PTConfig, key, sensor, pix_start,
 
         n_rand_cols += _G.MAX_Q_DEPTH + 2
 
-    def body(carry, it):
-        rng = _RandBlock(key, it, L, n_rand_cols)
-        # -- 1. regenerate finished lanes with their next camera sample --
-        want = ~carry["alive"] & (carry["started"] < spp)
-        jit2 = rng.take(2)
-        u_lens = rng.take(2) if lens else None
-        o_c, d_c, tmin_c, tmax_c = sensor.sample_rays(pos_base + jit2, u_lens)
-        w1 = want[..., None]
+    def shade_hit(rng, it, alive, fresh, o, d, thr, eta, depth,
+                  wo_pdf_prev, delta_prev, p_prev, cur,
+                  tri2, t2, bu2, bv2, defer_shadow=False):
+        """Sections 2+3 of the per-bounce body: emitter/env-hit MIS
+        accumulation, surface shading, next-direction sampling, NEE and
+        RR, for the lanes flagged `alive` (others inert). Shared by the
+        classic per-bounce body and the budgeted segment machine (which
+        passes defer_shadow=True: the NEE shadow ray is NOT traced here
+        — its pre-visibility contribution and segment are returned for
+        the machine to resolve across traversal windows)."""
 
-        o = jnp.where(w1, o_c, carry["o"])
-        d = jnp.where(w1, d_c, carry["d"])
-        tmin = jnp.where(want, tmin_c, 0.0)
-        tmax = jnp.where(want, tmax_c, 3.4e38)
-        thr = jnp.where(w1, 1.0, carry["thr"])
-        eta = jnp.where(want, 1.0, carry["eta"])
-        wo_pdf_prev = jnp.where(want, 0.0, carry["wo_pdf_prev"])
-        delta_prev = jnp.where(want, False, carry["delta_prev"])
-        depth = jnp.where(want, 0, carry["depth"])
-        fresh = want | (carry["fresh"] & carry["alive"])
-        cur = jnp.where(w1, 0.0, carry["cur"])
-        p_prev = jnp.where(w1, o_c, carry["p_prev"])
-        started = carry["started"] + want.astype(jnp.int32)
-        alive = carry["alive"] | want
-
-        # -- 2. intersect every pending ray -------------------------------
-        tri2, t2, bu2, bv2 = closest_hit(
-            scene.geom, o, d, tmin, jnp.where(alive, tmax, -1.0))
         hit = (tri2 >= 0) & alive
         escaped = alive & (tri2 < 0)
         tri2s = jnp.maximum(tri2, 0)
@@ -501,17 +495,49 @@ def trace_regen(scene: DeviceScene, cfg: PTConfig, key, sensor, pix_start,
                 dtree_pdf_nee = jnp.zeros(L)
                 wo_pdf_nee = bsdf_pdf_nee
             so = p2 + jnp.sign(wi_dot_geo)[..., None] * geo_n * scene.eps
-            occluded = any_hit(
-                scene.geom, so, ds["d"], jnp.full(L, 0.0),
-                jnp.where(nee_ok,
-                          ds["dist"] * (1 - SHADOW_EPS) - scene.eps, -1.0))
-            nee_ok = nee_ok & ~occluded
-            w_mis_n = jnp.where(ds["discrete"], 1.0,
-                                mi_weight(ds["pdf"], wo_pdf_nee))
-            l_nee = thr * ds["value"] * f_nee * w_mis_n[..., None]
-            l_nee = jnp.where(nee_ok[..., None], l_nee, 0.0)
-            cur = cur + l_nee
-            n_rays_it = n_rays_it + jnp.sum((act & smooth).astype(jnp.int32))
+            sh_tmax = jnp.where(
+                nee_ok, ds["dist"] * (1 - SHADOW_EPS) - scene.eps, -1.0)
+            if defer_shadow:
+                # machine mode: the caller traces the shadow segment
+                # across windows; return the pre-visibility contribution
+                w_mis_n = jnp.where(ds["discrete"], 1.0,
+                                    mi_weight(ds["pdf"], wo_pdf_nee))
+                l_nee = thr * ds["value"] * f_nee * w_mis_n[..., None]
+                l_nee = jnp.where(nee_ok[..., None], l_nee, 0.0)
+                n_rays_it = n_rays_it + jnp.sum(
+                    (act & smooth).astype(jnp.int32))
+                nee_so, nee_d = so, ds["d"]
+                nee_tmax = jnp.where(nee_ok, sh_tmax, -1.0)
+            elif cfg.has_mask or cfg.has_null:
+                # evalTransmittance walk through null/mask ENull lobes
+                # (scene.cpp:619-679); see wavefront.shadow_transmittance
+                from .wavefront import shadow_transmittance
+
+                max_inter = (jnp.full(L, -1, jnp.int32)
+                             if cfg.max_depth < 0 else
+                             jnp.int32(cfg.max_depth) - (depth + 1) - 1)
+                t_sh = shadow_transmittance(
+                    scene, cfg, so, ds["d"], jnp.maximum(sh_tmax, 0.0),
+                    None, jax.random.fold_in(key, it), nee_ok,
+                    max_inter=max_inter)
+                nee_ok = nee_ok & jnp.any(t_sh > 0, -1)
+            else:
+                occluded = any_hit(scene.geom, so, ds["d"],
+                                   jnp.full(L, 0.0), sh_tmax)
+                nee_ok = nee_ok & ~occluded
+                t_sh = None
+            if not defer_shadow:
+                w_mis_n = jnp.where(ds["discrete"], 1.0,
+                                    mi_weight(ds["pdf"], wo_pdf_nee))
+                l_nee = thr * ds["value"] * f_nee * w_mis_n[..., None]
+                if t_sh is not None:
+                    l_nee = l_nee * t_sh
+                l_nee = jnp.where(nee_ok[..., None], l_nee, 0.0)
+                cur = cur + l_nee
+                n_rays_it = n_rays_it + jnp.sum(
+                    (act & smooth).astype(jnp.int32))
+                nee_so = nee_d = None
+                nee_tmax = None
             if cfg.record_vertices:
                 nee_rec = dict(
                     p=p2, d=ds["d"], radiance=l_nee,
@@ -520,6 +546,10 @@ def trace_regen(scene: DeviceScene, cfg: PTConfig, key, sensor, pix_start,
                     bsdf_val=f_nee, wo_pdf=ds["pdf"], bsdf_pdf=bsdf_pdf_nee,
                     dtree_pdf=dtree_pdf_nee, dtree_id=dtree_id, voxel=voxel,
                     valid=nee_ok & (dtree_id >= 0))
+        else:
+            l_nee = jnp.zeros((L, 3), jnp.float32)
+            nee_so = nee_d = None
+            nee_tmax = None
 
         # -- continue the path ---------------------------------------------
         nonzero = jnp.any(bsdf_weight > 0, axis=-1) & (wo_pdf > 0)
@@ -527,13 +557,28 @@ def trace_regen(scene: DeviceScene, cfg: PTConfig, key, sensor, pix_start,
         if cfg.strict_normals:
             act_c = act_c & (dot(geo_n, wo_world) * wo[..., 2] > 0)
 
+        # ENull transitions (guided_path.cpp:2045-2075): a sampled
+        # pass-through (null BSDF, or the mask's 1-opacity lobe) carries
+        # the LAST REAL scatter's MIS state forward — otherwise the
+        # emitter hit beyond the panel scores weight 1 (delta) while NEE
+        # also samples it, double-counting (the reference pairs the hit
+        # against NEE via rayIntersectAndLookForEmitter's null walk)
+        null_trans = jnp.zeros(L, bool)
+        if cfg.has_null:
+            null_trans = params["mtype"] == MAT_NULL
+        if cfg.has_mask:
+            null_trans = null_trans | pass_thru
+        null_trans = null_trans & act_c
+
         thr2 = thr * bsdf_weight
         eta2 = eta * eta_s
         o2 = p2 + jnp.sign(dot(geo_n, wo_world))[..., None] * geo_n * scene.eps
         depth2 = depth + 1  # rRec.depth of the shade just done
 
-        # russian roulette (guided_path.cpp:2124-2142)
-        rr_on = depth2 >= cfg.rr_depth
+        # russian roulette (guided_path.cpp:2124-2142); the reference's
+        # ENull branch `continue`s before the RR block, so pass-through
+        # transitions are never roulette-terminated
+        rr_on = (depth2 >= cfg.rr_depth) & ~null_trans
         if cfg.guiding:
             has_tree_rr = (dtree_id >= 0) & ~sampled_delta
             if cfg.is_built:
@@ -563,6 +608,48 @@ def trace_regen(scene: DeviceScene, cfg: PTConfig, key, sensor, pix_start,
         else:
             vert = None
 
+        return dict(
+            cur=cur, slot=slot, n_rays_it=n_rays_it, alive2=alive2,
+            thr2=thr2, eta2=eta2, o2=o2, wo_world=wo_world, depth2=depth2,
+            keep_mis=null_trans, wo_pdf=wo_pdf, sampled_delta=sampled_delta,
+            p2=p2, vert=vert, nee_rec=nee_rec, l_nee=l_nee,
+            nee_so=nee_so, nee_d=nee_d, nee_tmax=nee_tmax)
+
+
+    def body(carry, it):
+        rng = _RandBlock(key, it, L, n_rand_cols)
+        # -- 1. regenerate finished lanes with their next camera sample --
+        want = ~carry["alive"] & (carry["started"] < spp)
+        jit2 = rng.take(2)
+        u_lens = rng.take(2) if lens else None
+        o_c, d_c, tmin_c, tmax_c = sensor.sample_rays(pos_base + jit2, u_lens)
+        w1 = want[..., None]
+
+        o = jnp.where(w1, o_c, carry["o"])
+        d = jnp.where(w1, d_c, carry["d"])
+        tmin = jnp.where(want, tmin_c, 0.0)
+        tmax = jnp.where(want, tmax_c, 3.4e38)
+        thr = jnp.where(w1, 1.0, carry["thr"])
+        eta = jnp.where(want, 1.0, carry["eta"])
+        wo_pdf_prev = jnp.where(want, 0.0, carry["wo_pdf_prev"])
+        delta_prev = jnp.where(want, False, carry["delta_prev"])
+        depth = jnp.where(want, 0, carry["depth"])
+        fresh = want | (carry["fresh"] & carry["alive"])
+        cur = jnp.where(w1, 0.0, carry["cur"])
+        p_prev = jnp.where(w1, o_c, carry["p_prev"])
+        started = carry["started"] + want.astype(jnp.int32)
+        alive = carry["alive"] | want
+
+        # -- 2. intersect every pending ray -------------------------------
+        tri2, t2, bu2, bv2 = closest_hit(
+            scene.geom, o, d, tmin, jnp.where(alive, tmax, -1.0))
+        R = shade_hit(rng, it, alive, fresh, o, d, thr, eta, depth,
+                      wo_pdf_prev, delta_prev, p_prev, cur,
+                      tri2, t2, bu2, bv2)
+        cur = R["cur"]
+        alive2 = R["alive2"]
+        l_nee = R["l_nee"]
+
         # -- commit finished samples ----------------------------------------
         died = alive & ~alive2
         acc = carry["acc"] + jnp.where(died[..., None], cur, 0.0)
@@ -571,20 +658,24 @@ def trace_regen(scene: DeviceScene, cfg: PTConfig, key, sensor, pix_start,
         acc2 = carry["acc2"] + jnp.where(died[..., None], cur * cur, 0.0)
         done = carry["done"] + died.astype(jnp.int32)
 
+        keep_mis = R["keep_mis"]  # ENull transition: MIS state survives
         new_carry = dict(
             started=started, done=done, acc=acc, acc2=acc2, cur=cur,
-            alive=alive2, fresh=jnp.zeros(L, bool),
-            o=jnp.where(alive2[..., None], o2, o),
-            d=jnp.where(alive2[..., None], wo_world, d),
-            p_prev=jnp.where(alive2[..., None], p2, p_prev),
-            thr=thr2, eta=eta2,
-            wo_pdf_prev=wo_pdf, delta_prev=sampled_delta,
-            depth=depth2,
-            n_rays=carry["n_rays"] + n_rays_it,
+            alive=alive2, fresh=fresh & keep_mis,
+            o=jnp.where(alive2[..., None], R["o2"], o),
+            d=jnp.where(alive2[..., None], R["wo_world"], d),
+            p_prev=jnp.where((alive2 & ~keep_mis)[..., None], R["p2"],
+                             p_prev),
+            thr=R["thr2"], eta=R["eta2"],
+            wo_pdf_prev=jnp.where(keep_mis, wo_pdf_prev, R["wo_pdf"]),
+            delta_prev=jnp.where(keep_mis, delta_prev,
+                                 R["sampled_delta"]),
+            depth=R["depth2"],
+            n_rays=carry["n_rays"] + R["n_rays_it"],
         )
-        hit_light = jnp.where(alive[..., None], slot, 0.0)
+        hit_light = jnp.where(alive[..., None], R["slot"], 0.0)
         outs = dict(slot=hit_light + (l_nee if cfg.do_nee else 0.0),
-                    fresh=fresh, vert=vert, nee=nee_rec)
+                    fresh=fresh, vert=R["vert"], nee=R["nee_rec"])
         if cfg.record_vertices and cfg.nee_always:
             outs["hitlight"] = hit_light
         return new_carry, outs

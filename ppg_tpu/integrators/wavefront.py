@@ -30,16 +30,18 @@ from ..core.vecmath import (build_frame, dot, normalize,
 from ..emitters import area as E
 from ..emitters import delta as DE
 from ..emitters import envmap as EV
-from ..scene.scene import (MAT_BLEND, MAT_COATING, MAT_MASK,
+from ..scene.scene import (MAT_BLEND, MAT_COATING, MAT_MASK, MAT_NULL,
                            MAT_ROUGHCOATING)
 from ..scene.textures import TextureAtlas, sample_atlas
 
 SHADOW_EPS = 1e-3  # relative end offset, mirrors Mitsuba's ShadowEpsilon
-# MAX_NUM_VERTICES analog (guided_path.cpp:1771). The reference caps at 32;
-# we cap the *sampled* bounce scan at 16: RR (rrDepth 5, q <= 0.95) makes
-# deeper-path energy negligible, compile time grows linearly with the scan
-# length, and >24 unrolled bounces crash the current TPU runtime.
-MAX_BOUNCES_CAP = 16
+# MAX_NUM_VERTICES analog (guided_path.cpp:1771): the reference stores at
+# most 32 vertices per path (its depth loop itself is unbounded for
+# maxDepth=-1). The classic scan caps sampled bounces at the same 32; RR
+# (q <= 0.95 unguided) makes deeper-path energy negligible there, while
+# truly unbounded depth (built-tree guided RR at 0.99) is served by the
+# regenerative tracer's early-exit while_loop (integrators/regen.py).
+MAX_BOUNCES_CAP = 32
 
 
 @dataclass(frozen=True)
@@ -58,6 +60,7 @@ class PTConfig:
     has_env: bool = False  # scene has an environment emitter
     has_tex: bool = False  # scene has bitmap textures
     has_mask: bool = False  # scene has mask (opacity) BSDFs
+    has_null: bool = False  # scene has null (pass-through) BSDFs
     has_media: bool = False  # scene has participating media
     has_hetero: bool = False  # scene has heterogeneous (grid) media
     has_bump: bool = False  # scene has bump/normal-mapped materials
@@ -330,6 +333,92 @@ def _sample_emitters(scene: DeviceScene, cfg: PTConfig, p, ref_n, u_nee):
     return ds, n_slots
 
 
+def shadow_transmittance(scene: DeviceScene, cfg: PTConfig, o, d, dist,
+                         med, key, active, max_inter=None):
+    """Spectral transmittance along the shadow segment [o, o + dist*d]
+    (Scene::evalTransmittance, scene.cpp:619-679, reached via
+    sampleAttenuatedEmitterDirect at scene.cpp:854-898).
+
+    Walks the segment surface by surface: a surface whose BSDF carries
+    an ENull component passes the ray through, multiplying the null
+    lobe's discrete eval — 1 for `null`, (1 - opacity) for `mask`
+    (mask.cpp), textured opacity evaluated at the hit uv — while any
+    other surface blocks (T = 0). Per sub-segment the CURRENT medium's
+    transmittance accumulates (homogeneous closed form; heterogeneous
+    unbiased ratio tracking) and crossing a boundary switches the lane's
+    medium to the crossed shape's interior (or vacuum), exactly like the
+    reference's medium hand-off at `its.getTargetMedium(d)`.
+
+    `max_inter` ([L] i32 or None) mirrors the reference's interaction
+    cap (`maxInteractions = maxDepth - depth - 1`): a surface hit at the
+    cap blocks even if null-typed; None/negative = unlimited.
+    Lanes with active=False park (t_max < t_min) and return T = 1.
+    """
+    from ..core.vecmath import small_table_gather as _gather
+
+    L = o.shape[0]
+    if cfg.has_media:
+        from .. import media as MED
+    MAX_CROSS = 64  # precaution bound, reference uses 100 (:2224)
+
+    def w_cond(st):
+        t_cur, T, alive, med_c, it = st
+        return jnp.any(alive) & (it < MAX_CROSS)
+
+    def w_body(st):
+        t_cur, T, alive, med_c, it = st
+        o_cur = o + t_cur[..., None] * d
+        remain = dist - t_cur
+        tri, t_hit, bu, bv = closest_hit(
+            scene.geom, o_cur, d, jnp.zeros(L),
+            jnp.where(alive, remain, -1.0))
+        hit = (tri >= 0) & alive
+        seg = jnp.where(hit, t_hit, remain)
+        if cfg.has_media:
+            s_t, _, _ = MED.fetch(scene.media, med_c)
+            T = T * MED.transmittance(s_t, jnp.where(alive, seg, 0.0))
+            if cfg.has_hetero:
+                het = alive & (med_c >= 0) & (
+                    MED.fetch_row(scene.media, med_c)[:, 7] > 0)
+                t_h = MED.ratio_transmittance(
+                    scene.media, med_c, o_cur, d,
+                    jnp.where(het, seg, 0.0),
+                    jax.random.fold_in(key, 1000 + it))
+                T = jnp.where(het[..., None], T * t_h[..., None], T)
+        row = fetch_row(scene, jnp.maximum(tri, 0))
+        _, geo_n, mid, _, _, uv, surf_med, _, _ = decode_row(row, bu, bv)
+        mrow = _gather(scene.mats.packed, mid)
+        mt = jax.lax.bitcast_convert_type(mrow[:, 0], jnp.int32)
+        is_null = mt == MAT_NULL
+        is_mask = mt == MAT_MASK
+        passthru = is_null | is_mask
+        if max_inter is not None:
+            passthru = passthru & ((max_inter < 0) | (it < max_inter))
+        if cfg.has_mask:
+            opac = mrow[:, 23:26]
+            if cfg.has_tex:
+                tid = jax.lax.bitcast_convert_type(mrow[:, 34], jnp.int32)
+                tval = sample_atlas(scene.tex, tid + 1, uv, None)
+                opac = jnp.where((tid >= 0)[..., None], tval, opac)
+            T = jnp.where((hit & is_mask)[..., None], T * (1.0 - opac), T)
+        blocked = hit & ~passthru
+        T = jnp.where(blocked[..., None], 0.0, T)
+        if cfg.has_media:
+            going_in = dot(geo_n, d) < 0
+            med_c = jnp.where(hit & passthru,
+                              jnp.where(going_in, surf_med, -1), med_c)
+        alive = hit & passthru & jnp.any(T > 0, -1)
+        t_cur = jnp.where(alive, t_cur + t_hit + scene.eps, dist)
+        return (t_cur, T, alive, med_c, it + 1)
+
+    med0 = med if med is not None else jnp.full(L, -1, jnp.int32)
+    (_, T, _, _, _) = jax.lax.while_loop(
+        w_cond, w_body,
+        (jnp.zeros(L), jnp.ones((L, 3), jnp.float32), active, med0,
+         jnp.int32(0)))
+    return T
+
+
 def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
                 sdtree=None, pixel_ids=None, sample_idx=0, sensor=None):
     """Trace a wavefront of L camera rays to completion.
@@ -389,6 +478,12 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
         eta=jnp.ones(L, jnp.float32),
         med=jnp.full(L, -1, jnp.int32),       # sensor assumed in vacuum
         in_medium=jnp.zeros(L, bool),
+        # last REAL (non-ENull) scatter's MIS state, carried through
+        # null/mask pass-through chains (guided_path.cpp:2045-2075):
+        # the camera segment counts as delta (emitter hits score weight 1)
+        wo_pdf_real=jnp.zeros(L, jnp.float32),
+        delta_real=jnp.ones(L, bool),
+        p_real=o,
     )
 
     def body(carry, j):
@@ -728,6 +823,23 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
             eta_s = jnp.where(in_med, 1.0, eta_s)
             dtree_pdf = jnp.where(in_med, 0.0, dtree_pdf)
 
+        # -- ENull transitions (guided_path.cpp:2045-2075): a sampled
+        #    pass-through (null BSDF, or the mask's 1-opacity lobe) keeps
+        #    the last REAL scatter's MIS state so the emitter hit beyond
+        #    the panel MIS-pairs against the NEE sample taken at that
+        #    real vertex (the reference achieves the same pairing with
+        #    rayIntersectAndLookForEmitter's null walk + the
+        #    ERadianceNoEmission flag) ------------------------------------
+        null_trans = jnp.zeros(L, bool)
+        if cfg.has_null:
+            null_trans = params["mtype"] == MAT_NULL
+        if cfg.has_mask:
+            null_trans = null_trans | pass_thru
+        null_trans = null_trans & act & ~in_med
+        wo_pdf_mis = jnp.where(null_trans, carry["wo_pdf_real"], wo_pdf)
+        delta_mis = jnp.where(null_trans, carry["delta_real"], sampled_delta)
+        p_ref = jnp.where(null_trans[..., None], carry["p_real"], p)
+
         slot = f3()
         if cfg.has_subsurf:
             from ..subsurface import lo_sub
@@ -767,34 +879,39 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
             else:
                 dtree_pdf_nee = jnp.zeros(L)
                 wo_pdf_nee = bsdf_pdf_nee
-            # visibility
+            # visibility (Scene::sampleAttenuatedEmitterDirect semantics:
+            # the shadow segment passes through null/mask ENull lobes and
+            # accumulates exact per-sub-segment medium transmittance with
+            # boundary switching; opaque scenes use the cheap any-hit)
             so = p + jnp.sign(wi_dot_geo)[..., None] * geo_n * scene.eps
             if cfg.has_media:
                 so = jnp.where(in_med[..., None], p, so)
-            from ..accel.traverse import any_hit
+            sh_tmax = jnp.where(
+                nee_ok, ds["dist"] * (1 - SHADOW_EPS) - scene.eps, -1.0)
+            if cfg.has_mask or cfg.has_null or cfg.has_media:
+                max_inter = (jnp.full(L, -1, jnp.int32)
+                             if cfg.max_depth < 0 else
+                             jnp.full(L, cfg.max_depth, jnp.int32) - j - 1)
+                t_sh = shadow_transmittance(
+                    scene, cfg, so, ds["d"], jnp.maximum(sh_tmax, 0.0),
+                    med if cfg.has_media else None,
+                    jax.random.fold_in(jax.random.fold_in(key, j), 43),
+                    nee_ok, max_inter=max_inter)
+                nee_ok = nee_ok & jnp.any(t_sh > 0, -1)
+            else:
+                from ..accel.traverse import any_hit
 
-            occluded = any_hit(
-                scene.geom, so, ds["d"], jnp.full(L, 0.0),
-                jnp.where(nee_ok,
-                          ds["dist"] * (1 - SHADOW_EPS) - scene.eps, -1.0),
-            )
-            nee_ok = nee_ok & ~occluded
+                occluded = any_hit(scene.geom, so, ds["d"],
+                                   jnp.full(L, 0.0), sh_tmax)
+                nee_ok = nee_ok & ~occluded
+                t_sh = None
             # delta emitters sample in the discrete measure: no heuristic
             # (miWeight applies only to solid-angle measures)
             w_mis = jnp.where(ds["discrete"], 1.0,
                               mi_weight(ds["pdf"], wo_pdf_nee))
             l_nee = thr * ds["value"] * f_nee * w_mis[..., None]
-            if cfg.has_media:
-                # shadow-ray transmittance through the lane's current medium
-                # (approximation of sampleAttenuatedEmitterDirect: homogeneous
-                # attenuation along the whole shadow segment)
-                l_nee = l_nee * MED.transmittance(m_sigma_t, ds["dist"])
-                if cfg.has_hetero:
-                    # heterogeneous lanes: unbiased ratio tracking
-                    t_het = MED.ratio_transmittance(
-                        scene.media, med, p, ds["d"], ds["dist"],
-                        jax.random.fold_in(jax.random.fold_in(key, j), 43))
-                    l_nee = l_nee * t_het[..., None]
+            if t_sh is not None:
+                l_nee = l_nee * t_sh
             l_nee = jnp.where(nee_ok[..., None], l_nee, 0.0)
             slot = slot + l_nee
             nee_rec = dict(
@@ -882,20 +999,22 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
             n_pdf_slots = (scene.emitters.num + (1 if cfg.has_env else 0)
                            + scene.delta.num)
             em_pdf = jnp.where(
-                hit_emitter & ~sampled_delta,
-                E.pdf_direct(scene.emitters, em2, p2, sh_n2, p,
+                hit_emitter & ~delta_mis,
+                E.pdf_direct(scene.emitters, em2, p2, sh_n2, p_ref,
                              n_slots=n_pdf_slots),
                 0.0,
             )
             if cfg.has_env:
                 em_pdf = jnp.where(
-                    escaped & hit_emitter & ~sampled_delta,
+                    escaped & hit_emitter & ~delta_mis,
                     EV.pdf_direct(scene.env, d2) / n_pdf_slots,
                     em_pdf,
                 )
         else:
             em_pdf = jnp.zeros(L)
-        w_mis2 = mi_weight(wo_pdf, em_pdf)
+        # delta lanes (incl. the camera segment seen through a null chain,
+        # whose carried wo_pdf is 0) always score full weight
+        w_mis2 = jnp.where(delta_mis, 1.0, mi_weight(wo_pdf_mis, em_pdf))
         l_hit = thr2 * le2 * w_mis2[..., None]
         l_hit = jnp.where(act_c[..., None], l_hit, 0.0)
         slot = slot + l_hit
@@ -909,7 +1028,11 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
                 p=o2, d=d2,
                 throughput=thr2,
                 bsdf_val=bsdf_weight * wo_pdf[..., None],
-                own=jnp.zeros_like(l_hit) if cfg.nee_always else l_hit,
+                # an ENull vertex is created AFTER the look-through credit
+                # in the reference, so it never receives the emitter energy
+                # beyond the panel (its own radiance starts at 0)
+                own=(jnp.zeros_like(l_hit) if cfg.nee_always else
+                     jnp.where(null_trans[..., None], 0.0, l_hit)),
                 wo_pdf=wo_pdf, bsdf_pdf=bsdf_pdf, dtree_pdf=dtree_pdf,
                 is_delta=sampled_delta, dtree_id=dtree_id, voxel=voxel,
                 valid=v_valid,
@@ -918,9 +1041,14 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
             vert = None
 
         # -- russian roulette (guided_path.cpp:2124-2142) --------------------
+        # j runs over arange(1, J+1): 1-based like rRec.depth, so RR first
+        # applies at the rr_depth-th shade — same convention as regen.py's
+        # depth2 and the reference's `rRec.depth++ >= m_rrDepth`
         depth = j  # rRec.depth at this iteration
         act_n = act_c & (hit2 | is_med2)
-        rr_on = depth >= cfg.rr_depth
+        # the reference's ENull branch `continue`s before the RR block, so
+        # pass-through transitions are never roulette-terminated
+        rr_on = (depth >= cfg.rr_depth) & ~null_trans
         if cfg.guiding:
             has_tree_rr = (dtree_id >= 0) & ~sampled_delta
             if cfg.is_built:
@@ -941,6 +1069,7 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
             t=t_eff if cfg.has_media else t2, bu=bu2, bv=bv2,
             throughput=thr2, eta=eta2,
             med=med2, in_medium=is_med2,
+            wo_pdf_real=wo_pdf_mis, delta_real=delta_mis, p_real=p_ref,
         )
         n_rays = jnp.sum(act_c.astype(jnp.int32))
         if cfg.do_nee:

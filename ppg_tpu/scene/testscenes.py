@@ -71,10 +71,9 @@ MINI_CBOX = """<scene version="0.5.0">
 """
 
 
-def mini_cbox(res=64, budget=16, max_depth=6, nee="never"):
+def scene_from_xml(xml):
     from .scene import load_scene
 
-    xml = MINI_CBOX.format(res=res, budget=budget, max_depth=max_depth, nee=nee)
     with tempfile.NamedTemporaryFile(
         "w", suffix=".xml", delete=False, dir=tempfile.gettempdir()
     ) as f:
@@ -84,3 +83,40 @@ def mini_cbox(res=64, budget=16, max_depth=6, nee="never"):
         return load_scene(path)
     finally:
         os.unlink(path)
+
+
+def mini_cbox(res=64, budget=16, max_depth=6, nee="never"):
+    return scene_from_xml(MINI_CBOX.format(
+        res=res, budget=budget, max_depth=max_depth, nee=nee))
+
+
+# translucent panel hovering between the luminaire (y=1.7, facing up) and
+# the ceiling (y=2): every NEE shadow ray from the ceiling toward the
+# light crosses it, exercising the evalTransmittance null/mask walk
+_PANEL = {
+    "mask": """  <shape type="rectangle">
+    <transform name="toWorld"><scale value="0.5"/>
+      <rotate x="1" angle="-90"/><translate y="1.85"/></transform>
+    <bsdf type="mask">
+      <rgb name="opacity" value="{op}, {op}, {op}"/>
+      <bsdf type="diffuse"><rgb name="reflectance" value="0.5, 0.5, 0.5"/></bsdf>
+    </bsdf>
+  </shape>
+""",
+    "null": """  <shape type="rectangle">
+    <transform name="toWorld"><scale value="0.5"/>
+      <rotate x="1" angle="-90"/><translate y="1.85"/></transform>
+    <bsdf type="null"/>
+  </shape>
+""",
+}
+
+
+def mini_cbox_panel(res=48, budget=16, max_depth=6, nee="never",
+                    panel="mask", opacity=0.6):
+    """mini_cbox plus a mask/null panel occluding the luminaire."""
+    xml = MINI_CBOX.format(res=res, budget=budget, max_depth=max_depth,
+                           nee=nee)
+    xml = xml.replace("</scene>",
+                      _PANEL[panel].format(op=opacity) + "</scene>")
+    return scene_from_xml(xml)
