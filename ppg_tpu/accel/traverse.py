@@ -1,27 +1,29 @@
 """Wavefront ray traversal in JAX (closest-hit and any-hit).
 
 The reference traverses a SAH kd-tree per ray with a per-thread stack
-(mitsuba/include/mitsuba/render/skdtree.h:125-190). On TPU we walk an
-8-wide BVH with ORDERED nearest-child-first descent and a compressed
+(mitsuba/include/mitsuba/render/skdtree.h:125-190). On TPU we walk a
+16-wide BVH with ORDERED nearest-child-first descent and a compressed
 per-lane group stack (CWBVH-flavored): every wavefront step is ONE
-uniform 64-float row-gather; descending nearest-first tightens best_t
+uniform 160-float row-gather; descending nearest-first tightens best_t
 early so pruning kills far subtrees. Earlier designs (unordered
-hit/miss-link walk, then an ordered binary walk) were gather-count
-bound — TPU gathers cost ~6-10 ns/lane *per op regardless of row
-width*, so the 8-wide node divides the dominant cost by the branching
-factor. The unordered walk additionally had catastrophic worst-case
-lanes (tens of thousands of node visits on 1M-triangle scenes — long
-enough to trip the TPU watchdog).
+hit/miss-link walk, then ordered binary and 8-wide walks) were
+gather-count bound — TPU gathers cost ~6-10 ns/lane *per op nearly
+regardless of row width* (~17% more for 2x width), so the 16-wide node
+divides the dominant cost by the branching factor. The unordered walk
+additionally had catastrophic worst-case lanes (tens of thousands of
+node visits on 1M-triangle scenes — long enough to trip the TPU
+watchdog).
 
 TPU-first data layout rules applied here:
   * All per-lane math is SoA: separate [L] component arrays, never
     [L, 3]/[L, T, 3] intermediates (a trailing dim of 3 pads to 128
     lanes, a 42x memory-bandwidth tax, and the [L,T,3] broadcasts
     additionally blow up XLA compile time by minutes).
-  * ONE row array [N8, 64] holds everything (gather cost is per-op, not
-    per-byte): an internal row carries all 8 child AABBs + child infos;
-    a leaf row embeds up to 6 woop triangles, so a leaf costs one
-    iteration total.
+  * ONE row array [N16, 160] holds everything (gather cost is per-op,
+    not per-byte): an internal row carries all 16 child AABBs + child
+    infos in SoA 16-blocks; a leaf row embeds up to 16 woop triangles,
+    so a leaf costs one iteration total. Consumers slice only
+    lane-aligned [L, 16] blocks of the gathered row.
   * The traversal stack stores one compressed (node << 8 | pending-mask)
     entry per level in a [L, stack_depth] i32 array (depth measured at
     build) updated with one-hot selects — vector ops, no scatter, no
@@ -208,7 +210,8 @@ def _safe_inv(d):
 MAX_STEPS = 8192  # watchdog guard; BVH8 walks are ~15-50 steps
 
 
-def bvh_closest(geom: GeometryArrays, o, d, t_min, t_max, stop_on_hit=False):
+def bvh_closest(geom: GeometryArrays, o, d, t_min, t_max, stop_on_hit=False,
+                return_stats=False):
     """Ordered BVH16 closest hit for a wavefront of rays [L,3].
 
     One packed 160-float row-gather per iteration (the gather is the
@@ -234,6 +237,69 @@ def bvh_closest(geom: GeometryArrays, o, d, t_min, t_max, stop_on_hit=False):
     tiling, and the [L] ray components broadcast in as [L,1] operands.
     """
     L = o.shape[0]
+    stopm = jnp.ones(L, bool) if stop_on_hit else None
+    body = bvh_step_factory(geom, o, d, t_min, t_max, stopm=stopm,
+                            return_stats=return_stats)
+
+    def cond(state):
+        return jnp.any(state["cur"] >= 0) & (state["it"] < MAX_STEPS)
+
+    state = bvh_state_init(L, geom.stack_depth, t_max > t_min)
+    if return_stats:
+        state["steps"] = jnp.zeros(L, jnp.int32)
+    out = jax.lax.while_loop(cond, body, state)
+    if return_stats:
+        return (out["best_i"], out["best_t"], out["best_u"], out["best_v"],
+                dict(steps=out["steps"], it=out["it"]))
+    return out["best_i"], out["best_t"], out["best_u"], out["best_v"]
+
+
+def bvh_state_init(L, SD, active):
+    """Fresh traversal state: lanes with active=True start at the root,
+    others park (cur = -1) immediately."""
+    return dict(
+        cur=jnp.where(active, 0, -1),
+        leaf=jnp.zeros(L, bool),
+        pend=jnp.zeros(L, jnp.int32),
+        nstack=jnp.zeros((L, SD), jnp.int32),
+        mstack=jnp.zeros((L, SD), jnp.int32),
+        sp=jnp.zeros(L, jnp.int32),
+        best_t=jnp.full(L, INF),
+        best_i=jnp.full(L, -1, jnp.int32),
+        best_u=jnp.zeros(L),
+        best_v=jnp.zeros(L),
+        it=jnp.int32(0),
+    )
+
+
+def bvh_state_reset(st, active, lanes):
+    """Restart traversal for `lanes` ([L] bool) in an existing state dict
+    (other lanes untouched); active&lanes start at the root, inactive
+    lanes park."""
+    st = dict(st)
+    st["cur"] = jnp.where(lanes, jnp.where(active, 0, -1), st["cur"])
+    st["leaf"] = jnp.where(lanes, False, st["leaf"])
+    st["pend"] = jnp.where(lanes, 0, st["pend"])
+    st["sp"] = jnp.where(lanes, 0, st["sp"])
+    st["best_t"] = jnp.where(lanes, INF, st["best_t"])
+    st["best_i"] = jnp.where(lanes, -1, st["best_i"])
+    st["best_u"] = jnp.where(lanes, 0.0, st["best_u"])
+    st["best_v"] = jnp.where(lanes, 0.0, st["best_v"])
+    return st
+
+
+def bvh_step_factory(geom: GeometryArrays, o, d, t_min, t_max, stopm=None,
+                     return_stats=False):
+    """Build the one-step traversal body over per-lane rays.
+
+    Returns body(state) -> state advancing every lane's walk by ONE
+    iteration (node slab-test / leaf intersect / pop). `stopm` ([L] bool
+    or None) gives any-hit semantics per lane: flagged lanes terminate at
+    the first accepted hit instead of walking to the closest. The
+    returned body is reusable by bvh_closest's run-to-completion
+    while_loop AND by budgeted steppers that interleave traversal windows
+    with shading (integrators/regen.py's segment machine)."""
+    L = o.shape[0]
     ox, oy, oz = (a[:, None] for a in _components(o))   # [L,1]
     dx, dy, dz = (a[:, None] for a in _components(d))
     ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
@@ -242,9 +308,6 @@ def bvh_closest(geom: GeometryArrays, o, d, t_min, t_max, stop_on_hit=False):
     SD = geom.stack_depth
     iota = jax.lax.broadcasted_iota(jnp.int32, (L, SD), 1)
     iotaw = jnp.arange(W, dtype=jnp.int32)[None, :]      # [1,16]
-
-    def cond(state):
-        return jnp.any(state["cur"] >= 0) & (state["it"] < MAX_STEPS)
 
     def body(state):
         cur, leaf, pend = state["cur"], state["leaf"], state["pend"]
@@ -332,8 +395,8 @@ def bvh_closest(geom: GeometryArrays, o, d, t_min, t_max, stop_on_hit=False):
         hit_mask = jnp.sum(jnp.where(hitw, 1 << iotaw, 0), axis=1)
 
         any_hit = nd & (hit_mask != 0)
-        if stop_on_hit:
-            any_hit = any_hit & (best_i < 0)
+        if stopm is not None:
+            any_hit = any_hit & ~(stopm & (best_i >= 0))
         rem = hit_mask & ~chosen_bit
         do_push = any_hit & (rem != 0)
         sel = iota == sp[:, None]
@@ -344,12 +407,12 @@ def bvh_closest(geom: GeometryArrays, o, d, t_min, t_max, stop_on_hit=False):
 
         # --- pop ------------------------------------------------------------
         need_pop = active & ~any_hit  # leaf just intersected or no child hit
-        if stop_on_hit:
-            found = active & (best_i >= 0)
+        if stopm is not None:
+            found = active & stopm & (best_i >= 0)
             need_pop = need_pop & ~found
         can_pop = need_pop & (sp > 0)
         done = (need_pop & (sp == 0))
-        if stop_on_hit:
+        if stopm is not None:
             done = done | found
         selp = iota == (sp - 1)[:, None]
         top_n = jnp.sum(jnp.where(selp, nstack, 0), axis=1)
@@ -365,30 +428,17 @@ def bvh_closest(geom: GeometryArrays, o, d, t_min, t_max, stop_on_hit=False):
         new_pend = jnp.where(
             any_hit, 0, jnp.where(can_pop, top_m, pend))
 
-        return dict(
+        out = dict(
             cur=new_cur, leaf=new_leaf, pend=new_pend,
             nstack=nstack, mstack=mstack, sp=sp,
             best_t=best_t, best_i=best_i, best_u=best_u, best_v=best_v,
             it=state["it"] + 1,
         )
+        if return_stats:
+            out["steps"] = state["steps"] + active.astype(jnp.int32)
+        return out
 
-    state = dict(
-        cur=jnp.zeros(L, jnp.int32),
-        leaf=jnp.zeros(L, bool),
-        pend=jnp.zeros(L, jnp.int32),
-        nstack=jnp.zeros((L, SD), jnp.int32),
-        mstack=jnp.zeros((L, SD), jnp.int32),
-        sp=jnp.zeros(L, jnp.int32),
-        best_t=jnp.full(L, INF),
-        best_i=jnp.full(L, -1, jnp.int32),
-        best_u=jnp.zeros(L),
-        best_v=jnp.zeros(L),
-        it=jnp.int32(0),
-    )
-    # dead lanes (t_max <= t_min) park immediately
-    state["cur"] = jnp.where(t_max <= t_min, -1, state["cur"])
-    out = jax.lax.while_loop(cond, body, state)
-    return out["best_i"], out["best_t"], out["best_u"], out["best_v"]
+    return body
 
 
 
