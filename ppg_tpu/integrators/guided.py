@@ -146,13 +146,19 @@ def _guided_regen_pass(scene, cfg, sensor, img_buf, sq_buf, sdtree, key,
         stat_w = 0.5 if (cfg.do_nee and not cfg.nee_always) else 1.0
         recs = R.vertex_records(verts["bsdf"], stat_w)
         lf = learn_fraction if cfg.is_built else None
-        uj = jax.random.uniform(jax.random.fold_in(k, 23),
+        # splat jitter draws come from a stream disjoint from
+        # trace_regen's per-iteration fold_in(k, it) RandBlock keys
+        # (it ranges over [0, K)): a bare fold_in(k, 23) would reuse
+        # the exact bits that drove path sampling at iteration 23,
+        # correlating records with their splat placement
+        kj = jax.random.fold_in(k, 0x7FFFFFFF)
+        uj = jax.random.uniform(jax.random.fold_in(kj, 23),
                                 (recs["valid"].shape[0], 3))
         sdtree = G.splat_records(
             sdtree, recs, spatial_filter, directional_filter, lf, uj)
         if verts["nee"] is not None:
             nrecs = R.nee_records(verts["nee"])
-            uj2 = jax.random.uniform(jax.random.fold_in(k, 29),
+            uj2 = jax.random.uniform(jax.random.fold_in(kj, 29),
                                      (nrecs["valid"].shape[0], 3))
             sdtree = G.splat_records(
                 sdtree, nrecs, spatial_filter, directional_filter, lf, uj2)
@@ -166,19 +172,29 @@ def _guided_regen_pass(scene, cfg, sensor, img_buf, sq_buf, sdtree, key,
 @partial(
     jax.jit,
     static_argnames=("cfg", "sensor", "L"),
-    donate_argnames=("img_buf", "sq_buf"),
+    donate_argnames=("carry",),
 )
-def _guided_regen_chunk(scene, cfg, sensor, img_buf, sq_buf, sdtree, key,
-                        salt, pix_start, L, spp, K):
-    """Record-free (final-iteration) pass batch for one chunk through the
-    regenerative tracer: all spp in one dispatch at near-full lane
-    utilization, per-sample sums and squared sums accumulated into the
-    flat film buffers with a contiguous dynamic-slice add."""
+def _guided_regen_step(scene, cfg, sensor, sdtree, key, salt, pix_start, L,
+                       spp, K, carry, it_base):
+    """One record-free continuation dispatch of the regenerative tracer
+    for one chunk (early-exit while_loop inside trace_regen). The
+    returned carry keeps in-flight samples alive across dispatches so
+    nothing is discarded — a fixed window would drop a length-biased
+    set of samples (built-tree guided RR survives at 0.99, so long
+    paths dominate the tail)."""
     from .regen import trace_regen
 
     k = jax.random.fold_in(key, salt)
-    out, _ = trace_regen(scene, cfg, k, sensor, pix_start, L, spp, K,
-                         sdtree=sdtree)
+    out, carry = trace_regen(scene, cfg, k, sensor, pix_start, L, spp, K,
+                             sdtree=sdtree, carry=carry, it_base=it_base)
+    return out["all_done"], carry
+
+
+@partial(jax.jit, static_argnames=("L",),
+         donate_argnames=("img_buf", "sq_buf"))
+def _accum_regen(img_buf, sq_buf, carry, pix_start, L):
+    """Fold a finished chunk's lane-pool accumulators into the flat film
+    buffers with contiguous dynamic-slice adds."""
 
     def add(buf, vals):
         zeros = (0,) * (buf.ndim - 1)
@@ -187,8 +203,9 @@ def _guided_regen_chunk(scene, cfg, sensor, img_buf, sq_buf, sdtree, key,
         return jax.lax.dynamic_update_slice(
             buf, cur + vals, (pix_start,) + zeros)
 
-    img_buf = (add(img_buf[0], out["rgb"]), add(img_buf[1], out["w"]))
-    sq_buf = (add(sq_buf[0], out["rgb2"]), add(sq_buf[1], out["w"]))
+    w = carry["done"].astype(jnp.float32)
+    img_buf = (add(img_buf[0], carry["acc"]), add(img_buf[1], w))
+    sq_buf = (add(sq_buf[0], carry["acc2"]), add(sq_buf[1], w))
     return img_buf, sq_buf
 
 
@@ -297,24 +314,36 @@ class GuidedPathTracer:
         t0 = time.time()
         base = jax.random.key(seed_base)
         if self._regen_ok(cfg):
-            # record-free batches go through the regenerative tracer: all
-            # spp of a slab in ONE dispatch per chunk (see regen.py); slabs
-            # bound the while-loop length under the TPU watchdog and keep
-            # the i32 ray counter safe
+            # record-free batches go through the regenerative tracer: the
+            # while_loop inside trace_regen exits as soon as every lane's
+            # spp samples complete, so K only bounds ONE dispatch under
+            # the TPU watchdog; the carried lane pool continues in-flight
+            # samples across dispatches until all_done (no length-biased
+            # discards — built-tree guided RR keeps 99% of paths alive
+            # past rr_depth)
+            from .regen import iterations_for
+
             N = n_passes * self.spp_per_pass
-            done = 0
-            slab_i = 0
-            while done < N:
-                slab = min(N - done, 256)
-                K = np.int32(slab * 24 + 64)
-                for c in range(n_chunks):
-                    img_buf, sq_buf = _guided_regen_chunk(
-                        self.scene_dev, cfg, self.sensor, img_buf, sq_buf,
-                        sdtree, base, np.int32(slab_i * n_chunks + c),
+            total_K = iterations_for(N, cfg.max_depth, cfg.rr_depth,
+                                     built_rr=cfg.is_built and cfg.guiding)
+            K = np.int32(min(total_K, 256 * 24 + 64))
+            max_disp = total_K // int(K) + 8
+            for c in range(n_chunks):
+                carry = None
+                prev_done = None
+                for i in range(max_disp):
+                    done_f, carry = _guided_regen_step(
+                        self.scene_dev, cfg, self.sensor, sdtree, base,
+                        np.int32(c * max_disp + i),
                         np.int32(c * self.chunk), self.chunk,
-                        np.int32(slab), K)
-                done += slab
-                slab_i += 1
+                        np.int32(N), K, carry, np.int32(i * int(K)))
+                    # overlapped termination check (see render_regen)
+                    if prev_done is not None and bool(prev_done):
+                        break
+                    prev_done = done_f
+                img_buf, sq_buf = _accum_regen(
+                    img_buf, sq_buf, carry, np.int32(c * self.chunk),
+                    self.chunk)
         elif self._regen_train_ok(cfg):
             # TRAINING through the regenerative record path: one dispatch
             # per spp slab covering all chunks (scan inside the jit with
@@ -329,7 +358,8 @@ class GuidedPathTracer:
             lf = self.loss if self.loss != "none" else None
             while done < N:
                 slab = min(N - done, slab0)
-                K = iterations_for(slab, cfg.max_depth, cfg.rr_depth)
+                K = iterations_for(slab, cfg.max_depth, cfg.rr_depth,
+                                   built_rr=cfg.is_built and cfg.guiding)
                 img_buf, sq_buf, sdtree = _guided_regen_pass(
                     self.scene_dev, cfg, self.sensor, img_buf, sq_buf,
                     sdtree, base, np.int32(slab_i * n_chunks),
