@@ -32,15 +32,37 @@ def build_bvh8(positions, faces):
     """16-wide BVH with packed 160-float SoA rows (see native/
     bvh_builder.cpp for the layout). Returns dict(rows [N16,160] f32,
     prim_ids [T]). Uses the C++ builder when available, else collapses
-    the numpy BVH2 to the same layout."""
+    the numpy BVH2 to the same layout. Row 0 is ALWAYS a node row —
+    traversal state machines start walks in node phase (traverse.py
+    bvh_state_init), so a root-leaf tree (everything fits one leaf)
+    gets wrapped in a one-child node."""
     F = len(faces)
     if F == 0:
         rows = np.zeros((1, B8_ROW), np.float32)  # empty leaf row (cnt 0)
-        return dict(rows=rows, prim_ids=np.zeros(0, np.int32))
+        return dict(rows=_wrap_root_leaf(rows, None),
+                    prim_ids=np.zeros(0, np.int32))
     out = _build8_native(positions, faces)
-    if out is not None:
-        return out
-    return _collapse8(positions, faces)
+    if out is None:
+        out = _collapse8(positions, faces)
+    if len(out["rows"]) == 1:
+        v = positions[faces].reshape(-1, 3)
+        out["rows"] = _wrap_root_leaf(out["rows"],
+                                      (v.min(axis=0), v.max(axis=0)))
+    return out
+
+
+def _wrap_root_leaf(leaf_rows, bbox):
+    """Prepend a node row whose only child is the (single) leaf row at
+    index 1. Unused slots get NaN slabs (never hit) and info 0."""
+    W = B8_WIDE
+    node = np.full(B8_ROW, np.nan, np.float32)
+    node[6 * W:] = 0.0
+    if bbox is not None:
+        bmin, bmax = bbox
+        node[0 * W], node[1 * W], node[2 * W] = bmin
+        node[3 * W], node[4 * W], node[5 * W] = bmax
+        node[6 * W] = np.int32(1 | B8_LEAF_BIT).view(np.float32)
+    return np.concatenate([node[None], leaf_rows], axis=0)
 
 
 def _build8_native(positions, faces):

@@ -33,7 +33,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..accel.traverse import any_hit, closest_hit
+from ..accel.traverse import (BRUTE_MAX, any_hit, bvh_state_init,
+                              bvh_state_reset, bvh_step_factory,
+                              closest_hit)
 from ..bsdf import bsdf as B
 from ..core.vecmath import build_frame, dot, to_local, to_world
 from ..emitters import area as E
@@ -63,10 +65,28 @@ def iterations_for(spp, max_depth, rr_depth=5, mean_len=None,
     return int(spp * mean_len + tail)
 
 
-def init_carry(L):
-    """Fresh lane-pool state for trace_regen continuation dispatches."""
+# budgeted segment machine (see trace_regen.machine_body): traversal
+# steps per window, and independent gather groups per window step.
+# Swept on kitchen (1M tris, 64k lanes): SEG_B 8/16/32 -> 0.35/0.54/0.49
+# Mrays/s (8 re-runs completion processing twice per mean-15-step walk;
+# 32 idles finished lanes too long), and MACHINE_GROUPS 1/2/4/8 all
+# within noise (the interleaved-gather win measured in isolation does
+# not survive inside the full window body), so the sub-pool split is
+# disabled by default.
+SEG_B = 16
+MACHINE_GROUPS = 1
+# machine iterations per classic bounce-iteration budget: a bounce takes
+# ~1-2 windows (closest walk + shadow walk at SEG_B steps each)
+MACHINE_ITER_MULT = 2
+
+
+def init_carry(L, machine_sd=None):
+    """Fresh lane-pool state for trace_regen continuation dispatches.
+    `machine_sd` (the BVH stack depth) adds the segment-machine fields:
+    per-lane traversal state, current-segment interval, pending NEE
+    contribution and the queued bounce ray."""
     f3 = lambda: jnp.zeros((L, 3), jnp.float32)
-    return dict(
+    c = dict(
         started=jnp.zeros(L, jnp.int32), done=jnp.zeros(L, jnp.int32),
         acc=f3(), acc2=f3(), cur=f3(),
         alive=jnp.zeros(L, bool), fresh=jnp.zeros(L, bool),
@@ -74,7 +94,19 @@ def init_carry(L):
         p_prev=f3(), thr=f3(), eta=jnp.ones(L),
         wo_pdf_prev=jnp.zeros(L), delta_prev=jnp.zeros(L, bool),
         depth=jnp.zeros(L, jnp.int32), n_rays=jnp.int32(0),
+        # avgPathLength accumulator (guided_path.cpp:1010,2147-2148):
+        # sum of shade counts of completed samples
+        vsum=jnp.int32(0),
     )
+    if machine_sd is not None:
+        c.update(
+            tst=bvh_state_init(L, machine_sd, jnp.zeros(L, bool)),
+            tmin=jnp.zeros(L), tmax=jnp.full(L, 3.4e38),
+            seg_shadow=jnp.zeros(L, bool), l_nee=f3(),
+            qo=f3(), qd=f3(), qalive=jnp.zeros(L, bool),
+            sh_budget=jnp.zeros(L, jnp.int32),
+        )
+    return c
 
 
 class _RandBlock:
@@ -672,6 +704,7 @@ def trace_regen(scene: DeviceScene, cfg: PTConfig, key, sensor, pix_start,
                                  R["sampled_delta"]),
             depth=R["depth2"],
             n_rays=carry["n_rays"] + R["n_rays_it"],
+            vsum=carry["vsum"] + jnp.sum(jnp.where(died, R["depth2"], 0)),
         )
         hit_light = jnp.where(alive[..., None], R["slot"], 0.0)
         outs = dict(slot=hit_light + (l_nee if cfg.do_nee else 0.0),
@@ -680,7 +713,196 @@ def trace_regen(scene: DeviceScene, cfg: PTConfig, key, sensor, pix_start,
             outs["hitlight"] = hit_light
         return new_carry, outs
 
-    carry0 = carry if carry is not None else init_carry(L)
+    def machine_body(carry, it):
+        """Budgeted segment machine (record-free): one iteration = a
+        SEG_B-step traversal window over every lane's CURRENT segment
+        (camera/bounce closest-hit or NEE shadow walk), then masked
+        completion processing. Lanes advance independently — a lane
+        whose walk ends switches segment the same iteration while
+        neighbours keep stepping — so traversal utilization tracks the
+        MEAN walk length instead of the wavefront max (profiled 10-32%
+        worst-lane utilization on 1M-triangle scenes). The window is
+        issued as MACHINE_GROUPS independent sub-pool steps per
+        iteration: the row gathers of different groups overlap in the
+        memory system (~2x lower effective ns/lane, measured).
+
+        The NEE shadow walk doubles as the reference's evalTransmittance
+        null/mask chain (scene.cpp:619-679): a blocker with an ENull
+        lobe multiplies the pending contribution by its discrete
+        transmittance and the walk restarts past it, so mask/null
+        scenes get exact attenuated NEE without a separate pass."""
+        rng = _RandBlock(key, it, L, n_rand_cols)
+        # -- 1. regenerate lanes with no sample in flight ------------------
+        want = ~carry["alive"] & (carry["started"] < spp)
+        jit2 = rng.take(2)
+        u_lens = rng.take(2) if lens else None
+        o_c, d_c, tmin_c, tmax_c = sensor.sample_rays(pos_base + jit2, u_lens)
+        w1 = want[..., None]
+        o = jnp.where(w1, o_c, carry["o"])
+        d = jnp.where(w1, d_c, carry["d"])
+        tmin = jnp.where(want, tmin_c, carry["tmin"])
+        tmax = jnp.where(want, tmax_c, carry["tmax"])
+        thr = jnp.where(w1, 1.0, carry["thr"])
+        eta = jnp.where(want, 1.0, carry["eta"])
+        wo_pdf_prev = jnp.where(want, 0.0, carry["wo_pdf_prev"])
+        delta_prev = jnp.where(want, False, carry["delta_prev"])
+        depth = jnp.where(want, 0, carry["depth"])
+        fresh = want | (carry["fresh"] & carry["alive"])
+        cur = jnp.where(w1, 0.0, carry["cur"])
+        p_prev = jnp.where(w1, o_c, carry["p_prev"])
+        started = carry["started"] + want.astype(jnp.int32)
+        alive = carry["alive"] | want
+        seg_shadow = jnp.where(want, False, carry["seg_shadow"])
+        tst = bvh_state_reset(carry["tst"], want, want)
+        n_new = jnp.sum(want.astype(jnp.int32))
+
+        # -- 2. traversal window ------------------------------------------
+        stopm = None if mask_walk else seg_shadow
+        G = MACHINE_GROUPS if L % MACHINE_GROUPS == 0 else 1
+        Lg = L // G
+        if G > 1:
+            def win(i, subs):
+                return tuple(stp(s) for stp, s in zip(steps, subs))
+
+            # the state's `it` counter is 0-d: shared, not sliced
+            sl = lambda a, g: a if jnp.ndim(a) == 0 else \
+                jax.lax.slice_in_dim(a, g * Lg, (g + 1) * Lg)
+            subs, steps = [], []
+            for g in range(G):
+                subs.append(jax.tree.map(lambda a: sl(a, g), tst))
+                steps.append(bvh_step_factory(
+                    scene.geom, sl(o, g), sl(d, g), sl(tmin, g),
+                    sl(tmax, g),
+                    stopm=None if stopm is None else sl(stopm, g)))
+            subs = jax.lax.fori_loop(0, SEG_B, win, tuple(subs))
+            tst = jax.tree.map(
+                lambda *xs: xs[0] if jnp.ndim(xs[0]) == 0
+                else jnp.concatenate(xs, axis=0), *subs)
+        else:
+            step = bvh_step_factory(scene.geom, o, d, tmin, tmax,
+                                    stopm=stopm)
+            tst = jax.lax.fori_loop(0, SEG_B, lambda _i, s: step(s), tst)
+        seg_done = alive & (tst["cur"] < 0)
+
+        # -- 3. shadow-segment completion ---------------------------------
+        sd = seg_done & seg_shadow
+        sh_hit = sd & (tst["best_i"] >= 0)
+        l_nee = carry["l_nee"]
+        sh_budget = carry["sh_budget"]
+        if mask_walk:
+            # nearest blocker: ENull lobes transmit (null: x1, mask:
+            # x(1 - opacity) at the hit uv), anything else blocks
+            roww = fetch_row(scene, jnp.maximum(tst["best_i"], 0))
+            _, _, midw, _, _, uvw, _, _, _ = decode_row(
+                roww, tst["best_u"], tst["best_v"])
+            mrow = _stg(scene.mats.packed, midw)
+            mtw = jax.lax.bitcast_convert_type(mrow[:, 0], jnp.int32)
+            passthru = (((mtw == MAT_NULL) | (mtw == MAT_MASK))
+                        & (sh_budget != 0))
+            opac = mrow[:, 23:26]
+            if cfg.has_tex:
+                tidw = jax.lax.bitcast_convert_type(mrow[:, 34], jnp.int32)
+                tval = sample_atlas(scene.tex, tidw + 1, uvw, None)
+                opac = jnp.where((tidw >= 0)[..., None], tval, opac)
+            l_nee = jnp.where((sh_hit & (mtw == MAT_MASK))[..., None],
+                              l_nee * (1.0 - opac), l_nee)
+            l_nee = jnp.where((sh_hit & ~passthru)[..., None], 0.0, l_nee)
+            cont = sh_hit & passthru & jnp.any(l_nee > 0, -1)
+            tmin = jnp.where(cont, tst["best_t"] + scene.eps, tmin)
+            sh_budget = jnp.where(cont, sh_budget - 1, sh_budget)
+            tst = bvh_state_reset(tst, cont, cont)
+        else:
+            l_nee = jnp.where(sh_hit[..., None], 0.0, l_nee)
+            cont = jnp.zeros(L, bool)
+        resolved = sd & ~cont
+        cur = cur + jnp.where(resolved[..., None], l_nee, 0.0)
+        to_bounce = resolved & carry["qalive"]
+        dies_sh = resolved & ~carry["qalive"]
+        o = jnp.where(to_bounce[..., None], carry["qo"], o)
+        d = jnp.where(to_bounce[..., None], carry["qd"], d)
+        tmin = jnp.where(to_bounce, 0.0, tmin)
+        tmax = jnp.where(to_bounce, 3.4e38, tmax)
+        seg_shadow = seg_shadow & ~resolved
+        tst = bvh_state_reset(tst, to_bounce, to_bounce)
+        n_new = n_new + jnp.sum(to_bounce.astype(jnp.int32))
+
+        # -- 4. bounce-segment completion: shade --------------------------
+        bd = seg_done & ~sd
+        R = shade_hit(rng, it, bd, fresh, o, d, thr, eta, depth,
+                      wo_pdf_prev, delta_prev, p_prev, cur,
+                      jnp.where(bd, tst["best_i"], -1), tst["best_t"],
+                      tst["best_u"], tst["best_v"], defer_shadow=True)
+        cur = R["cur"]
+        if cfg.do_nee:
+            has_nee = bd & (R["nee_tmax"] > 0) & jnp.any(R["l_nee"] > 0, -1)
+            l_nee = jnp.where(bd[..., None], R["l_nee"], l_nee)
+            seg_shadow = seg_shadow | has_nee
+            o = jnp.where(has_nee[..., None], R["nee_so"], o)
+            d = jnp.where(has_nee[..., None], R["nee_d"], d)
+            tmin = jnp.where(has_nee, 0.0, tmin)
+            tmax = jnp.where(has_nee, R["nee_tmax"], tmax)
+            sh_budget = jnp.where(
+                bd,
+                (-1 if cfg.max_depth < 0
+                 else jnp.int32(cfg.max_depth) - R["depth2"] - 1),
+                sh_budget)
+        else:
+            has_nee = jnp.zeros(L, bool)
+        qo = jnp.where(bd[..., None], R["o2"], carry["qo"])
+        qd = jnp.where(bd[..., None], R["wo_world"], carry["qd"])
+        qalive = jnp.where(bd, R["alive2"], carry["qalive"])
+        direct_b = bd & ~has_nee & R["alive2"]
+        o = jnp.where(direct_b[..., None], R["o2"], o)
+        d = jnp.where(direct_b[..., None], R["wo_world"], d)
+        tmin = jnp.where(direct_b, 0.0, tmin)
+        tmax = jnp.where(direct_b, 3.4e38, tmax)
+        dies_bd = bd & ~has_nee & ~R["alive2"]
+        tst = bvh_state_reset(tst, has_nee | direct_b, has_nee | direct_b)
+        n_new = (n_new + jnp.sum(direct_b.astype(jnp.int32))
+                 + R["n_rays_it"] - jnp.sum(bd.astype(jnp.int32)))
+
+        # -- 5. path-state updates for shaded lanes ------------------------
+        keep = R["keep_mis"]
+        thr = jnp.where(bd[..., None], R["thr2"], thr)
+        eta = jnp.where(bd, R["eta2"], eta)
+        depth = jnp.where(bd, R["depth2"], depth)
+        wo_pdf_prev = jnp.where(
+            bd, jnp.where(keep, wo_pdf_prev, R["wo_pdf"]), wo_pdf_prev)
+        delta_prev = jnp.where(
+            bd, jnp.where(keep, delta_prev, R["sampled_delta"]), delta_prev)
+        p_prev = jnp.where((bd & ~keep)[..., None], R["p2"], p_prev)
+        fresh = jnp.where(bd, fresh & keep, fresh)
+
+        # -- 6. commit finished samples ------------------------------------
+        died = dies_sh | dies_bd
+        alive2 = alive & ~died
+        acc = carry["acc"] + jnp.where(died[..., None], cur, 0.0)
+        acc2 = carry["acc2"] + jnp.where(died[..., None], cur * cur, 0.0)
+        done = carry["done"] + died.astype(jnp.int32)
+        new_carry = dict(
+            started=started, done=done, acc=acc, acc2=acc2, cur=cur,
+            alive=alive2, fresh=fresh & alive2,
+            o=o, d=d, tmin=tmin, tmax=tmax, p_prev=p_prev,
+            thr=thr, eta=eta, wo_pdf_prev=wo_pdf_prev,
+            delta_prev=delta_prev, depth=depth,
+            n_rays=carry["n_rays"] + n_new,
+            vsum=carry["vsum"] + jnp.sum(jnp.where(died, depth, 0)),
+            tst=tst, seg_shadow=seg_shadow, l_nee=l_nee,
+            qo=qo, qd=qd, qalive=qalive, sh_budget=sh_budget,
+        )
+        return new_carry, None
+
+    use_machine = (not cfg.record_vertices and not cfg.force_classic
+                   and (scene.geom.num_tris > BRUTE_MAX
+                        or cfg.force_machine))
+    if use_machine:
+        from ..core.vecmath import small_table_gather as _stg
+
+        mask_walk = cfg.has_mask or cfg.has_null
+        carry0 = carry if carry is not None else init_carry(
+            L, machine_sd=scene.geom.stack_depth)
+    else:
+        carry0 = carry if carry is not None else init_carry(L)
     if not cfg.record_vertices:
         # no stacked per-iteration outputs needed: run the whole chunk in
         # ONE dispatch with an early-exit while_loop (every scan-style
@@ -691,18 +913,29 @@ def trace_regen(scene: DeviceScene, cfg: PTConfig, key, sensor, pix_start,
         # all-done is pure waste, so BLK shrinks when the per-iteration
         # body is expensive (BVH scenes: ~100x the small-scene body).
         BLK = 64 if scene.geom.num_tris <= 1024 else 8
+        run_body = machine_body if use_machine else body
+        # the caller sizes K in classic bounce-iterations; a machine
+        # iteration is one traversal window (~1/3 bounce incl. the
+        # shadow walk), so the bound scales — the loop still exits the
+        # moment every sample completes
+        if use_machine:
+            # it_base scales with K so continuation dispatches keep
+            # disjoint per-iteration rng streams
+            K_eff, it0 = K * MACHINE_ITER_MULT, it_base * MACHINE_ITER_MULT
+        else:
+            K_eff, it0 = K, it_base
 
         def w_cond(st):
             c, it = st
-            return (it < it_base + K) & ~jnp.all(c["done"] >= spp)
+            return (it < it0 + K_eff) & ~jnp.all(c["done"] >= spp)
 
         def w_body(st):
             c, it = st
-            c2, _ = jax.lax.scan(body, c, it + jnp.arange(BLK))
+            c2, _ = jax.lax.scan(run_body, c, it + jnp.arange(BLK))
             return (c2, it + BLK)
 
         carry, _ = jax.lax.while_loop(
-            w_cond, w_body, (carry0, jnp.int32(it_base)))
+            w_cond, w_body, (carry0, jnp.int32(it0)))
         outs = None
     else:
         carry, outs = jax.lax.scan(body, carry0, it_base + jnp.arange(K))
@@ -742,6 +975,7 @@ def trace_regen(scene: DeviceScene, cfg: PTConfig, key, sensor, pix_start,
 
     return dict(rgb=carry["acc"], rgb2=carry["acc2"],
                 w=carry["done"].astype(jnp.float32),
-                n_rays=carry["n_rays"], started=carry["started"],
+                n_rays=carry["n_rays"], n_vertices=carry["vsum"],
+                started=carry["started"],
                 done=carry["done"], all_done=jnp.all(carry["done"] >= spp),
                 vertices=vertices), carry

@@ -70,6 +70,10 @@ class PTConfig:
     has_wireframe: bool = False  # scene has wireframe textures
     has_subsurf: bool = False  # scene has dipole subsurface shapes
     sampler: str = "independent"  # sampler plugin type (render/samplers.py)
+    force_machine: bool = False  # regen: use the segment machine even on
+    # small scenes (tests; big scenes engage it automatically)
+    force_classic: bool = False  # regen: keep the classic per-bounce
+    # body on big scenes (profiling A/B only)
 
     @property
     def n_bounces(self):
@@ -450,7 +454,8 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
             c0 = c0 + jnp.where(hit[..., None], 0.0, EV.eval_env(scene.env, d))
 
     if J == 0:
-        return dict(li=c0, vertices=None, n_rays=jnp.int32(L))
+        return dict(li=c0, vertices=None, n_rays=jnp.int32(L),
+                    n_vertices=jnp.int32(0))
 
     guide = cfg.guiding and sdtree is not None
     if guide:
@@ -1074,7 +1079,8 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
         n_rays = jnp.sum(act_c.astype(jnp.int32))
         if cfg.do_nee:
             n_rays = n_rays + jnp.sum((act & smooth).astype(jnp.int32))
-        out = dict(slot=slot, vert=vert, nee=nee_rec, rays=n_rays)
+        out = dict(slot=slot, vert=vert, nee=nee_rec, rays=n_rays,
+                   shades=jnp.sum(act.astype(jnp.int32)))
         return new_carry, out
 
     carry, outs = jax.lax.scan(body, carry, jnp.arange(1, J + 1))
@@ -1094,4 +1100,7 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
         del vert["own"]
         vertices = dict(bsdf=vert, nee=outs["nee"])
 
-    return dict(li=li, vertices=vertices, n_rays=n_rays)
+    # avgPathLength analog (guided_path.cpp:1010,2147-2148): vertices
+    # per path = per-bounce shaded-lane count summed over the scan
+    return dict(li=li, vertices=vertices, n_rays=n_rays,
+                n_vertices=jnp.sum(outs["shades"]))

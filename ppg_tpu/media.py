@@ -389,7 +389,11 @@ def phase_sample(g, d_in, u2):
     g_hg = jnp.where(ray, 0.0, g)
     iso = jnp.abs(g_hg) < 1e-4
     sq = (1.0 - g_hg * g_hg) / (1.0 - g_hg + 2.0 * g_hg * u2[..., 0])
-    ct_hg = (1.0 + g_hg * g_hg - sq * sq) / jnp.maximum(2.0 * g_hg, 1e-8)
+    # sign-preserving guard: a plain maximum() clamp would flip the
+    # division for g < 0 and mirror every backward-scattering lobe
+    den = 2.0 * g_hg
+    den = jnp.where(jnp.abs(den) < 1e-8, 1e-8, den)
+    ct_hg = (1.0 + g_hg * g_hg - sq * sq) / den
     ct_iso = 1.0 - 2.0 * u2[..., 0]
     cos_theta = jnp.where(iso, ct_iso, jnp.clip(ct_hg, -1.0, 1.0))
     cos_theta = jnp.where(ray, rayleigh_sample_ct(u2[..., 0]), cos_theta)

@@ -98,8 +98,14 @@ def test_sample_pdf_eval_consistency(otype, props, children):
         assert np.quantile(relw, 0.95) < 1e-2, (otype, wi)
 
 
+# total (family, wi) chi^2 runs for the Sidak correction
+_N_CHI2_RUNS = len(FAMILIES) * 2
+
+
 @pytest.mark.parametrize("otype,props,children", FAMILIES)
 def test_chi2_distribution(otype, props, children):
+    from chi2util import run_sphere_chi2
+
     n = 200_000
     rng = np.random.default_rng(7)
     for wi in WI_LIST[:2]:
@@ -111,49 +117,57 @@ def test_chi2_distribution(otype, props, children):
         if n_s < n // 10:
             continue
 
-        # bins over (cos_theta in [-1,1], phi)
-        NB_CT, NB_PH = 12, 12
-        ct = np.clip(wo_s[:, 2], -1, 1)
-        ph = np.arctan2(wo_s[:, 1], wo_s[:, 0])
-        bi = np.clip(((ct + 1) / 2 * NB_CT).astype(int), 0, NB_CT - 1)
-        bj = np.clip(((ph + np.pi) / (2 * np.pi) * NB_PH).astype(int), 0, NB_PH - 1)
-        counts = np.bincount(bi * NB_PH + bj, minlength=NB_CT * NB_PH).astype(float)
+        params_m = None
 
-        # expected masses: MC-integrate pdf over uniform sphere points
-        m = 400_000
-        u = rng.random((m, 2))
-        ect = 2 * u[:, 0] - 1
-        eph = 2 * np.pi * u[:, 1] - np.pi
-        st = np.sqrt(1 - ect**2)
-        dirs = np.stack([st * np.cos(eph), st * np.sin(eph), ect], -1)
-        pd = np.asarray(B.pdf_bsdf(
-            params if params["mtype"].shape[0] == m else make_params(
-                otype, props, children, L=m),
-            jnp.broadcast_to(jnp.asarray(wi, jnp.float32), (m, 3)),
-            jnp.asarray(dirs, jnp.float32)))
-        ei = np.clip(((ect + 1) / 2 * NB_CT).astype(int), 0, NB_CT - 1)
-        ej = np.clip(((eph + np.pi) / (2 * np.pi) * NB_PH).astype(int), 0, NB_PH - 1)
-        eb = ei * NB_PH + ej
-        scale = 4 * np.pi / m
-        mass = np.bincount(eb, weights=pd, minlength=NB_CT * NB_PH) * scale
-        # MC variance of each bin's expected mass (sharp lobes make this
-        # the dominant error source, so fold it into the statistic)
-        mass_var = np.bincount(eb, weights=pd**2,
-                               minlength=NB_CT * NB_PH) * scale**2
-        total_mass = mass.sum()
-        assert total_mass < 1.0 + 5e-2, (otype, total_mass)
-        expected = mass * n_s / max(total_mass, 1e-9)
-        var_e = mass_var * (n_s / max(total_mass, 1e-9)) ** 2
+        def pdf_fn(dirs):
+            nonlocal params_m
+            m = len(dirs)
+            if params_m is None:
+                params_m = make_params(otype, props, children, L=m)
+            return B.pdf_bsdf(
+                params_m,
+                jnp.broadcast_to(jnp.asarray(wi, jnp.float32), (m, 3)),
+                jnp.asarray(dirs, jnp.float32))
 
-        # pool cells with expected < 5 (ChiSquare::runTest pooling)
-        small = expected < 5
-        c = np.append(counts[~small], counts[small].sum())
-        e = np.append(expected[~small], max(expected[small].sum(), 1e-9))
-        v = np.append(expected[~small] + var_e[~small],
-                      max(expected[small].sum() + var_e[small].sum(), 1e-9))
-        chi2 = np.sum((c - e) ** 2 / v)
-        dof = len(c) - 1
-        assert chi2 < dof * 2 + 30, (otype, wi, chi2, dof)
+        ok, stats = run_sphere_chi2(wo_s, pdf_fn, rng,
+                                    significance=0.01,
+                                    n_tests=_N_CHI2_RUNS)
+        assert stats["total_mass"] < 1.0 + 5e-2, (otype, stats)
+        assert ok, (otype, wi, stats)
+
+
+def test_chi2_power_rejects_wrong_pdf():
+    """The harness must REJECT a pdf that is wrong by ~5%: samples drawn
+    from a cosine lobe tested against a pdf tilted by 5% toward the
+    pole (both normalized) — validates the discriminating power that
+    the reference gets from ChiSquare::runTest's significance level."""
+    from chi2util import run_sphere_chi2
+
+    n = 200_000
+    rng = np.random.default_rng(11)
+    u = rng.random((n, 2))
+    # exact cosine-weighted hemisphere samples
+    ct = np.sqrt(u[:, 0])
+    ph = 2 * np.pi * u[:, 1]
+    st = np.sqrt(1 - ct**2)
+    dirs = np.stack([st * np.cos(ph), st * np.sin(ph), ct], -1)
+
+    def pdf_tilted(d):
+        # p(w) ∝ cos^1.2 — ~5% mass shift toward the pole, normalized
+        c = np.clip(d[:, 2], 0, 1)
+        k = 1.2
+        return (k + 1) / (2 * np.pi) * c**k
+
+    ok, stats = run_sphere_chi2(dirs, pdf_tilted, rng, significance=0.01,
+                                n_tests=_N_CHI2_RUNS)
+    assert not ok, stats
+
+    def pdf_true(d):
+        return np.clip(d[:, 2], 0, None) / np.pi
+
+    ok, stats = run_sphere_chi2(dirs, pdf_true, rng, significance=0.01,
+                                n_tests=_N_CHI2_RUNS)
+    assert ok, stats
 
 
 @pytest.mark.parametrize("otype,props,children", DELTA_FAMILIES)

@@ -120,3 +120,26 @@ class TestTextureAtlas:
 
         assert abs(_srgb_to_linear(np.array(1.0)) - 1.0) < 1e-6
         assert abs(_srgb_to_linear(np.array(0.5)) - 0.2140) < 1e-3
+
+
+def test_envmap_sample_chi2():
+    """Pooled-significance chi^2: sample_direct directions vs pdf_direct
+    (the reference's ChiSquare harness over luminaires,
+    test_chisquare.cpp + chisquare.h:81-143)."""
+    from chi2util import run_sphere_chi2
+
+    rng = np.random.default_rng(31)
+    img = (rng.random((16, 32, 3)) ** 2).astype(np.float32) + 0.01
+    env = _test_env(img)
+    n = 200_000
+    u = jnp.asarray(rng.random((n, 2)), jnp.float32)
+    ref = jnp.zeros((n, 3), jnp.float32) + 0.5
+    ds = EV.sample_direct(env, ref, u)
+    dirs = np.asarray(ds["d"])
+
+    def pdf_fn(d):
+        return np.asarray(EV.pdf_direct(env, jnp.asarray(d, jnp.float32)))
+
+    ok, stats = run_sphere_chi2(dirs, pdf_fn, rng, nb_ct=10, nb_ph=10,
+                                significance=0.01, n_tests=1)
+    assert ok, stats

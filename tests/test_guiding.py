@@ -129,12 +129,13 @@ def test_dtree_sample_matches_pdf_chi2():
     ).reshape(B, S, B, S)
     pdf = pdf_fine.mean(axis=(1, 3))
     expected = pdf * 4 * np.pi / (B * B) * m
-    # pooled chi^2
-    mask = expected > 20
-    chi2 = (((hist - expected) ** 2) / np.maximum(expected, 1))[mask].sum()
-    dof = mask.sum() - 1
-    # 99.9% critical value approx: dof + 4*sqrt(2*dof)
-    assert chi2 < dof + 4 * np.sqrt(2 * dof), (chi2, dof)
+    # pooled significance test (expected is exact here — the quadtree
+    # pdf is piecewise constant and averaged analytically per bin)
+    from chi2util import chi2_test
+
+    ok, stats = chi2_test(hist.ravel(), expected.ravel(), None,
+                          significance=0.01, n_tests=1)
+    assert ok, stats
     # and pdf integrates to ~1
     total_p = (pdf * 4 * np.pi / (B * B)).sum()
     assert abs(total_p - 1.0) < 0.02

@@ -213,3 +213,43 @@ class TestKajiyaKayPhase:
         d = jnp.asarray([[0.0, 0, 1.0]], jnp.float32)
         v = np.asarray(MED.phase_eval(pp, d, d))
         np.testing.assert_allclose(v, 0.2 / (4 * np.pi), rtol=1e-5)
+
+
+class TestPhaseChi2:
+    """Pooled-significance chi^2 GOF for the phase family (the
+    reference runs its ChiSquare harness over phase plugins in
+    test_chisquare.cpp; chisquare.h:81-143 pooling + significance)."""
+
+    def _run(self, gval, seed):
+        from chi2util import run_sphere_chi2
+
+        n = 200_000
+        rng = np.random.default_rng(seed)
+        g = jnp.full(n, gval, jnp.float32)
+        d_in = jnp.broadcast_to(
+            jnp.asarray([0.36, -0.48, 0.8], jnp.float32), (n, 3))
+        u = jnp.asarray(rng.random((n, 2)), jnp.float32)
+        d_out, _pdf = MED.phase_sample(g, d_in, u)
+        din1 = np.asarray([0.36, -0.48, 0.8])
+
+        def pdf_fn(dirs):
+            ct = dirs @ din1
+            return np.asarray(MED.phase_eval_pdf(
+                jnp.full(len(dirs), gval, jnp.float32),
+                jnp.asarray(ct, jnp.float32)))
+
+        ok, stats = run_sphere_chi2(np.asarray(d_out), pdf_fn, rng,
+                                    significance=0.01, n_tests=4)
+        assert ok, (gval, stats)
+
+    def test_hg_forward(self):
+        self._run(0.7, 21)
+
+    def test_hg_backward(self):
+        self._run(-0.4, 22)
+
+    def test_isotropic(self):
+        self._run(0.0, 23)
+
+    def test_rayleigh(self):
+        self._run(2.0, 24)  # g>1.5 tags the rayleigh lanes

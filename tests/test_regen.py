@@ -89,6 +89,83 @@ def test_regen_continuation_dispatches():
     _assert_agree(img_c, img_r, spp)
 
 
+def test_regen_machine_matches_classic_nee_always():
+    # the budgeted segment machine (the big-scene traversal path,
+    # regen.machine_body) must compute the same estimator as the classic
+    # per-bounce regen body; cfg.force_machine engages it on the small
+    # scene where the brute-force sweep normally wins
+    import dataclasses
+
+    from ppg_tpu.integrators.driver import make_config, render, render_regen
+
+    spp = 96
+    sc = mini_cbox(res=24, max_depth=6, nee="always")
+    cfg = make_config(sc, guiding=False, record_vertices=False)
+    img_c = render(sc, spp=spp, seed=3, cfg=cfg)
+    cfg_m = dataclasses.replace(cfg, force_machine=True)
+    img_m = render_regen(sc, spp=spp, seed=4, cfg=cfg_m, chunk=1024)
+    _assert_agree(img_c, img_m, spp)
+
+
+def test_regen_machine_matches_classic_nee_never():
+    import dataclasses
+
+    from ppg_tpu.integrators.driver import make_config, render, render_regen
+
+    spp = 256
+    sc = mini_cbox(res=24, max_depth=6, nee="never")
+    cfg = make_config(sc, guiding=False, record_vertices=False)
+    img_c = render(sc, spp=spp, seed=3, cfg=cfg)
+    cfg_m = dataclasses.replace(cfg, force_machine=True)
+    img_m = render_regen(sc, spp=spp, seed=4, cfg=cfg_m, chunk=1024)
+    _assert_agree(img_c, img_m, spp)
+
+
+def test_regen_machine_exact_sample_counts():
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from ppg_tpu.integrators.driver import _regen_dispatch, make_config
+    from ppg_tpu.integrators.wavefront import DeviceScene
+    from ppg_tpu.render.sensor import make_sensor
+
+    sc = mini_cbox(res=32, max_depth=6, nee="always")
+    dev = DeviceScene.from_scene(sc)
+    cfg = dataclasses.replace(
+        make_config(sc, guiding=False, record_vertices=False),
+        force_machine=True)
+    sensor = make_sensor(sc.sensor, sc.film)
+    L, spp = 1024, 11
+    out, _ = _regen_dispatch(
+        dev, cfg, jax.random.key(0), np.int32(7), sensor=sensor,
+        pix_start=jnp.int32(0), L=L, spp=jnp.int32(spp),
+        K=jnp.int32(spp * 24 + 64), carry=None, it_base=jnp.int32(0))
+    assert bool(out["all_done"])
+    np.testing.assert_array_equal(np.asarray(out["started"]), spp)
+    np.testing.assert_array_equal(np.asarray(out["done"]), spp)
+    np.testing.assert_array_equal(np.asarray(out["w"]), float(spp))
+
+
+def test_regen_machine_nee_through_mask():
+    # the machine's shadow walk doubles as the evalTransmittance
+    # null/mask chain: agreement with the classic tracer on a masked
+    # panel scene exercises the pass-through restarts
+    import dataclasses
+
+    from ppg_tpu.integrators.driver import make_config, render, render_regen
+    from ppg_tpu.scene.testscenes import mini_cbox_panel
+
+    sc = mini_cbox_panel(res=32, nee="always", panel="mask", opacity=0.6)
+    cfg = make_config(sc, guiding=False, record_vertices=False)
+    img_c = render(sc, spp=96, seed=5, cfg=cfg)
+    cfg_m = dataclasses.replace(cfg, force_machine=True)
+    img_m = render_regen(sc, spp=96, seed=6, cfg=cfg_m, chunk=1024)
+    m_c, m_m = float(img_c.mean()), float(img_m.mean())
+    assert abs(m_c - m_m) / m_c < 0.06, (m_c, m_m)
+
+
 def test_regen_eligibility_gate():
     from ppg_tpu.integrators.driver import make_config, regen_eligible
 
@@ -133,3 +210,4 @@ def test_guided_regen_training_with_learned_fraction():
     tracer = GuidedPathTracer(sc, chunk=256)
     img = tracer.render(seed=2)
     assert np.isfinite(img).all() and img.mean() > 0.01
+
