@@ -44,6 +44,10 @@ def main(argv=None):
                     help="device-mesh size: the reference's worker-count "
                          "flag maps to data-parallel chips (shard_map + "
                          "psum over ICI). 1 = single chip")
+    ap.add_argument("-r", dest="flush_timer", type=float, default=0.0,
+                    help="write the partial image to the output file "
+                         "every N seconds; SIGHUP forces a flush "
+                         "(mitsuba.cpp:92-127)")
     args = ap.parse_args(argv)
     from . import enable_compilation_cache
 
@@ -88,6 +92,7 @@ def main(argv=None):
                 overrides["dumpSDTree"] = True
             gpt = GuidedPathTracer(sc, chunk=args.chunk, overrides=overrides)
             gpt.dump_path = os.path.splitext(out)[0]
+            gpt.flush_cb = _make_flush_cb(out, sc.film, args.flush_timer)
             img = gpt.render(seed=args.seed, spp_budget=args.spp)
         elif itype in ("path", "volpath", "volpath_simple", "direct"):
             from .integrators.driver import make_config, render
@@ -112,6 +117,38 @@ def main(argv=None):
 
         _write_film(out, np.asarray(img, np.float32), sc.film)
         log(f"wrote {out}")
+
+
+def _make_flush_cb(out, film, flush_timer):
+    """Partial-image flush policy (mitsuba.cpp:92-127): SIGHUP forces a
+    write of the in-progress image to the destination; with -r N the
+    image is additionally written every N seconds. Returns a callback
+    for GuidedPathTracer.flush_cb (called after every pass batch)."""
+    import signal
+    import time
+
+    from .utils.logging import log
+
+    state = {"hup": False, "last": time.time()}
+
+    if hasattr(signal, "SIGHUP"):
+        def _on_hup(signum, frame):
+            state["hup"] = True
+
+        try:
+            signal.signal(signal.SIGHUP, _on_hup)
+        except ValueError:
+            pass  # not the main thread
+
+    def cb(img):
+        due = flush_timer > 0 and time.time() - state["last"] >= flush_timer
+        if state["hup"] or due:
+            _write_film(out, np.asarray(img, np.float32), film)
+            log(f"flushed partial image to {out}")
+            state["hup"] = False
+            state["last"] = time.time()
+
+    return cb
 
 
 def _write_film(out, img, film):

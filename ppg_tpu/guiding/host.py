@@ -193,6 +193,32 @@ class HostSDTree:
         self.statw_s = self.statw_b.copy()
         self.maxdepth = self._tree_maxdepth(depth, self.b_cnt)
 
+    def distribution_stats(self):
+        """Per-iteration SD-tree distribution statistics, matching the
+        reference's post-build report (guided_path.cpp:1121-1186):
+        min/avg/max over the sampling D-trees of depth, mean radiance,
+        node count and statistical weight."""
+        statw = self.statw_s
+        active = statw > 0
+        mean = np.where(active, self.sum_s / (4 * np.pi * np.maximum(statw, 1e-300)), 0.0)
+
+        def mam(v, mask=None):
+            v = v[mask] if mask is not None and mask.any() else v
+            if len(v) == 0:
+                return dict(min=0.0, avg=0.0, max=0.0)
+            return dict(min=float(v.min()), avg=float(v.mean()),
+                        max=float(v.max()))
+
+        return dict(
+            n_dtrees=int(self.num_dtrees),
+            stree_depth=int(self._stree_depth()),
+            depth=mam(self.maxdepth.astype(np.float64)),
+            mean_radiance=mam(mean, active),
+            nodes=mam(self.s_cnt.astype(np.float64)),
+            stat_weight=mam(statw, active),
+            approx_memory_mb=float(self.approx_memory_mb()),
+        )
+
     def _node_depths(self, q_child, off, cnt):
         """Vectorized level-BFS: roots have depth 0, children of the current
         frontier get depth+1 (children always have larger indices)."""

@@ -74,7 +74,7 @@ def _chunk_step(scene, cfg, sensor, film, chunk, spatial_filter,
             sdtree = G.splat_records(
                 sdtree, nrecs, spatial_filter, directional_filter, lf, uj2
             )
-    return film_buf, sq_buf, sdtree
+    return film_buf, sq_buf, sdtree, (out["n_rays"], out["n_vertices"])
 
 
 @partial(
@@ -96,15 +96,15 @@ def _guided_pass(scene, cfg, sensor, film, chunk, film_buf, sq_buf, sdtree,
         film_buf, sq_buf, sdtree = carry
         salt, pix_start = xs
         k = jax.random.fold_in(key, salt)
-        film_buf, sq_buf, sdtree = _chunk_step(
+        film_buf, sq_buf, sdtree, counts = _chunk_step(
             scene, cfg, sensor, film, chunk, spatial_filter,
             directional_filter, learn_fraction, film_buf, sq_buf, sdtree,
             k, pix_start)
-        return (film_buf, sq_buf, sdtree), None
+        return (film_buf, sq_buf, sdtree), counts
 
-    (film_buf, sq_buf, sdtree), _ = jax.lax.scan(
+    (film_buf, sq_buf, sdtree), counts = jax.lax.scan(
         step, (film_buf, sq_buf, sdtree), (salts, pix_starts))
-    return film_buf, sq_buf, sdtree
+    return film_buf, sq_buf, sdtree, jax.tree.map(jnp.sum, counts)
 
 
 @partial(
@@ -138,6 +138,8 @@ def _guided_regen_pass(scene, cfg, sensor, img_buf, sq_buf, sdtree, key,
         pix_start = c * L
         out, _ = trace_regen(scene, cfg, k, sensor, pix_start, L,
                              jnp.int32(spp), K, sdtree=sdtree)
+        counts = (out["n_rays"], out["n_vertices"],
+                  jnp.sum(out["done"]))
         img_buf = (add_at(img_buf[0], pix_start, out["rgb"]),
                    add_at(img_buf[1], pix_start, out["w"]))
         sq_buf = (add_at(sq_buf[0], pix_start, out["rgb2"]),
@@ -162,11 +164,11 @@ def _guided_regen_pass(scene, cfg, sensor, img_buf, sq_buf, sdtree, key,
                                      (nrecs["valid"].shape[0], 3))
             sdtree = G.splat_records(
                 sdtree, nrecs, spatial_filter, directional_filter, lf, uj2)
-        return (img_buf, sq_buf, sdtree), None
+        return (img_buf, sq_buf, sdtree), counts
 
-    (img_buf, sq_buf, sdtree), _ = jax.lax.scan(
+    (img_buf, sq_buf, sdtree), counts = jax.lax.scan(
         step, (img_buf, sq_buf, sdtree), jnp.arange(n_chunks))
-    return img_buf, sq_buf, sdtree
+    return img_buf, sq_buf, sdtree, jax.tree.map(jnp.sum, counts)
 
 
 @partial(
@@ -252,6 +254,10 @@ class GuidedPathTracer:
         # recompiles as trees deepen, but shallow early descents stay cheap
 
         self.stats = []  # per-call telemetry: seconds, variance, ttuv, stuv
+        self.tree_stats = []  # per-iteration SD-tree distribution stats
+        # partial-image flush hook (mitsuba.cpp:92-127 SIGHUP / -r timer):
+        # called with the developed partial image after every pass batch
+        self.flush_cb = None
 
     def _push(self):
         return self.host_tree.push(
@@ -313,6 +319,7 @@ class GuidedPathTracer:
         n_chunks = (W * H + self.chunk - 1) // self.chunk
         t0 = time.time()
         base = jax.random.key(seed_base)
+        n_rays = n_verts = n_samples = 0
         if self._regen_ok(cfg):
             # record-free batches go through the regenerative tracer: the
             # while_loop inside trace_regen exits as soon as every lane's
@@ -344,6 +351,9 @@ class GuidedPathTracer:
                 img_buf, sq_buf = _accum_regen(
                     img_buf, sq_buf, carry, np.int32(c * self.chunk),
                     self.chunk)
+                n_rays += int(np.asarray(carry["n_rays"]))
+                n_verts += int(np.asarray(carry["vsum"]))
+                n_samples += int(np.asarray(carry["done"]).sum())
         elif self._regen_train_ok(cfg):
             # TRAINING through the regenerative record path: one dispatch
             # per spp slab covering all chunks (scan inside the jit with
@@ -360,11 +370,14 @@ class GuidedPathTracer:
                 slab = min(N - done, slab0)
                 K = iterations_for(slab, cfg.max_depth, cfg.rr_depth,
                                    built_rr=cfg.is_built and cfg.guiding)
-                img_buf, sq_buf, sdtree = _guided_regen_pass(
+                img_buf, sq_buf, sdtree, counts = _guided_regen_pass(
                     self.scene_dev, cfg, self.sensor, img_buf, sq_buf,
                     sdtree, base, np.int32(slab_i * n_chunks),
                     self.chunk, np.int32(slab), int(K), n_chunks,
                     self.spatial_filter, self.directional_filter, lf)
+                n_rays += int(np.asarray(counts[0]))
+                n_verts += int(np.asarray(counts[1]))
+                n_samples += int(np.asarray(counts[2]))
                 # sync each slab: pipelined donation-chained dispatches
                 # stall multi-second on the TPU tunnel
                 jax.block_until_ready(img_buf[0])
@@ -377,13 +390,16 @@ class GuidedPathTracer:
                 self.spp_per_pass)
             for p in range(n_passes):
                 salts = np.int32(p * n_sub) + np.arange(n_sub, dtype=np.int32)
-                img_buf, sq_buf, sdtree = _guided_pass(
+                img_buf, sq_buf, sdtree, counts = _guided_pass(
                     self.scene_dev, cfg, self.sensor, self.film,
                     self.chunk, img_buf, sq_buf, sdtree, base,
                     salts, pix_starts,
                     self.spatial_filter, self.directional_filter,
                     self.loss if self.loss != "none" else None,
                 )
+                n_rays += int(np.asarray(counts[0]))
+                n_verts += int(np.asarray(counts[1]))
+                n_samples += n_sub * self.chunk
                 # sync each pass: pipelined donation-chained dispatches
                 # stall multi-second on the TPU tunnel
                 jax.block_until_ready(img_buf)
@@ -408,11 +424,18 @@ class GuidedPathTracer:
             film_buf = (film_buf[0] + img_buf[0], film_buf[1] + img_buf[1])
         ttuv = seconds * variance
         stuv = N * variance
+        # avgPathLength registry entry (guided_path.cpp:1010,2147-2148)
+        avg_len = n_verts / n_samples if n_samples else 0.0
         self.stats.append(dict(seconds=seconds, passes=n_passes, spp=N,
-                               variance=variance, ttuv=ttuv, stuv=stuv))
+                               variance=variance, ttuv=ttuv, stuv=stuv,
+                               n_rays=n_rays, avg_path_length=avg_len))
         log(f"  {seconds:.2f}s, {n_passes} passes, var {variance:.6f}, "
-            f"TTUV {ttuv:.6f}, STUV {stuv:.6f}")
+            f"TTUV {ttuv:.6f}, STUV {stuv:.6f}, "
+            f"avgPathLength {avg_len:.2f}, "
+            f"{n_rays / max(seconds, 1e-9) / 1e6:.1f} Mrays/s")
         image = img_sum / np.maximum(np.asarray(img2d[1])[..., None], 1e-20)
+        if self.flush_cb is not None:
+            self.flush_cb(image)
         return sdtree, film_buf, image, variance
 
     # -- the full render loop ------------------------------------------------
@@ -486,9 +509,24 @@ class GuidedPathTracer:
                     images.append(image)
                     variances.append(variance)
 
-            # buildSDTree (:1115-1189)
+            # buildSDTree (:1115-1189) + distribution statistics report
             self.host_tree.pull(sdtree)
             self.host_tree.build()
+            ds = self.host_tree.distribution_stats()
+            self.tree_stats.append(ds)
+            log("  SD-tree: %d d-trees (s-depth %d, ~%.1f MB); "
+                "depth %g/%.2f/%g, mean %.3g/%.3g/%.3g, "
+                "nodes %g/%.1f/%g, statWeight %g/%.4g/%g (min/avg/max)" % (
+                    ds["n_dtrees"], ds["stree_depth"],
+                    ds["approx_memory_mb"],
+                    ds["depth"]["min"], ds["depth"]["avg"],
+                    ds["depth"]["max"],
+                    ds["mean_radiance"]["min"], ds["mean_radiance"]["avg"],
+                    ds["mean_radiance"]["max"],
+                    ds["nodes"]["min"], ds["nodes"]["avg"],
+                    ds["nodes"]["max"],
+                    ds["stat_weight"]["min"], ds["stat_weight"]["avg"],
+                    ds["stat_weight"]["max"]))
             sdtree = self._push()
             is_built = True
 

@@ -63,3 +63,28 @@ def test_sdt_roundtrip_and_viewer():
         outpng = os.path.join(td, "t.png")
         sdt_viewer.main([path, "-o", outpng, "--select-index", "0"])
         assert os.path.exists(outpng) and os.path.getsize(outpng) > 1000
+
+        # interactive viewer driven headless: pick via display coords,
+        # exposure keys, iteration switching, pixel probe
+        import matplotlib
+
+        matplotlib.use("Agg")
+        path2 = os.path.join(td, "t2.sdt")
+        dump_sdtree(path2, host, cam)
+        v = sdt_viewer.InteractiveViewer([path, path2], res=32)
+        v.fig.canvas.draw()  # realize the 3D projection for picking
+        # pick the display location of a known leaf center -> selects it
+        from mpl_toolkits.mplot3d import proj3d
+
+        k = len(v.centers) // 2
+        xs, ys, _ = proj3d.proj_transform(
+            v.centers[k:k + 1, 0], v.centers[k:k + 1, 1],
+            v.centers[k:k + 1, 2], v.ax3d.get_proj())
+        px, py = v.ax3d.transData.transform(
+            np.column_stack([xs, ys]))[0]
+        assert v.pick_display(px, py) == k
+        assert v.set_exposure(0.5) == 0.5
+        assert v.switch_file(1) == 1 and v.switch_file(1) == 0
+        val, pct = v.probe(0, 0)
+        assert np.isfinite(val) and 0.0 <= pct <= 100.0
+        assert v.probe(-1, 0) is None
