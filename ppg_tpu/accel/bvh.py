@@ -23,39 +23,53 @@ import numpy as np
 MAX_LEAF = 4
 N_BINS = 16
 B8_LEAF_BIT = np.int32(1 << 30)
+# Wide-BVH arity. Measured on kitchen (1M tris, 64k lanes, v5e): the
+# row gather dominates each traversal step at ~(10.6 ns/lane +
+# ~12 ps/byte); a 32/32 tree costs +45%/step (290 vs 160 cols) but cuts
+# iterations LESS than that (the pend-mask revisit scheme re-gathers a
+# parent row once per extra hit child, so arity does not proportionally
+# cut gather count): camera rays measured 38.4 ms vs 25.6 ms at 16/16.
+# 16/16 is the sweet spot for the one-table walk; the builder stays
+# parameterized (wide<=32) for the planned VMEM-resident MXU descent
+# over a 32-wide internal-only table. ROW = max(7W, 9K+2).
 B8_WIDE = 16
 B8_MAX_TRIS = 16
-B8_ROW = 160
+B8_ROW = max(7 * B8_WIDE, 9 * B8_MAX_TRIS + 2)
 
 
-def build_bvh8(positions, faces):
-    """16-wide BVH with packed 160-float SoA rows (see native/
-    bvh_builder.cpp for the layout). Returns dict(rows [N16,160] f32,
-    prim_ids [T]). Uses the C++ builder when available, else collapses
-    the numpy BVH2 to the same layout. Row 0 is ALWAYS a node row —
+def build_bvh8(positions, faces, wide=None, max_tris=None):
+    """Wide BVH with packed SoA float rows (see native/bvh_builder.cpp
+    for the layout). Returns dict(rows [N,ROW] f32, prim_ids [T],
+    wide). Uses the C++ builder when available, else collapses the
+    numpy BVH2 to the same layout. Row 0 is ALWAYS a node row —
     traversal state machines start walks in node phase (traverse.py
     bvh_state_init), so a root-leaf tree (everything fits one leaf)
     gets wrapped in a one-child node."""
+    wide = wide or B8_WIDE
+    max_tris = max_tris or B8_MAX_TRIS
+    row_len = max(7 * wide, 9 * max_tris + 2)
     F = len(faces)
     if F == 0:
-        rows = np.zeros((1, B8_ROW), np.float32)  # empty leaf row (cnt 0)
-        return dict(rows=_wrap_root_leaf(rows, None),
-                    prim_ids=np.zeros(0, np.int32))
-    out = _build8_native(positions, faces)
+        rows = np.zeros((1, row_len), np.float32)  # empty leaf row (cnt 0)
+        return dict(rows=_wrap_root_leaf(rows, None, wide),
+                    prim_ids=np.zeros(0, np.int32), wide=wide)
+    out = _build8_native(positions, faces, wide, max_tris, row_len)
     if out is None:
-        out = _collapse8(positions, faces)
+        out = _collapse8(positions, faces, wide, max_tris, row_len)
+    out["wide"] = wide
     if len(out["rows"]) == 1:
         v = positions[faces].reshape(-1, 3)
         out["rows"] = _wrap_root_leaf(out["rows"],
-                                      (v.min(axis=0), v.max(axis=0)))
+                                      (v.min(axis=0), v.max(axis=0)), wide)
     return out
 
 
-def _wrap_root_leaf(leaf_rows, bbox):
+def _wrap_root_leaf(leaf_rows, bbox, wide=None):
     """Prepend a node row whose only child is the (single) leaf row at
     index 1. Unused slots get NaN slabs (never hit) and info 0."""
-    W = B8_WIDE
-    node = np.full(B8_ROW, np.nan, np.float32)
+    W = wide or B8_WIDE
+    row_len = leaf_rows.shape[1]
+    node = np.full(row_len, np.nan, np.float32)
     node[6 * W:] = 0.0
     if bbox is not None:
         bmin, bmax = bbox
@@ -65,34 +79,37 @@ def _wrap_root_leaf(leaf_rows, bbox):
     return np.concatenate([node[None], leaf_rows], axis=0)
 
 
-def _build8_native(positions, faces):
+def _build8_native(positions, faces, wide, max_tris, row_len):
     import ctypes
     import os
 
     from .native import get_lib
 
     lib = get_lib()
-    if lib is None or not hasattr(lib, "ppg_bvh8_build"):
+    if lib is None or not hasattr(lib, "ppg_bvhw_build"):
         return None
     verts = np.ascontiguousarray(positions, np.float32)
     f = np.ascontiguousarray(faces, np.int32)
     n_threads = min(os.cpu_count() or 1, 16)
     fp = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
     ip = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
-    n = lib.ppg_bvh8_build(fp(verts), len(verts), ip(f), len(f), n_threads)
+    n = lib.ppg_bvhw_build(fp(verts), len(verts), ip(f), len(f), n_threads,
+                           wide, max_tris)
     if n <= 0:
         return None
-    rows = np.empty((n, B8_ROW), np.float32)
+    rows = np.empty((n, row_len), np.float32)
     prim_ids = np.empty(len(f), np.int32)
-    lib.ppg_bvh8_copy(fp(rows), ip(prim_ids))
+    lib.ppg_bvhw_copy(fp(rows), ip(prim_ids))
     return dict(rows=rows, prim_ids=prim_ids)
 
 
-def _collapse8(positions, faces):
-    """Pure-python fallback: binary build then 16-wide collapse into the
-    same 160-float SoA rows as the native builder."""
-    W = B8_WIDE
-    bvh = build_bvh(positions, faces, max_leaf=B8_MAX_TRIS,
+def _collapse8(positions, faces, wide=None, max_tris=None, row_len=None):
+    """Pure-python fallback: binary build then W-wide collapse into the
+    same packed SoA rows as the native builder."""
+    W = wide or B8_WIDE
+    K = max_tris or B8_MAX_TRIS
+    row_len = row_len or max(7 * W, 9 * K + 2)
+    bvh = build_bvh(positions, faces, max_leaf=K,
                     allow_native=False)
     is_leaf = np.asarray(bvh["is_leaf"], bool)
     N = len(is_leaf)
@@ -111,18 +128,18 @@ def _collapse8(positions, faces):
     prim_out = []
 
     def emit_leaf(i):
-        row = np.zeros(B8_ROW, np.float32)
+        row = np.zeros(row_len, np.float32)
         base = len(prim_out)
         for k in range(int(lcnt[i])):
             fid = pids[loff[i] + k]
             p = v[fid]
             for c in range(3):
-                row[W * c + k] = p[0][c]
-                row[3 * W + W * c + k] = p[1][c] - p[0][c]
-                row[6 * W + W * c + k] = p[2][c] - p[0][c]
+                row[K * c + k] = p[0][c]
+                row[3 * K + K * c + k] = p[1][c] - p[0][c]
+                row[6 * K + K * c + k] = p[2][c] - p[0][c]
             prim_out.append(fid)
-        row[9 * W] = np.int32(lcnt[i]).view(np.float32)
-        row[9 * W + 1] = np.int32(base).view(np.float32)
+        row[9 * K] = np.int32(lcnt[i]).view(np.float32)
+        row[9 * K + 1] = np.int32(base).view(np.float32)
         rows.append(row)
         return len(rows) - 1
 
@@ -138,7 +155,7 @@ def _collapse8(positions, faces):
             slots[slots.index(pick)] = pick + 1
             slots.append(int(miss[pick + 1]))
         ri = len(rows)
-        rows.append(np.zeros(B8_ROW, np.float32))
+        rows.append(np.zeros(row_len, np.float32))
         child_rows = [emit(s) for s in slots]
         row = rows[ri]
         for k in range(W):

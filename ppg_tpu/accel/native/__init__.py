@@ -46,9 +46,9 @@ def get_lib():
         lib.ppg_bvh_build.argtypes = [f32p, i32, i32p, i32, i32, i32]
         lib.ppg_bvh_copy.restype = None
         lib.ppg_bvh_copy.argtypes = [f32p, f32p, u8p, i32p, i32p, i32p, i32p]
-        lib.ppg_bvh8_build.restype = i32
-        lib.ppg_bvh8_build.argtypes = [f32p, i32, i32p, i32, i32]
-        lib.ppg_bvh8_copy.restype = None
-        lib.ppg_bvh8_copy.argtypes = [f32p, i32p]
+        lib.ppg_bvhw_build.restype = i32
+        lib.ppg_bvhw_build.argtypes = [f32p, i32, i32p, i32, i32, i32, i32]
+        lib.ppg_bvhw_copy.restype = None
+        lib.ppg_bvhw_copy.argtypes = [f32p, i32p]
         _lib = lib
         return lib

@@ -1,12 +1,16 @@
 // Native binned-SAH BVH builder: binary SAH build, collapsed to a
-// 16-wide BVH ([N16, 160]-float SoA rows) for the TPU wavefront walk.
+// W-wide BVH (packed SoA float rows) for the TPU wavefront walk.
 //
 // Plays the role of the reference's parallel SAH kd-tree builder
 // (mitsuba/include/mitsuba/render/gkdtree.h:709-1954): full-sweep binned
 // SAH over 16 bins per axis, multithreaded over subtrees. The binary
-// tree is collapsed into 16-ary rows (internal: 16 child AABBs + child
-// infos in SoA 16-blocks; leaf: up to 16 Woop triangles) consumed by
-// ../traverse.py's ordered group-stack traversal.
+// tree is collapsed into W-ary rows (internal: W child AABBs + child
+// infos in SoA W-blocks; leaf: up to K Woop triangles in SoA K-blocks)
+// consumed by ../traverse.py's ordered group-stack traversal. W and K
+// are runtime parameters of ppg_bvhw_build (W<=32: the traversal's
+// pending mask is one int32); on-TPU gather cost is dominated by a
+// per-row fee (~10 ns/lane) that is nearly width-independent, so wide
+// rows buy a shallower walk nearly for free.
 //
 // C ABI (ctypes): two-phase — build into an internal arena, then copy out.
 //
@@ -267,47 +271,49 @@ void flatten(const Builder &b, int root, int sentinel, Flat &f) {
 Flat *g_flat = nullptr;
 
 // ---------------------------------------------------------------------------
-// BVH16 emission: collapse the binary tree into 16-wide nodes, one
-// packed 160-float row per node (CWBVH-flavored layout for single-gather
-// TPU traversal; everything is SoA 16-blocks so the consumer reads only
-// lane-aligned [L,16] slices of the gathered block — TPU gather cost
-// grows only ~17% from 80 to 160 floats while the wider fan-out nearly
-// halves the step count):
-//   internal row: minx[16] miny[16] minz[16] maxx[16] maxy[16] maxz[16]
-//     (SoA, cols 0-95), child info i32 bitcast (cols 96-111; 0 = empty
-//     slot, bit30 = leaf), pad (112-159)
-//   leaf row: up to 16 woop triangles in SoA 16-blocks p0x p0y p0z
-//     e1x e1y e1z e2x e2y e2z (cols 0-143), count (col 144, i32),
-//     packed tri base index (col 145, i32)
+// Wide-BVH emission: collapse the binary tree into W-wide nodes, one
+// packed row per node (CWBVH-flavored layout for single-gather TPU
+// traversal; everything is SoA W-blocks so the consumer reads only
+// lane-aligned [L,W] slices of the gathered block):
+//   internal row: minx[W] miny[W] minz[W] maxx[W] maxy[W] maxz[W]
+//     (SoA, cols 0..6W-1), child info i32 bitcast (cols 6W..7W-1;
+//     0 = empty slot, bit30 = leaf), pad to ROW
+//   leaf row: up to K woop triangles in SoA K-blocks p0x p0y p0z
+//     e1x e1y e1z e2x e2y e2z (cols 0..9K-1), count (col 9K, i32),
+//     packed tri base index (col 9K+1, i32)
+//   ROW = max(7W, 9K+2)
 // ---------------------------------------------------------------------------
 
 constexpr int B8_LEAF_BIT = 1 << 30;
-constexpr int B8_WIDE = 16;
-constexpr int B8_MAX_TRIS = 16;
-constexpr int B8_ROW = 160;
+constexpr int B8_MAX_WIDE = 32;
 
 struct Bvh8Out {
   std::vector<float> rows;
   std::vector<int32_t> prim_out;
+  int row_len = 0;
 };
 
 struct Bvh8Emitter {
   const Builder &b;
   const float *verts;
   const int *faces;
+  const int wide, max_tris, row_len;
   Bvh8Out out;
 
-  explicit Bvh8Emitter(const Builder &bb, const float *v, const int *f)
-      : b(bb), verts(v), faces(f) {}
+  Bvh8Emitter(const Builder &bb, const float *v, const int *f, int w, int k)
+      : b(bb), verts(v), faces(f), wide(w), max_tris(k),
+        row_len(std::max(7 * w, 9 * k + 2)) {
+    out.row_len = row_len;
+  }
 
   int alloc_row() {
-    out.rows.resize(out.rows.size() + B8_ROW, 0.0f);
-    return (int)out.rows.size() / B8_ROW - 1;
+    out.rows.resize(out.rows.size() + row_len, 0.0f);
+    return (int)out.rows.size() / row_len - 1;
   }
 
   int emit_leaf(const BuildNode &n) {
     int r = alloc_row();
-    float *row = out.rows.data() + B8_ROW * r;
+    float *row = out.rows.data() + (size_t)row_len * r;
     int base = (int)out.prim_out.size();
     for (int i = 0; i < n.count; ++i) {
       int id = b.prim_ids[n.first + i];
@@ -315,27 +321,27 @@ struct Bvh8Emitter {
       const float *p1 = verts + 3 * faces[3 * id + 1];
       const float *p2 = verts + 3 * faces[3 * id + 2];
       for (int k = 0; k < 3; ++k) {
-        row[B8_WIDE * k + i] = p0[k];                      // p0 blocks
-        row[3 * B8_WIDE + B8_WIDE * k + i] = p1[k] - p0[k];  // e1 blocks
-        row[6 * B8_WIDE + B8_WIDE * k + i] = p2[k] - p0[k];  // e2 blocks
+        row[max_tris * k + i] = p0[k];                        // p0 blocks
+        row[3 * max_tris + max_tris * k + i] = p1[k] - p0[k];  // e1 blocks
+        row[6 * max_tris + max_tris * k + i] = p2[k] - p0[k];  // e2 blocks
       }
       out.prim_out.push_back(id);
     }
     int32_t cnt = n.count, bs = base;
-    std::memcpy(row + 9 * B8_WIDE, &cnt, 4);
-    std::memcpy(row + 9 * B8_WIDE + 1, &bs, 4);
+    std::memcpy(row + 9 * max_tris, &cnt, 4);
+    std::memcpy(row + 9 * max_tris + 1, &bs, 4);
     return r;
   }
 
   // Collapse: expand the internal node with the largest surface area until
-  // 8 slots are filled or all slots are leaves/unexpandable.
+  // all W slots are filled or all slots are leaves/unexpandable.
   int emit_node(const BuildNode &n) {
     if (n.left < 0) return emit_leaf(n);
-    int slots[B8_WIDE];
+    int slots[B8_MAX_WIDE];
     int n_slots = 0;
     slots[n_slots++] = n.left;
     slots[n_slots++] = n.right;
-    while (n_slots < B8_WIDE) {
+    while (n_slots < wide) {
       int pick = -1;
       float best = -1.f;
       for (int i = 0; i < n_slots; ++i) {
@@ -355,30 +361,30 @@ struct Bvh8Emitter {
     int r = alloc_row();
     // recurse AFTER allocating this row so children land later; row data
     // written after children exist (need their row indices)
-    int child_rows[B8_WIDE];
+    int child_rows[B8_MAX_WIDE];
     for (int i = 0; i < n_slots; ++i)
       child_rows[i] = emit_node(b.nodes[slots[i]]);
-    float *row = out.rows.data() + B8_ROW * r;  // re-fetch: vector reallocated
-    for (int i = 0; i < B8_WIDE; ++i) {
+    float *row = out.rows.data() + (size_t)row_len * r;  // vector reallocated
+    for (int i = 0; i < wide; ++i) {
       if (i < n_slots) {
         const AABB &bx = b.nodes[slots[i]].box;
-        row[0 * B8_WIDE + i] = bx.lo.x;
-        row[1 * B8_WIDE + i] = bx.lo.y;
-        row[2 * B8_WIDE + i] = bx.lo.z;
-        row[3 * B8_WIDE + i] = bx.hi.x;
-        row[4 * B8_WIDE + i] = bx.hi.y;
-        row[5 * B8_WIDE + i] = bx.hi.z;
+        row[0 * wide + i] = bx.lo.x;
+        row[1 * wide + i] = bx.lo.y;
+        row[2 * wide + i] = bx.lo.z;
+        row[3 * wide + i] = bx.hi.x;
+        row[4 * wide + i] = bx.hi.y;
+        row[5 * wide + i] = bx.hi.z;
         int32_t info = child_rows[i];
         if (b.nodes[slots[i]].left < 0) info |= B8_LEAF_BIT;
-        std::memcpy(row + 6 * B8_WIDE + i, &info, 4);
+        std::memcpy(row + 6 * wide + i, &info, 4);
       } else {
         // NaN boxes fail every slab comparison; info==0 marks empty
         // (row 0 is always the root, never a child)
         float qnan = std::numeric_limits<float>::quiet_NaN();
-        row[0 * B8_WIDE + i] = row[1 * B8_WIDE + i] = row[2 * B8_WIDE + i] = qnan;
-        row[3 * B8_WIDE + i] = row[4 * B8_WIDE + i] = row[5 * B8_WIDE + i] = qnan;
+        row[0 * wide + i] = row[1 * wide + i] = row[2 * wide + i] = qnan;
+        row[3 * wide + i] = row[4 * wide + i] = row[5 * wide + i] = qnan;
         int32_t zero = 0;
-        std::memcpy(row + 6 * B8_WIDE + i, &zero, 4);
+        std::memcpy(row + 6 * wide + i, &zero, 4);
       }
     }
     return r;
@@ -431,20 +437,22 @@ int32_t ppg_bvh_build(const float *verts, int32_t n_verts, const int32_t *faces,
   return (int)g_flat->is_leaf.size();
 }
 
-// Builds a BVH16 (collapsed from a binary SAH build with <=16-triangle
-// leaves); returns the row count. Copy out with ppg_bvh8_copy.
-int32_t ppg_bvh8_build(const float *verts, int32_t n_verts,
+// Builds a W-wide BVH (collapsed from a binary SAH build with
+// <=max_tris-triangle leaves); returns the row count. Copy out with
+// ppg_bvhw_copy; row length = max(7*wide, 9*max_tris+2).
+int32_t ppg_bvhw_build(const float *verts, int32_t n_verts,
                        const int32_t *faces, int32_t n_faces,
-                       int32_t n_threads) {
+                       int32_t n_threads, int32_t wide, int32_t max_tris) {
   (void)n_verts;
   delete g_bvh8;
   g_bvh8 = nullptr;
   if (n_faces <= 0) return 0;
+  if (wide < 2 || wide > B8_MAX_WIDE || max_tris < 1) return -1;
 
   Builder b;
   b.verts = verts;
   b.faces = faces;
-  b.max_leaf = B8_MAX_TRIS;
+  b.max_leaf = max_tris;
   b.max_threads = std::max(1, (int)n_threads);
   b.centroid.resize(n_faces);
   b.prim_box.resize(n_faces);
@@ -462,23 +470,24 @@ int32_t ppg_bvh8_build(const float *verts, int32_t n_verts,
                        0.5f * (bb.lo.z + bb.hi.z));
     root_box.grow(bb);
   }
-  b.nodes.reserve(2 * n_faces / B8_MAX_TRIS + 16);
+  b.nodes.reserve(2 * n_faces / max_tris + 16);
   int root = b.alloc_node();
   b.build_range(root, 0, n_faces, root_box, 0);
 
-  Bvh8Emitter em(b, verts, faces);
-  em.out.rows.reserve((size_t)b.nodes.size() * 16);
+  Bvh8Emitter em(b, verts, faces, wide, max_tris);
+  em.out.rows.reserve((size_t)b.nodes.size() * em.row_len / 2);
   em.out.prim_out.reserve(n_faces);
   if (b.nodes[root].left < 0) {
     em.emit_leaf(b.nodes[root]);
   } else {
     em.emit_node(b.nodes[root]);
   }
+  int row_len = em.row_len;
   g_bvh8 = new Bvh8Out(std::move(em.out));
-  return (int32_t)(g_bvh8->rows.size() / B8_ROW);
+  return (int32_t)(g_bvh8->rows.size() / row_len);
 }
 
-void ppg_bvh8_copy(float *rows, int32_t *prim_ids) {
+void ppg_bvhw_copy(float *rows, int32_t *prim_ids) {
   std::memcpy(rows, g_bvh8->rows.data(), g_bvh8->rows.size() * 4);
   std::memcpy(prim_ids, g_bvh8->prim_out.data(),
               g_bvh8->prim_out.size() * 4);

@@ -2,30 +2,48 @@
 
 The reference traverses a SAH kd-tree per ray with a per-thread stack
 (mitsuba/include/mitsuba/render/skdtree.h:125-190). On TPU we walk a
-16-wide BVH with ORDERED nearest-child-first descent and a compressed
-per-lane group stack (CWBVH-flavored): every wavefront step is ONE
-uniform 160-float row-gather; descending nearest-first tightens best_t
+W-wide BVH (default 16) with ORDERED nearest-child-first descent and a
+compressed per-lane group stack (CWBVH-flavored): every wavefront step
+is ONE uniform row-gather; descending nearest-first tightens best_t
 early so pruning kills far subtrees. Earlier designs (unordered
 hit/miss-link walk, then ordered binary and 8-wide walks) were
-gather-count bound — TPU gathers cost ~6-10 ns/lane *per op nearly
-regardless of row width* (~17% more for 2x width), so the 16-wide node
-divides the dominant cost by the branching factor. The unordered walk
-additionally had catastrophic worst-case lanes (tens of thousands of
-node visits on 1M-triangle scenes — long enough to trip the TPU
-watchdog).
+gather-count bound; the unordered walk additionally had catastrophic
+worst-case lanes (tens of thousands of node visits on 1M-triangle
+scenes — long enough to trip the TPU watchdog).
+
+MEASURED COST MODEL (kitchen 1M tris, 64k lanes, one v5e, in situ by
+adding a second independent gather to the live step): the row gather
+IS the step cost — 1.13 ms/step of a 1.04 ms/step average; the slab
+tests, leaf sweeps and stack one-hots fuse into it nearly for free.
+Gather cost ~ (10.6 ns/lane + ~12 ps/byte): +43% for 2x row width,
++77% for 4x. Consequences, all verified on TPU:
+  * pass the geometry INTO jit as an argument — a captured-constant
+    rows table gathers ~1.5x slower (38 ms vs 26 ms per 64k camera
+    walk);
+  * wider trees do NOT pay off for this one-table walk (32/32 rows:
+    +45%/step but the pend-mask revisits re-gather parent rows, so
+    iteration count falls less than that — camera walks measured
+    38.4 ms vs 25.6 ms at 16/16);
+  * a fused Pallas step kernel (packed per-lane state, lanes on
+    sublanes) was exactly correct and 3.7x SLOWER — sub-128-lane
+    column ops waste 7/8 of the VPU; Mosaic has no per-lane vector
+    gather, so the gather cannot move in-kernel either;
+  * remaining levers are iteration-count reduction (direct child
+    pushes instead of parent revisits) and an MXU one-hot descent
+    over a VMEM-resident internal-node table.
 
 TPU-first data layout rules applied here:
   * All per-lane math is SoA: separate [L] component arrays, never
     [L, 3]/[L, T, 3] intermediates (a trailing dim of 3 pads to 128
     lanes, a 42x memory-bandwidth tax, and the [L,T,3] broadcasts
     additionally blow up XLA compile time by minutes).
-  * ONE row array [N16, 160] holds everything (gather cost is per-op,
-    not per-byte): an internal row carries all 16 child AABBs + child
-    infos in SoA 16-blocks; a leaf row embeds up to 16 woop triangles,
-    so a leaf costs one iteration total. Consumers slice only
-    lane-aligned [L, 16] blocks of the gathered row.
-  * The traversal stack stores one compressed (node << 8 | pending-mask)
-    entry per level in a [L, stack_depth] i32 array (depth measured at
+  * ONE row array [N, ROW] holds everything: an internal row carries
+    all W child AABBs + child infos in SoA W-blocks; a leaf row embeds
+    up to W woop triangles, so a leaf costs one iteration total.
+    Consumers slice only lane-aligned [L, W] blocks of the gathered
+    row.
+  * The traversal stack stores one (node, pending-mask) entry per
+    level in two [L, stack_depth] i32 arrays (depth measured at
     build) updated with one-hot selects — vector ops, no scatter, no
     pointer chasing.
 
@@ -49,14 +67,14 @@ LEAF_BIT = np.int32(1 << 30)
 IDX_MASK = np.int32((1 << 30) - 1)
 
 
-def _bvh8_depth(rows):
-    """Exact internal-node depth of the BVH8 via a vectorized BFS.
+def _bvh8_depth(rows, wide):
+    """Exact internal-node depth of the wide BVH via a vectorized BFS.
     The traversal pushes at most one pending-group entry per internal
     level, so the group stack must hold `depth` entries; an undersized
     stack silently drops groups (observed as mass ray misses)."""
     if rows.shape[0] == 1:
         return 1  # root is a single leaf row (tri data, no child infos)
-    infos = rows[:, 96:112].view(np.int32)
+    infos = rows[:, 6 * wide:7 * wide].view(np.int32)
     frontier = np.array([0], np.int64)
     depth = 0
     while len(frontier):
@@ -70,33 +88,39 @@ def _bvh8_depth(rows):
 
 
 class GeometryArrays:
-    """Device-side packed triangle + BVH8 arrays (pytree).
+    """Device-side packed triangle + wide-BVH arrays (pytree).
 
     tri   [T,12] f32 : p0(3), e1(3), e2(3), pad(3) — BVH leaf order
                        (brute-force path + testing referee)
-    rows [N16,160] f32: internal — 16 child AABBs SoA (minx[16]
-                       miny[16] minz[16] maxx[16] maxy[16] maxz[16],
-                       cols 0-95), child infos i32-bitcast at 96-111
-                       (0 = empty, bit 30 = leaf); leaf — up to 16 woop
-                       triangles in SoA 16-blocks (p0x[16] p0y[16]
-                       p0z[16] e1* e2*, cols 0-143), count @144, packed
-                       tri base @145.
+    rows [N,ROW] f32 : W = wide (aux). internal — W child AABBs SoA
+                       (minx[W] miny[W] minz[W] maxx[W] maxy[W]
+                       maxz[W], cols 0..6W-1), child infos i32-bitcast
+                       at 6W..7W-1 (0 = empty, bit 30 = leaf); leaf —
+                       up to W woop triangles in SoA W-blocks (p0x[W]
+                       p0y[W] p0z[W] e1* e2*, cols 0..9W-1), count
+                       @9W, packed tri base @9W+1. ROW = max(7W, 9W+2).
     perm  [T]    i32 : packed row -> original face index
     """
 
-    def __init__(self, tri, rows, perm, stack_depth=32):
+    def __init__(self, tri, rows, perm, stack_depth=32, wide=16):
         self.tri = tri
         self.rows = rows
         self.perm = perm
-        # static traversal stack size (pytree aux): exact BVH8 depth + slack
+        # static traversal stack size (pytree aux): exact depth + slack
         self.stack_depth = int(stack_depth)
+        self.wide = int(wide)
 
     def tree_flatten(self):
-        return (self.tri, self.rows, self.perm), self.stack_depth
+        return (self.tri, self.rows, self.perm), (self.stack_depth,
+                                                  self.wide)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, stack_depth=aux)
+        if isinstance(aux, tuple):
+            sd, wide = aux
+        else:  # legacy aux: stack depth only
+            sd, wide = aux, 16
+        return cls(*children, stack_depth=sd, wide=wide)
 
     @property
     def num_tris(self):
@@ -127,13 +151,15 @@ def build_geometry(positions, faces) -> GeometryArrays:
         tri[:T, 6:9] = v[:, 2] - v[:, 0]
 
     rows = np.asarray(bvh["rows"], np.float32)
+    wide = int(bvh.get("wide", 16))
     # round up to multiples of 8 to bound recompiles across scenes
-    depth = ((_bvh8_depth(rows) + 2 + 7) // 8) * 8
+    depth = ((_bvh8_depth(rows, wide) + 2 + 7) // 8) * 8
     return GeometryArrays(
         jnp.asarray(tri),
         jnp.asarray(rows),
         jnp.asarray(perm.astype(np.int32)),
         stack_depth=depth,
+        wide=wide,
     )
 
 
@@ -235,6 +261,19 @@ def bvh_closest(geom: GeometryArrays, o, d, t_min, t_max, stop_on_hit=False,
     columns re-tiles the whole gathered block (~3.4 ms/step at 64k
     lanes); 16-column blocks stay in the gather's native (8,128)
     tiling, and the [L] ray components broadcast in as [L,1] operands.
+
+    Measured design notes (kitchen, 1M tris, 64k lanes, v5e): the row
+    gather is ~100% of the per-step cost (1.13 ms of a 1.04 ms/step
+    average; cost model ~10.6 ns/lane fixed + ~12 ps/byte, nearly
+    width-independent to 1 KB/row) — and it runs ~1.5x faster when the
+    row table enters jit as an ARGUMENT rather than a captured
+    constant (pass GeometryArrays through jit boundaries, never close
+    over it). A fused Pallas step kernel (lanes-on-sublanes packed
+    state) was built, exactly correct, and 3.7x SLOWER than this XLA
+    body — sub-128-lane column ops waste 7/8 of the VPU — so the fast
+    path for big scenes is fewer/cheaper gathers (wide nodes, MXU
+    one-hot descent for the VMEM-resident internal levels), not step
+    fusion.
     """
     L = o.shape[0]
     stopm = jnp.ones(L, bool) if stop_on_hit else None
@@ -298,16 +337,21 @@ def bvh_step_factory(geom: GeometryArrays, o, d, t_min, t_max, stopm=None,
     the first accepted hit instead of walking to the closest. The
     returned body is reusable by bvh_closest's run-to-completion
     while_loop AND by budgeted steppers that interleave traversal windows
-    with shading (integrators/regen.py's segment machine)."""
+    with shading (integrators/regen.py's segment machine).
+
+    This XLA body is the CPU / odd-shape path and the semantics referee;
+    the TPU fast path is the packed Pallas step (accel/pallas_step.py,
+    see packed_step_factory below)."""
     L = o.shape[0]
     ox, oy, oz = (a[:, None] for a in _components(o))   # [L,1]
     dx, dy, dz = (a[:, None] for a in _components(d))
     ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
     t_min1 = t_min[:, None]
-    W = 16
+    W = geom.wide
+    full_mask = np.int32(np.uint32((np.uint64(1) << np.uint64(W)) - 1))
     SD = geom.stack_depth
     iota = jax.lax.broadcasted_iota(jnp.int32, (L, SD), 1)
-    iotaw = jnp.arange(W, dtype=jnp.int32)[None, :]      # [1,16]
+    iotaw = jnp.arange(W, dtype=jnp.int32)[None, :]      # [1,W]
 
     def body(state):
         cur, leaf, pend = state["cur"], state["leaf"], state["pend"]
@@ -329,9 +373,9 @@ def bvh_step_factory(geom: GeometryArrays, o, d, t_min, t_max, stopm=None,
         # all-finite intermediates.
         lf = active & leaf
         lrow = jnp.where(lf[:, None], row, 0.0)
-        meta = _i32(lrow[:, 9 * W:10 * W])
-        cnt = meta[:, 0:1]     # count @144
-        base = meta[:, 1:2]    # base  @145
+        meta = _i32(lrow[:, 9 * W:9 * W + 2])
+        cnt = meta[:, 0:1]     # count @9W
+        base = meta[:, 1:2]    # base  @9W+1
         p0x, p0y, p0z = (lrow[:, W * c:W * (c + 1)] for c in range(3))
         e1x, e1y, e1z = (lrow[:, W * c:W * (c + 1)] for c in range(3, 6))
         e2x, e2y, e2z = (lrow[:, W * c:W * (c + 1)] for c in range(6, 9))
@@ -367,7 +411,7 @@ def bvh_step_factory(geom: GeometryArrays, o, d, t_min, t_max, stopm=None,
         # --- node phase: slab-test 16 children ----------------------------
         nd = active & ~leaf
         nrow = jnp.where(nd[:, None], row, 0.0)  # same NaN-safety rule
-        pmask = jnp.where(pend == 0, 0xFFFF, pend)[:, None]
+        pmask = jnp.where(pend == 0, full_mask, pend)[:, None]
         info16 = _i32(nrow[:, 6 * W:7 * W])
         t0x = (nrow[:, 0 * W:1 * W] - ox) * ix
         t1x = (nrow[:, 3 * W:4 * W] - ox) * ix
