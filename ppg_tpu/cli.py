@@ -90,7 +90,13 @@ def main(argv=None):
             overrides = {}
             if args.dump_sdtree:
                 overrides["dumpSDTree"] = True
-            gpt = GuidedPathTracer(sc, chunk=args.chunk, overrides=overrides)
+            mesh = None
+            if args.devices > 1:
+                from .parallel.mesh import make_mesh
+
+                mesh = make_mesh(args.devices)
+            gpt = GuidedPathTracer(sc, chunk=args.chunk,
+                                   overrides=overrides, mesh=mesh)
             gpt.dump_path = os.path.splitext(out)[0]
             gpt.flush_cb = _make_flush_cb(out, sc.film, args.flush_timer)
             img = gpt.render(seed=args.seed, spp_budget=args.spp)

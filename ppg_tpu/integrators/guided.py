@@ -107,6 +107,32 @@ def _guided_pass(scene, cfg, sensor, film, chunk, film_buf, sq_buf, sdtree,
     return film_buf, sq_buf, sdtree, jax.tree.map(jnp.sum, counts)
 
 
+def _splat_chunk_records(sdtree, verts, k, cfg, spatial_filter,
+                         directional_filter, learn_fraction):
+    """Splat one chunk's stacked training records (BSDF vertices + NEE
+    vertices at statWeight 0.5, guided_path.cpp:2014) into the building
+    tree. Splat jitter draws come from a stream disjoint from
+    trace_regen's per-iteration fold_in(k, it) RandBlock keys (it
+    ranges over [0, K)): a bare fold_in(k, 23) would reuse the exact
+    bits that drove path sampling at iteration 23, correlating records
+    with their splat placement."""
+    stat_w = 0.5 if (cfg.do_nee and not cfg.nee_always) else 1.0
+    recs = R.vertex_records(verts["bsdf"], stat_w)
+    lf = learn_fraction if cfg.is_built else None
+    kj = jax.random.fold_in(k, 0x7FFFFFFF)
+    uj = jax.random.uniform(jax.random.fold_in(kj, 23),
+                            (recs["valid"].shape[0], 3))
+    sdtree = G.splat_records(
+        sdtree, recs, spatial_filter, directional_filter, lf, uj)
+    if verts["nee"] is not None:
+        nrecs = R.nee_records(verts["nee"])
+        uj2 = jax.random.uniform(jax.random.fold_in(kj, 29),
+                                 (nrecs["valid"].shape[0], 3))
+        sdtree = G.splat_records(
+            sdtree, nrecs, spatial_filter, directional_filter, lf, uj2)
+    return sdtree
+
+
 @partial(
     jax.jit,
     static_argnames=("cfg", "sensor", "L", "K", "n_chunks",
@@ -144,31 +170,113 @@ def _guided_regen_pass(scene, cfg, sensor, img_buf, sq_buf, sdtree, key,
                    add_at(img_buf[1], pix_start, out["w"]))
         sq_buf = (add_at(sq_buf[0], pix_start, out["rgb2"]),
                   add_at(sq_buf[1], pix_start, out["w"]))
-        verts = out["vertices"]
-        stat_w = 0.5 if (cfg.do_nee and not cfg.nee_always) else 1.0
-        recs = R.vertex_records(verts["bsdf"], stat_w)
-        lf = learn_fraction if cfg.is_built else None
-        # splat jitter draws come from a stream disjoint from
-        # trace_regen's per-iteration fold_in(k, it) RandBlock keys
-        # (it ranges over [0, K)): a bare fold_in(k, 23) would reuse
-        # the exact bits that drove path sampling at iteration 23,
-        # correlating records with their splat placement
-        kj = jax.random.fold_in(k, 0x7FFFFFFF)
-        uj = jax.random.uniform(jax.random.fold_in(kj, 23),
-                                (recs["valid"].shape[0], 3))
-        sdtree = G.splat_records(
-            sdtree, recs, spatial_filter, directional_filter, lf, uj)
-        if verts["nee"] is not None:
-            nrecs = R.nee_records(verts["nee"])
-            uj2 = jax.random.uniform(jax.random.fold_in(kj, 29),
-                                     (nrecs["valid"].shape[0], 3))
-            sdtree = G.splat_records(
-                sdtree, nrecs, spatial_filter, directional_filter, lf, uj2)
+        sdtree = _splat_chunk_records(
+            sdtree, out["vertices"], k, cfg, spatial_filter,
+            directional_filter, learn_fraction)
         return (img_buf, sq_buf, sdtree), counts
 
     (img_buf, sq_buf, sdtree), counts = jax.lax.scan(
         step, (img_buf, sq_buf, sdtree), jnp.arange(n_chunks))
     return img_buf, sq_buf, sdtree, jax.tree.map(jnp.sum, counts)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "sensor", "L", "K", "cpd", "spatial_filter",
+                     "directional_filter", "learn_fraction", "mesh"),
+)
+def _guided_mesh_pass(scene, cfg, sensor, sdtree, key, salt0, L, spp, K,
+                      cpd, spatial_filter, directional_filter,
+                      learn_fraction, mesh):
+    """One guided slab data-parallel over a device mesh: the TPU-native
+    replacement for the reference's scheduler fan-out (sched.h:351-484,
+    renderproc.cpp) in the guided training loop.
+
+    Pixel chunks are sharded over the mesh's 'tiles' axis (global chunk
+    c -> device c // cpd); every device runs the SAME per-chunk regen
+    pipeline as the single-device pass with the SAME per-chunk RNG keys
+    (fold_in(key, salt0 + c)), so a sharded render draws the identical
+    sample set — record-free passes match the single-device image
+    bit-for-bit, and training passes differ only in splat interleaving.
+    Each device splats records into its local tree copy; the pass ends
+    with ONE psum over ICI of the film buffers and the additive tree
+    accumulators (qb_sum, db_statw) — the analog of the reference's
+    lock-free atomic adds, which commute the same way
+    (guided_path.cpp:59-62). Adam per-leaf sampling-fraction state is
+    not additive: device chains are pmean-averaged at the pass end
+    (local-Adam-with-averaging; the reference serializes these updates
+    behind a per-leaf spinlock, guided_path.cpp:719-737 — a documented
+    deviation).
+
+    Chunks beyond the image tail trace out-of-film pixels into the
+    padded region of the flat film buffers (dropped by unflatten);
+    padding waste is < 1 device-chunk of lanes. Returns
+    (img, w, sq, tree, counts) replicated.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from .regen import trace_regen
+
+    n_dev = mesh.devices.size
+    Ptot = n_dev * cpd * L
+    record = cfg.record_vertices
+
+    def shard_fn(cids):
+        cids = cids[0]  # [cpd] global chunk ids owned by this device
+
+        def add_at(buf, pix_start, vals):
+            zeros = (0,) * (buf.ndim - 1)
+            cur = jax.lax.dynamic_slice(
+                buf, (pix_start,) + zeros, (L,) + buf.shape[1:])
+            return jax.lax.dynamic_update_slice(
+                buf, cur + vals, (pix_start,) + zeros)
+
+        def step(carry, c):
+            img, w, sq, tree = carry
+            k = jax.random.fold_in(key, salt0 + c)
+            out, _ = trace_regen(scene, cfg, k, sensor, c * L, L,
+                                 jnp.int32(spp), K, sdtree=tree)
+            img = add_at(img, c * L, out["rgb"])
+            w = add_at(w, c * L, out["w"])
+            sq = add_at(sq, c * L, out["rgb2"])
+            if record:
+                tree = _splat_chunk_records(
+                    tree, out["vertices"], k, cfg, spatial_filter,
+                    directional_filter, learn_fraction)
+            counts = (out["n_rays"], out["n_vertices"],
+                      jnp.sum(out["done"]))
+            return (img, w, sq, tree), counts
+
+        init = (jnp.zeros((Ptot, 3)), jnp.zeros(Ptot),
+                jnp.zeros((Ptot, 3)), sdtree)
+        (img, w, sq, tree), counts = jax.lax.scan(step, init, cids)
+        img = jax.lax.psum(img, "tiles")
+        w = jax.lax.psum(w, "tiles")
+        sq = jax.lax.psum(sq, "tiles")
+        counts = jax.tree.map(
+            lambda x: jax.lax.psum(jnp.sum(x), "tiles"), counts)
+        if record:
+            fields = {f: getattr(sdtree, f) for f in G.SDTreeArrays.FIELDS}
+            fields["qb_sum"] = sdtree.qb_sum + jax.lax.psum(
+                tree.qb_sum - sdtree.qb_sum, "tiles")
+            fields["db_statw"] = sdtree.db_statw + jax.lax.psum(
+                tree.db_statw - sdtree.db_statw, "tiles")
+            if learn_fraction is not None and cfg.is_built:
+                for f in ("opt_var", "opt_m1", "opt_m2", "opt_bgrad",
+                          "opt_bweight"):
+                    fields[f] = jax.lax.pmean(getattr(tree, f), "tiles")
+                fields["opt_iter"] = jax.lax.pmax(tree.opt_iter, "tiles")
+            tree = G.SDTreeArrays(s_depth=sdtree.s_depth,
+                                  q_depth=sdtree.q_depth, **fields)
+        else:
+            tree = sdtree
+        return img, w, sq, tree, counts
+
+    cids = jnp.arange(n_dev * cpd, dtype=jnp.int32).reshape(n_dev, cpd)
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh, in_specs=(P("tiles"),),
+        out_specs=(P(), P(), P(), P(), P()), check_vma=False)
+    return fn(cids)
 
 
 @partial(
@@ -212,10 +320,16 @@ def _accum_regen(img_buf, sq_buf, carry, pix_start, L):
 
 
 class GuidedPathTracer:
-    def __init__(self, sc, chunk=1 << 16, overrides=None):
+    def __init__(self, sc, chunk=1 << 16, overrides=None, mesh=None):
+        """`mesh`: optional jax.sharding.Mesh with a 'tiles' axis — the
+        guided training loop then runs data-parallel over it (pixel
+        chunks sharded, film + SD-tree accumulators psum'd over ICI,
+        host refine/build between iterations on the replicated tree);
+        see _guided_mesh_pass. None = single device."""
         from .. import enable_compilation_cache
 
         enable_compilation_cache()
+        self.mesh = mesh
         ip = dict(sc.integrator)
         ip.update(overrides or {})
         self.sc = sc
@@ -300,6 +414,67 @@ class GuidedPathTracer:
                 and cfg.sampler == "independent"
                 and self.film.rfilter == "box")
 
+    def _mesh_ok(self, cfg):
+        # mesh passes go through the regen tracer inside shard_map
+        return (self.mesh is not None and not cfg.has_media
+                and not cfg.has_subsurf and cfg.sampler == "independent"
+                and self.film.rfilter == "box")
+
+    def _render_passes_mesh(self, n_passes, sdtree, cfg, img_buf, sq_buf,
+                            base):
+        """Mesh-parallel body of _render_passes: training slabs and the
+        record-free final pass both go through _guided_mesh_pass. One
+        dispatch covers a whole slab; K bounds the early-exit while
+        inside trace_regen (no carry-continuation chunking here — the
+        single-TPU tunnel watchdog that motivates it does not apply to
+        a real multi-chip deployment, and virtual-device tests run on
+        CPU)."""
+        from .regen import iterations_for
+
+        W, H = self.film.W, self.film.H
+        n_chunks = (W * H + self.chunk - 1) // self.chunk
+        n_dev = self.mesh.devices.size
+        cpd = (n_chunks + n_dev - 1) // n_dev
+        flatP = img_buf[0].shape[0]
+        n_rays = n_verts = n_samples = 0
+        N = n_passes * self.spp_per_pass
+        lf = self.loss if self.loss != "none" else None
+        if cfg.record_vertices:
+            slab0 = max(1, min(self.spp_per_pass, 8))
+            done = 0
+            slab_i = 0
+            while done < N:
+                slab = min(N - done, slab0)
+                K = iterations_for(slab, cfg.max_depth, cfg.rr_depth,
+                                   built_rr=cfg.is_built and cfg.guiding)
+                img, w, sq, sdtree, counts = _guided_mesh_pass(
+                    self.scene_dev, cfg, self.sensor, sdtree, base,
+                    np.int32(slab_i * n_dev * cpd), self.chunk,
+                    np.int32(slab), int(K), cpd, self.spatial_filter,
+                    self.directional_filter, lf, self.mesh)
+                img_buf = (img_buf[0] + img[:flatP], img_buf[1] + w[:flatP])
+                sq_buf = (sq_buf[0] + sq[:flatP], sq_buf[1] + w[:flatP])
+                n_rays += int(np.asarray(counts[0]))
+                n_verts += int(np.asarray(counts[1]))
+                n_samples += int(np.asarray(counts[2]))
+                jax.block_until_ready(img_buf[0])
+                done += slab
+                slab_i += 1
+        else:
+            K = iterations_for(N, cfg.max_depth, cfg.rr_depth,
+                               built_rr=cfg.is_built and cfg.guiding)
+            img, w, sq, sdtree, counts = _guided_mesh_pass(
+                self.scene_dev, cfg, self.sensor, sdtree, base,
+                np.int32(0), self.chunk, np.int32(N), int(K), cpd,
+                self.spatial_filter, self.directional_filter, lf,
+                self.mesh)
+            img_buf = (img_buf[0] + img[:flatP], img_buf[1] + w[:flatP])
+            sq_buf = (sq_buf[0] + sq[:flatP], sq_buf[1] + w[:flatP])
+            n_rays += int(np.asarray(counts[0]))
+            n_verts += int(np.asarray(counts[1]))
+            n_samples += int(np.asarray(counts[2]))
+        return sdtree, img_buf, sq_buf, n_rays, n_verts, n_samples
+
     def _regen_train_ok(self, cfg):
         # regen training trades MORE stacked record rows (K vs bounces)
         # for near-full traversal utilization: a win only when traversal
@@ -320,7 +495,11 @@ class GuidedPathTracer:
         t0 = time.time()
         base = jax.random.key(seed_base)
         n_rays = n_verts = n_samples = 0
-        if self._regen_ok(cfg):
+        if self._mesh_ok(cfg):
+            sdtree, img_buf, sq_buf, n_rays, n_verts, n_samples = \
+                self._render_passes_mesh(n_passes, sdtree, cfg, img_buf,
+                                         sq_buf, base)
+        elif self._regen_ok(cfg):
             # record-free batches go through the regenerative tracer: the
             # while_loop inside trace_regen exits as soon as every lane's
             # spp samples complete, so K only bounds ONE dispatch under
