@@ -503,12 +503,14 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
         if cfg.has_media:
             in_med = carry["in_medium"] & act
             med = carry["med"]
-            m_sigma_t, m_albedo, m_pp = MED.fetch(scene.media, med)
         else:
             in_med = jnp.zeros(L, bool)
             med = jnp.full(L, -1, jnp.int32)
 
         p = o + carry["t"][..., None] * d
+        if cfg.has_media:
+            # x resolves orientation-volume fiber axes at the event
+            m_sigma_t, m_albedo, m_pp = MED.fetch(scene.media, med, x=p)
         sh_n, geo_n, mid, _, _, uv, surf_med, dpdu, dpdv = decode_row(
             carry["row"], carry["bu"], carry["bv"])
         # flip geometric normal toward the incident side, as Mitsuba's

@@ -39,6 +39,7 @@ import numpy as np
 INV_4PI = 1.0 / (4.0 * np.pi)
 ROW_W = 36
 KKAY_G = 3.0  # g-slot sentinel: Kajiya-Kay fiber phase (kkay.cpp)
+MICROFLAKE_G = 5.0  # g-slot sentinel: SGGX microflake fiber phase
 
 
 def kkay_normalization(exponent):
@@ -57,10 +58,13 @@ WOODCOCK_STEPS = 64  # fixed majorant-interaction budget per bounce
 class MediaArrays:
     FIELDS = ("rows", "grid")
 
-    def __init__(self, rows, grid=None, num=None):
+    def __init__(self, rows, grid=None, num=None, has_orient=False):
         self.rows = rows
         self.grid = grid if grid is not None else jnp.zeros(1, jnp.float32)
         self.num = rows.shape[0] if num is None else num
+        # static: any medium carries an orientation volume (pytree aux —
+        # fetch() gates the grid lookup on it at trace time)
+        self.has_orient = bool(has_orient)
 
     @classmethod
     def from_table(cls, table):
@@ -85,6 +89,26 @@ class MediaArrays:
                 rows[i, 32] = m.get("kd", 0.2)
                 rows[i, 33] = m.get("exponent", 4.0)
                 rows[i, 34] = kkay_normalization(m.get("exponent", 4.0))
+            # SGGX microflake fiber phase (src/phase/microflake.cpp):
+            # fiber-aligned flake distribution S = I - (1-beta^2) m m^T;
+            # the reference's gaussian-fiber stddev maps to beta by the
+            # small-sigma moment match beta = stddev*sqrt(pi/2)
+            if m.get("g", 0.0) == MICROFLAKE_G:
+                o = np.asarray(m.get("orientation", [0.0, 0.0, 1.0]),
+                               np.float64)
+                ln = np.linalg.norm(o)
+                rows[i, 28:31] = o / ln if ln > 0 else (0.0, 0.0, 1.0)
+                beta = float(m.get("stddev", 0.25)) * np.sqrt(np.pi / 2)
+                rows[i, 31] = min(max(beta, 1e-3), 1.0)
+                ogrid = m.get("orientation_grid")
+                if ogrid is not None:
+                    og = np.asarray(ogrid, np.float32)  # [Z,Y,X,3]
+                    if og.ndim != 4 or og.shape[-1] != 3:
+                        raise ValueError("orientation volume must be "
+                                         "3-channel [Z,Y,X,3]")
+                    rows[i, 35] = float(goff)
+                    grids.append(og.reshape(-1))
+                    goff += og.size
             if not m.get("hetero"):
                 rows[i, 0:3] = m["sigma_t"]
                 continue
@@ -110,7 +134,8 @@ class MediaArrays:
             rows[i, 14:26] = w2g[:3, :].reshape(-1)
             grids.append(dens.reshape(-1))
             goff += dens.size
-        out = cls(jnp.asarray(rows), jnp.asarray(np.concatenate(grids)))
+        out = cls(jnp.asarray(rows), jnp.asarray(np.concatenate(grids)),
+                  has_orient=bool(np.any(rows[:, 35] > 0)))
         out.num = M
         return out
 
@@ -125,33 +150,69 @@ class MediaArrays:
 
 jax.tree_util.register_pytree_node(
     MediaArrays,
-    lambda m: ((m.rows, m.grid), m.num),
-    lambda num, ch: MediaArrays(ch[0], ch[1], num=num),
+    lambda m: ((m.rows, m.grid), (m.num, m.has_orient)),
+    lambda aux, ch: MediaArrays(
+        ch[0], ch[1],
+        num=aux[0] if isinstance(aux, tuple) else aux,
+        has_orient=aux[1] if isinstance(aux, tuple) else False),
 )
 
 
-def fetch(media: MediaArrays, mid):
+def fetch(media: MediaArrays, mid, x=None):
+    """Per-lane medium data. `x` ([L,3] world positions, optional):
+    fiber phases (kkay / microflake) with an orientation volume resolve
+    their local axis at x via the density grid's world->grid transform
+    (the reference samples the medium's orientation volume at the
+    interaction point, heterogeneous.cpp lookupVector)."""
     row = media.rows[jnp.clip(mid, 0, media.rows.shape[0] - 1)]
     in_medium = mid >= 0
     sigma_t = jnp.where(in_medium[..., None], row[:, 0:3], 0.0)
     albedo = jnp.where(in_medium[..., None], row[:, 3:6], 0.0)
     g = jnp.where(in_medium, row[:, 6], 0.0)
-    return sigma_t, albedo, PhaseParams(g, row)
+    axis = row[:, 28:31]
+    if x is not None and media.has_orient:
+        vax = _orientation_lookup(media, row, x)
+        ln = jnp.linalg.norm(vax, axis=-1, keepdims=True)
+        ok = (row[:, 35] > 0) & (ln[..., 0] > 1e-6)
+        axis = jnp.where(ok[..., None], vax / jnp.maximum(ln, 1e-12), axis)
+    return sigma_t, albedo, PhaseParams(g, row, axis)
+
+
+def _orientation_lookup(media: MediaArrays, row, x):
+    """Nearest-cell orientation fetch through the density grid's
+    world->grid affine (vectors are directions: nearest sampling avoids
+    interpolating across opposed fibers, matching the reference's
+    lookupVector usage for microflakes)."""
+    w2g = row[:, 14:26].reshape(-1, 3, 4)
+    gpos = jnp.einsum("lij,lj->li", w2g[:, :, :3], x) + w2g[:, :, 3]
+    res = row[:, 11:14]  # (xr, yr, zr)
+    gi = jnp.clip(jnp.round(gpos), 0, jnp.maximum(res - 1, 0)).astype(
+        jnp.int32)
+    xr = res[:, 0].astype(jnp.int32)
+    yr = res[:, 1].astype(jnp.int32)
+    off = row[:, 35].astype(jnp.int32)
+    lin = ((gi[:, 2] * yr + gi[:, 1]) * xr + gi[:, 0]) * 3
+    base = jnp.clip(off + lin, 0, media.grid.shape[0] - 3)
+    return jnp.stack([media.grid[base], media.grid[base + 1],
+                      media.grid[base + 2]], axis=-1)
 
 
 class PhaseParams:
     """Per-lane phase dispatch data (pytree): the g slot doubles as a
-    type sentinel (|g|<=1 HG/iso, RAYLEIGH_G, KKAY_G) and the kkay
-    lanes read orientation/ks/kd/exponent/normalization from the row."""
+    type sentinel (|g|<=1 HG/iso, RAYLEIGH_G, KKAY_G, MICROFLAKE_G);
+    fiber lanes read their axis from `axis` (constant row orientation,
+    or the orientation volume resolved at the interaction point) and
+    kkay ks/kd/exponent/normalization from the row."""
 
-    def __init__(self, g, row):
+    def __init__(self, g, row, axis=None):
         self.g = g
         self.row = row
+        self.axis = row[:, 28:31] if axis is None else axis
 
 
 jax.tree_util.register_pytree_node(
     PhaseParams,
-    lambda p: ((p.g, p.row), None),
+    lambda p: ((p.g, p.row, p.axis), None),
     lambda aux, ch: PhaseParams(*ch),
 )
 
@@ -405,7 +466,7 @@ def kkay_eval(pp, d_in, d_out):
     """Kajiya-Kay phase value (kkay.cpp eval): specular lobe around the
     fiber-preserving "reflected" direction + diffuse floor. d_in points
     ALONG propagation (pRec.wi points backwards, hence the sign)."""
-    axis = pp.row[:, 28:31]
+    axis = pp.axis
     ks = pp.row[:, 31]
     kd = pp.row[:, 32]
     expn = pp.row[:, 33]
@@ -431,30 +492,133 @@ def kkay_eval(pp, d_in, d_out):
     return jnp.where(has_axis, val, kd * INV_4PI)
 
 
+# ---------------------------------------------------------------------------
+# SGGX microflake fiber phase (src/phase/microflake.cpp role)
+#
+# Specular SGGX [Heitz et al. 2015, "The SGGX Microflake Distribution"]
+# with the fiber-aligned matrix S = I - (1 - beta^2) m m^T (eigenvalues
+# beta^2 along the fiber m, 1 across it), which closed-forms everything:
+#   sigma(w)      = sqrt(1 - (1-beta^2) <w,m>^2)       (projected area)
+#   D(wm)         = 1 / (pi beta (<wm,m>^2/beta^2 + 1 - <wm,m>^2)^2)
+#   p(wi -> wo)   = D(wh) / (4 sigma(wi)),  wh = normalize(wi + wo)
+# Sampling draws a visible normal from the projected SGGX (the paper's
+# Cholesky construction in the (wk, wj, wi) frame) and mirror-reflects —
+# a perfect importance sampler (pdf == phase value, weight 1). The
+# reference's gaussian-fiber stddev maps to beta = stddev*sqrt(pi/2)
+# (small-sigma moment match of the projected areas). Deviation: the
+# extinction coefficient stays directionally uniform (the reference
+# scales sigma_t by sigma(w)); recorded in STATUS.md.
+# ---------------------------------------------------------------------------
+
+def _sggx_sigma(beta, cm):
+    return jnp.sqrt(jnp.maximum(1.0 - (1.0 - beta * beta) * cm * cm, 1e-12))
+
+
+def _sggx_D(beta, cm):
+    q = cm * cm / jnp.maximum(beta * beta, 1e-12) + (1.0 - cm * cm)
+    return 1.0 / jnp.maximum(np.pi * beta * q * q, 1e-24)
+
+
+def sggx_eval(pp, d_in, d_out):
+    """Phase value = sampling pdf (specular SGGX is self-importance-
+    sampled). d_in points along propagation; wi = -d_in."""
+    m = pp.axis
+    beta = pp.row[:, 31]
+    wi = -d_in
+    wh = wi + d_out
+    hn = jnp.linalg.norm(wh, axis=-1, keepdims=True)
+    wh = wh / jnp.maximum(hn, 1e-12)
+    cm = jnp.sum(wh * m, -1)
+    ci = jnp.sum(wi * m, -1)
+    val = _sggx_D(beta, cm) / (4.0 * _sggx_sigma(beta, ci))
+    # wh undefined for wo == -wi (grazing through): value -> 0
+    return jnp.where(hn[..., 0] > 1e-6, val, 0.0)
+
+
+def sggx_sample(pp, d_in, u2):
+    """Visible-normal sampling of the SGGX fiber distribution in the
+    (wk, wj, wi) frame (Heitz et al. 2015, supplemental listing), then
+    specular reflection. Returns (d_out, pdf)."""
+    m = pp.axis
+    beta = pp.row[:, 31]
+    wi = -d_in
+    # orthonormal frame around wi
+    up = jnp.where((jnp.abs(wi[..., 2]) < 0.999)[..., None],
+                   jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), wi.shape),
+                   jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0]), wi.shape))
+    wk = jnp.cross(up, wi)
+    wk = wk / jnp.maximum(jnp.linalg.norm(wk, axis=-1, keepdims=True),
+                          1e-12)
+    wj = jnp.cross(wi, wk)
+    # S in the (k, j, i) frame: S_ab = <a,b> - c <a,m><b,m>, c = 1-beta^2
+    c = 1.0 - beta * beta
+    mk = jnp.sum(wk * m, -1)
+    mj = jnp.sum(wj * m, -1)
+    mi = jnp.sum(wi * m, -1)
+    S_kk = 1.0 - c * mk * mk
+    S_jj = 1.0 - c * mj * mj
+    S_ii = 1.0 - c * mi * mi
+    S_kj = -c * mk * mj
+    S_ki = -c * mk * mi
+    S_ji = -c * mj * mi
+    # Cholesky-style construction of the projected-distribution matrix
+    det = (S_kk * S_jj * S_ii - S_kj * S_kj * S_ii - S_ki * S_ki * S_jj
+           - S_ji * S_ji * S_kk + 2.0 * S_kj * S_ki * S_ji)
+    sqrt_det = jnp.sqrt(jnp.maximum(det, 1e-24))
+    inv_sqrt_Sii = 1.0 / jnp.sqrt(jnp.maximum(S_ii, 1e-12))
+    tmp = jnp.sqrt(jnp.maximum(S_jj * S_ii - S_ji * S_ji, 1e-24))
+    Mk = jnp.stack([sqrt_det / tmp, jnp.zeros_like(tmp),
+                    jnp.zeros_like(tmp)], -1)
+    Mj = jnp.stack([-inv_sqrt_Sii * (S_ki * S_ji - S_kj * S_ii) / tmp,
+                    inv_sqrt_Sii * tmp, jnp.zeros_like(tmp)], -1)
+    Mi = jnp.stack([inv_sqrt_Sii * S_ki, inv_sqrt_Sii * S_ji,
+                    inv_sqrt_Sii * S_ii], -1)
+    # uniform point on the visible hemisphere
+    r = jnp.sqrt(u2[..., 0])
+    phi = 2.0 * np.pi * u2[..., 1]
+    uu = r * jnp.cos(phi)
+    vv = r * jnp.sin(phi)
+    ww = jnp.sqrt(jnp.maximum(1.0 - uu * uu - vv * vv, 0.0))
+    wm_kji = (uu[..., None] * Mk + vv[..., None] * Mj + ww[..., None] * Mi)
+    wm_kji = wm_kji / jnp.maximum(
+        jnp.linalg.norm(wm_kji, axis=-1, keepdims=True), 1e-12)
+    wm = (wm_kji[..., 0:1] * wk + wm_kji[..., 1:2] * wj
+          + wm_kji[..., 2:3] * wi)
+    d_out = 2.0 * jnp.sum(wi * wm, -1, keepdims=True) * wm - wi
+    return d_out, sggx_eval(pp, d_in, d_out)
+
+
 def phase_eval(pp, d_in, d_out):
     """Full-vector phase eval with per-lane type dispatch."""
     ct = jnp.sum(d_in * d_out, -1)
     base = phase_eval_pdf(jnp.where(pp.g > 2.5, 0.0, pp.g), ct)
-    return jnp.where(pp.g > 2.5, kkay_eval(pp, d_in, d_out), base)
+    base = jnp.where(pp.g > 2.5, kkay_eval(pp, d_in, d_out), base)
+    return jnp.where(pp.g > 4.5, sggx_eval(pp, d_in, d_out), base)
 
 
 def phase_pdf(pp, d_in, d_out):
     """Sampling pdf of phase_sample_full (kkay samples the uniform
-    sphere, kkay.cpp pdf())."""
+    sphere, kkay.cpp pdf(); SGGX importance-samples itself)."""
     ct = jnp.sum(d_in * d_out, -1)
     base = phase_eval_pdf(jnp.where(pp.g > 2.5, 0.0, pp.g), ct)
-    return jnp.where(pp.g > 2.5, INV_4PI, base)
+    base = jnp.where(pp.g > 2.5, INV_4PI, base)
+    return jnp.where(pp.g > 4.5, sggx_eval(pp, d_in, d_out), base)
 
 
 def phase_sample_full(pp, d_in, u2):
     """(d_out, pdf, weight): HG/rayleigh importance-sample their own
     density (weight 1); kkay samples the uniform sphere with weight
-    eval * 4pi (kkay.cpp sample)."""
+    eval * 4pi (kkay.cpp sample); SGGX visible-normal samples itself
+    (weight 1)."""
     kk = pp.g > 2.5
+    mf = pp.g > 4.5
     d_hg, pdf_hg = phase_sample(jnp.where(kk, 0.0, pp.g), d_in, u2)
     ct = 1.0 - 2.0 * u2[..., 0]
     d_uni = _dir_around(d_in, ct, 2.0 * np.pi * u2[..., 1])
-    d_out = jnp.where(kk[..., None], d_uni, d_hg)
-    pdf = jnp.where(kk, INV_4PI, pdf_hg)
-    w = jnp.where(kk, kkay_eval(pp, d_in, d_out) * (4.0 * np.pi), 1.0)
+    d_sggx, pdf_sggx = sggx_sample(pp, d_in, u2)
+    d_out = jnp.where(kk[..., None], jnp.where(mf[..., None], d_sggx,
+                                               d_uni), d_hg)
+    pdf = jnp.where(kk, jnp.where(mf, pdf_sggx, INV_4PI), pdf_hg)
+    w = jnp.where(kk & ~mf, kkay_eval(pp, d_in, d_out) * (4.0 * np.pi),
+                  1.0)
     return d_out, pdf, w

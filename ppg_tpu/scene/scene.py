@@ -630,6 +630,18 @@ def build_scene(xml: SceneXML, missing_ok=True) -> SceneData:
                 # the medium's orientation volume; constvolume subset)
                 orientation=np.asarray(
                     pr.get("orientation", [0.0, 0.0, 1.0]), np.float64))
+        elif ph is not None and ph.otype == "microflake":
+            # SGGX fiber microflake (src/phase/microflake.cpp): stddev of
+            # the gaussian fiber distribution; the fiber axis comes from
+            # the medium's orientation volume (gridvolume, 3 channels) or
+            # a constant `orientation` property
+            from ..media import MICROFLAKE_G
+
+            g = MICROFLAKE_G
+            kkay = dict(
+                stddev=float(ph.props.get("stddev", 0.25)),
+                orientation=np.asarray(
+                    pr.get("orientation", [0.0, 0.0, 1.0]), np.float64))
         elif ph is not None and ph.otype not in ("isotropic",):
             raise NotImplementedError(f"phase type {ph.otype!r}")
 
@@ -658,6 +670,20 @@ def build_scene(xml: SceneXML, missing_ok=True) -> SceneData:
             else:
                 raise NotImplementedError(
                     f"density volume {dens_spec.otype!r}")
+            ori_spec = vols.get("orientation", vols.get("orientations"))
+            if ori_spec is not None:
+                if ori_spec.otype == "gridvolume":
+                    from ..io.vol import read_vol
+
+                    odata, _, _ = read_vol(
+                        xml.resolve_path(ori_spec.props["filename"]))
+                    if odata.shape[-1] != 3:
+                        raise ValueError("orientation volume must have "
+                                         "3 channels")
+                    kkay = dict(kkay, orientation_grid=odata)
+                elif ori_spec.otype == "constvolume":
+                    kkay = dict(kkay, orientation=np.asarray(
+                        ori_spec.props.get("value", [0, 0, 1]), np.float64))
             alb_spec = vols.get("albedo")
             if alb_spec is not None:
                 if alb_spec.otype != "constvolume":
