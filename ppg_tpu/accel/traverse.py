@@ -152,8 +152,10 @@ def build_geometry(positions, faces) -> GeometryArrays:
 
     rows = np.asarray(bvh["rows"], np.float32)
     wide = int(bvh.get("wide", 16))
-    # round up to multiples of 8 to bound recompiles across scenes
-    depth = ((_bvh8_depth(rows, wide) + 2 + 7) // 8) * 8
+    # the walk pushes up to TWO entries per internal level (a direct
+    # second-nearest child + the parent's remaining mask); round up to
+    # multiples of 8 to bound recompiles across scenes
+    depth = ((2 * _bvh8_depth(rows, wide) + 2 + 7) // 8) * 8
     return GeometryArrays(
         jnp.asarray(tri),
         jnp.asarray(rows),
@@ -302,6 +304,7 @@ def bvh_state_init(L, SD, active):
         pend=jnp.zeros(L, jnp.int32),
         nstack=jnp.zeros((L, SD), jnp.int32),
         mstack=jnp.zeros((L, SD), jnp.int32),
+        tstack=jnp.zeros((L, SD), jnp.float32),
         sp=jnp.zeros(L, jnp.int32),
         best_t=jnp.full(L, INF),
         best_i=jnp.full(L, -1, jnp.int32),
@@ -339,9 +342,14 @@ def bvh_step_factory(geom: GeometryArrays, o, d, t_min, t_max, stopm=None,
     while_loop AND by budgeted steppers that interleave traversal windows
     with shading (integrators/regen.py's segment machine).
 
-    This XLA body is the CPU / odd-shape path and the semantics referee;
-    the TPU fast path is the packed Pallas step (accel/pallas_step.py,
-    see packed_step_factory below)."""
+    Pop entries are either a PARENT revisit (node + pending mask of
+    children not yet visited, re-slab-tested against the tightened
+    best_t) or a DIRECT second-nearest child (info + its entry tn,
+    mask 0): the direct entry descends without re-gathering the parent
+    row — since the gather IS the per-step cost, every 2-children-hit
+    node (the common case) saves one full step. Direct entries whose
+    stored tn exceeds best_t at pop time are discarded for free (one
+    unrolled extra pop)."""
     L = o.shape[0]
     ox, oy, oz = (a[:, None] for a in _components(o))   # [L,1]
     dx, dy, dz = (a[:, None] for a in _components(d))
@@ -356,6 +364,7 @@ def bvh_step_factory(geom: GeometryArrays, o, d, t_min, t_max, stopm=None,
     def body(state):
         cur, leaf, pend = state["cur"], state["leaf"], state["pend"]
         nstack, mstack = state["nstack"], state["mstack"]
+        tstack = state["tstack"]
         sp = state["sp"]
         best_t, best_i = state["best_t"], state["best_i"]
         best_u, best_v = state["best_u"], state["best_v"]
@@ -442,39 +451,68 @@ def bvh_step_factory(geom: GeometryArrays, o, d, t_min, t_max, stopm=None,
         if stopm is not None:
             any_hit = any_hit & ~(stopm & (best_i >= 0))
         rem = hit_mask & ~chosen_bit
-        do_push = any_hit & (rem != 0)
-        sel = iota == sp[:, None]
-        push = sel & do_push[:, None]
-        nstack = jnp.where(push, cur[:, None], nstack)
-        mstack = jnp.where(push, rem[:, None], mstack)
-        sp = jnp.where(do_push, sp + 1, sp)
+        # second-nearest hit child: pushed as a DIRECT entry (mask 0 +
+        # entry tn) so its pop descends without re-gathering the parent
+        tnm2 = jnp.where(hitw & ~seln, tn, INF)
+        kn2 = jnp.argmin(tnm2, axis=1)
+        seln2 = iotaw == kn2[:, None]
+        info2 = jnp.sum(jnp.where(seln2, info16, 0), axis=1)
+        bit2 = jnp.sum(jnp.where(seln2, 1 << iotaw, 0), axis=1)
+        tn2 = jnp.min(tnm2, axis=1)
+        rem2 = rem & ~bit2
+        push_par = any_hit & (rem2 != 0)   # 3+ children: parent revisit
+        push_dir = any_hit & (rem != 0)    # 2+ children: direct second
+        sel_a = iota == sp[:, None]
+        pa = sel_a & push_par[:, None]     # parent below (popped later)
+        nstack = jnp.where(pa, cur[:, None], nstack)
+        mstack = jnp.where(pa, rem2[:, None], mstack)
+        sp = jnp.where(push_par, sp + 1, sp)
+        sel_b = iota == sp[:, None]
+        pb = sel_b & push_dir[:, None]
+        nstack = jnp.where(pb, info2[:, None], nstack)
+        mstack = jnp.where(pb, 0, mstack)
+        tstack = jnp.where(pb, tn2[:, None], tstack)
+        sp = jnp.where(push_dir, sp + 1, sp)
 
         # --- pop ------------------------------------------------------------
         need_pop = active & ~any_hit  # leaf just intersected or no child hit
         if stopm is not None:
             found = active & stopm & (best_i >= 0)
             need_pop = need_pop & ~found
-        can_pop = need_pop & (sp > 0)
-        done = (need_pop & (sp == 0))
+        limit1 = jnp.minimum(best_t, t_max)
+        # a pruned DIRECT top (its subtree cannot beat best_t) is
+        # discarded for free: look one entry deeper this iteration
+        sel1 = iota == (sp - 1)[:, None]
+        m1 = jnp.sum(jnp.where(sel1, mstack, 0), axis=1)
+        t1 = jnp.sum(jnp.where(sel1, tstack, 0.0), axis=1)
+        prune1 = need_pop & (sp > 0) & (m1 == 0) & (t1 > limit1)
+        sp_eff = jnp.where(prune1, sp - 1, sp)
+        can_pop = need_pop & (sp_eff > 0)
+        done = (need_pop & (sp_eff == 0))
         if stopm is not None:
             done = done | found
-        selp = iota == (sp - 1)[:, None]
+        selp = iota == (sp_eff - 1)[:, None]
         top_n = jnp.sum(jnp.where(selp, nstack, 0), axis=1)
         top_m = jnp.sum(jnp.where(selp, mstack, 0), axis=1)
-        sp = jnp.where(can_pop, sp - 1, sp)
+        sp = jnp.where(can_pop, sp_eff - 1, sp_eff)
+
+        is_dir = top_m == 0
+        pop_cur = jnp.where(is_dir, top_n & IDX_MASK, top_n)
+        pop_leaf = is_dir & ((top_n & LEAF_BIT) != 0)
+        pop_pend = jnp.where(is_dir, 0, top_m)
 
         new_cur = jnp.where(
             any_hit, chosen & IDX_MASK,
-            jnp.where(can_pop, top_n, jnp.where(done, -1, cur)))
+            jnp.where(can_pop, pop_cur, jnp.where(done, -1, cur)))
         new_leaf = jnp.where(
             any_hit, (chosen & LEAF_BIT) != 0,
-            jnp.where(can_pop | done, False, leaf))
+            jnp.where(can_pop, pop_leaf, jnp.where(done, False, leaf)))
         new_pend = jnp.where(
-            any_hit, 0, jnp.where(can_pop, top_m, pend))
+            any_hit, 0, jnp.where(can_pop, pop_pend, pend))
 
         out = dict(
             cur=new_cur, leaf=new_leaf, pend=new_pend,
-            nstack=nstack, mstack=mstack, sp=sp,
+            nstack=nstack, mstack=mstack, tstack=tstack, sp=sp,
             best_t=best_t, best_i=best_i, best_u=best_u, best_v=best_v,
             it=state["it"] + 1,
         )
