@@ -666,11 +666,14 @@ class GuidedPathTracer:
                 images.append(image)
                 variances.append(variance)
 
+            # variance extrapolation (guided_path.cpp:1383-1391): divide by
+            # the PRE-subtraction remaining (which still includes this
+            # iteration's passes), THEN subtract
             last_var = cur_var_at_end
-            remaining -= passes_this_iter
             cur_var_at_end = (
                 passes_this_iter * variance / remaining if remaining > 0 else 0.0
             )
+            remaining -= passes_this_iter
 
             if (
                 self.sample_combination == "automatic"
@@ -740,9 +743,14 @@ class GuidedPathTracer:
         start = time.time()
         elapsed = 0.0
 
+        was_final = False
         while elapsed < n_seconds:
             spp_rendered = passes_rendered * self.spp_per_pass
             do_nee = self._do_nee(spp_rendered)
+            # remainingTime is captured BEFORE the iteration renders
+            # (guided_path.cpp:1457), so the extrapolation below divides by
+            # the budget still open at iteration start
+            remaining_time = n_seconds - elapsed
             passes_this_iter = 1 << it
             log(f"ITERATION {it}, {passes_this_iter} passes (time budget)")
 
@@ -766,7 +774,8 @@ class GuidedPathTracer:
                 variances.append(variance)
 
             seconds_iter = time.time() - iter_start
-            remaining_time = n_seconds - (time.time() - start)
+            # extrapolation order matches guided_path.cpp:1475-1481: divide
+            # by the iteration-start remainingTime, THEN subtract secondsIter
             last_var = cur_var_at_end
             cur_var_at_end = (
                 seconds_iter * variance / remaining_time
@@ -781,22 +790,23 @@ class GuidedPathTracer:
                      or (spp_rendered > 256 and cur_var_at_end > last_var))
             ):
                 log(f"FINAL {remaining_time:.1f} seconds")
-                while time.time() - start < n_seconds:
+                was_final = True
+                # do-while (:1494-1500): always at least one extension batch
+                while True:
                     sdtree, film_buf, image, variance = self._render_passes(
                         passes_this_iter, sdtree, is_built, do_nee, True,
                         film_buf, seed_base=seed * 7919 + 1000 * it
                         + passes_rendered,
                     )
                     passes_rendered += passes_this_iter
-                if self.sample_combination == "inversevar":
-                    images.append(image)
-                    variances.append(variance)
+                    if time.time() - start >= n_seconds:
+                        break
 
             self.host_tree.pull(sdtree)
             self.host_tree.build()
             sdtree = self._push()
             is_built = True
-            if self.dump_sdtree:
+            if self.dump_sdtree and not was_final:
                 self._dump(it)
             it += 1
             elapsed = time.time() - start
