@@ -56,6 +56,39 @@ class HostSDTree:
         self.opt_bgrad = np.zeros(1)
         self.opt_bweight = np.zeros(1)
 
+        # ping-pong buffer pool for the big per-node arrays: this class
+        # reallocates pool-sized arrays every iteration, and on hosts
+        # with slow first-touch page faults (observed ~60 MB/s here) the
+        # refaulting of freed mmap'd arenas dominates refine/reset/build
+        # at production tree sizes. Each key alternates between two
+        # power-of-two-capacity slots, so a newly produced array never
+        # aliases the immediately-preceding one of the same kind (the
+        # only liveness window the topology code has).
+        self._pool = {}
+        self._pp = {}
+
+    def _alloc(self, key, shape, dtype):
+        n = int(np.prod(shape))
+        slot = self._pp[key] = 1 - self._pp.get(key, 0)
+        cur = self._pool.get((key, slot))
+        if cur is None or cur.dtype != np.dtype(dtype) or cur.size < n:
+            cap = 256
+            while cap < n:
+                cap *= 2
+            # grow BOTH slots together and pre-touch them: faulting in
+            # brand-new pages measures ~45 MB/s on this host while
+            # re-touching pooled pages runs at memory bandwidth, so the
+            # fault cost must be paid here (once per capacity doubling),
+            # never inside the steady-state iteration path.
+            for s in (slot, 1 - slot):
+                buf = self._pool.get((key, s))
+                if buf is None or buf.dtype != np.dtype(dtype) or buf.size < cap:
+                    buf = np.empty(cap, dtype)
+                    buf[:: max(4096 // buf.itemsize, 1)] = 0  # touch each page
+                    self._pool[(key, s)] = buf
+            cur = self._pool[(key, slot)]
+        return cur[:n].reshape(shape)
+
     # -- accounting ----------------------------------------------------------
 
     @property
@@ -165,14 +198,58 @@ class HostSDTree:
     # -- build (end of iteration): sums up, copy building -> sampling --------
 
     def build(self):
-        """QuadTreeNode::build + DTree::build + DTreeWrapper::build."""
-        cnt = len(self.qb_sum)
-        # node depths: children always have larger indices within a slab;
-        # propagate bottom-up by iterating levels via topological order.
-        depth = self._node_depths(self.qb_child, self.b_off, self.b_cnt)
-        maxd = depth.max() if cnt else 0
-        for lev in range(int(maxd), 0, -1):
-            nodes = np.nonzero(depth == lev - 1)[0]
+        """QuadTreeNode::build + DTree::build + DTreeWrapper::build.
+
+        Native single-pass kernel when the toolchain is available;
+        otherwise the per-level numpy path (using the node lists cached
+        by the last reset when valid — topology is frozen in between)."""
+        from .native import get_lib
+
+        lib = get_lib()
+        if lib is not None:
+            import ctypes
+
+            N, T = len(self.qb_sum), self.num_dtrees
+            qb_sum = np.ascontiguousarray(self.qb_sum, np.float64)
+            qb_child = np.ascontiguousarray(self.qb_child, np.int64)
+            b_off = np.ascontiguousarray(self.b_off, np.int64)
+            b_cnt = np.ascontiguousarray(self.b_cnt, np.int64)
+            sum_s = np.zeros(T)
+            maxdepth = np.zeros(T, np.int64)
+            p = lambda a, t: a.ctypes.data_as(ctypes.POINTER(t))
+            f64, i64 = ctypes.c_double, ctypes.c_int64
+            lib.ppg_sdt_build(N, T, p(qb_sum, f64), p(qb_child, i64),
+                              p(b_off, i64), p(b_cnt, i64), p(sum_s, f64),
+                              p(maxdepth, i64))
+            self.qb_sum = qb_sum
+            self.sum_s = sum_s
+            qs_sum = self._alloc("qs_sum", qb_sum.shape, np.float64)
+            np.copyto(qs_sum, qb_sum)
+            self.qs_sum = qs_sum
+            qs_child = self._alloc("qs_child", qb_child.shape, np.int64)
+            np.copyto(qs_child, qb_child)
+            self.qs_child = qs_child
+            self.s_off = self.b_off.copy()
+            self.s_cnt = self.b_cnt.copy()
+            self.statw_s = self.statw_b.copy()
+            self.maxdepth = maxdepth
+            return
+
+        levels = getattr(self, "_levels", None)
+        if levels is not None:
+            counts = self._level_counts
+            maxdepth = np.ones(self.num_dtrees, np.int64)
+            for l, c in enumerate(counts):
+                maxdepth = np.where(c > 0, l + 1, maxdepth)
+        else:
+            depth = self._node_depths(self.qb_child, self.b_off, self.b_cnt)
+            maxd = int(depth.max()) if len(depth) else 0
+            levels = [np.nonzero(depth == lev)[0] for lev in range(maxd + 1)]
+            maxdepth = self._tree_maxdepth(depth, self.b_cnt)
+
+        # bottom-up: internal node sums become their children's totals
+        # (QuadTreeNode::build, guided_path.cpp:346-366)
+        for nodes in reversed(levels[:-1]):
             if len(nodes) == 0:
                 continue
             ch = self.qb_child[nodes]  # [n,4]
@@ -186,12 +263,16 @@ class HostSDTree:
         self.sum_s = self.qb_sum[roots].sum(axis=-1)
 
         # sampling = building (DTreeWrapper::build, :610-617)
-        self.qs_sum = self.qb_sum.copy()
-        self.qs_child = self.qb_child.copy()
+        qs_sum = self._alloc("qs_sum", self.qb_sum.shape, self.qb_sum.dtype)
+        np.copyto(qs_sum, self.qb_sum)
+        self.qs_sum = qs_sum
+        qs_child = self._alloc("qs_child", self.qb_child.shape, np.int64)
+        np.copyto(qs_child, self.qb_child)
+        self.qs_child = qs_child
         self.s_off = self.b_off.copy()
         self.s_cnt = self.b_cnt.copy()
         self.statw_s = self.statw_b.copy()
-        self.maxdepth = self._tree_maxdepth(depth, self.b_cnt)
+        self.maxdepth = maxdepth
 
     def distribution_stats(self):
         """Per-iteration SD-tree distribution statistics, matching the
@@ -269,40 +350,56 @@ class HostSDTree:
     def _stree_refine(self, samples_required, max_mb):
         if max_mb >= 0 and self.approx_memory_mb() >= max_mb:
             return
-        # stack walk; leaves with building statweight > threshold subdivide,
-        # children inherit a copy of the dtree with halved statweight
-        copies = []  # (source dtree, halvings) per NEW dtree
-        stack = [0]
-        s_child = self.s_child.tolist()
-        s_dtree = self.s_dtree.tolist()
-        statw = self.statw_b.copy().tolist()
-        dtree_src = list(range(self.num_dtrees))
-        while stack:
-            idx = stack.pop()
-            if s_dtree[idx] >= 0:
-                t = s_dtree[idx]
-                if statw[t] > samples_required and len(s_child) < 2**31 - 3:
-                    # subdivide: two children copy dtree t
-                    for i in range(2):
-                        s_child.append([-1, -1])
-                        new_t = len(statw)
-                        s_dtree.append(new_t)
-                        statw.append(statw[t] / 2)
-                        dtree_src.append(dtree_src[t])
-                        s_child[idx][i] = len(s_child) - 1
-                    s_dtree[idx] = -1
-                    stack.extend(s_child[idx])
-            else:
-                stack.extend(s_child[idx])
+        # Level-synchronous vectorized subdivision (the reference's DFS at
+        # guided_path.cpp:957-998 pushes split children back on its stack;
+        # splitting every over-threshold leaf per level until none remain
+        # produces the identical topology since children inherit exactly
+        # half the statweight). Node numbering differs from a DFS, but the
+        # final compaction below orders dtrees by leaf node index either
+        # way.
+        s_child = self.s_child
+        s_dtree = self.s_dtree.copy()
+        statw = self.statw_b.copy()
+        dtree_src = np.arange(self.num_dtrees, dtype=np.int64)
+        frontier = np.nonzero(s_dtree >= 0)[0]
+        while len(frontier):
+            t = s_dtree[frontier]
+            can = statw[t] > samples_required
+            if not can.any() or len(s_child) >= 2**31 - 3:
+                break
+            split = frontier[can]
+            ts = t[can]
+            k = len(split)
+            base_node = len(s_child)
+            kids = base_node + np.arange(2 * k, dtype=np.int64)
+            s_child = np.concatenate(
+                [s_child, np.full((2 * k, 2), -1, np.int64)])
+            s_child[split, 0] = kids[0::2]
+            s_child[split, 1] = kids[1::2]
+            new_t = len(statw) + np.arange(2 * k, dtype=np.int64)
+            s_dtree = np.concatenate([s_dtree, new_t])
+            s_dtree[split] = -1
+            # children inherit a copy of the dtree with halved statweight
+            # (STreeNode::subdivide, :876-895)
+            statw = np.concatenate([statw, np.repeat(statw[ts] / 2, 2)])
+            dtree_src = np.concatenate(
+                [dtree_src, np.repeat(dtree_src[ts], 2)])
+            frontier = kids
 
-        self.s_child = np.array(s_child, np.int64).reshape(-1, 2)
-        s_dtree = np.array(s_dtree, np.int64)
+        self.s_child = s_child
 
         # compact dtrees: keep only leaves' dtrees, in leaf order
         leaf_nodes = np.nonzero(s_dtree >= 0)[0]
         old_ids = s_dtree[leaf_nodes]
-        src = np.array(dtree_src, np.int64)[old_ids]
-        new_statw = np.array(statw)[old_ids]
+        src = dtree_src[old_ids]
+        new_statw = statw[old_ids]
+
+        if len(src) == self.num_dtrees and (src == np.arange(len(src))).all():
+            # no splits: topology and slab layout are unchanged, skip the
+            # full-pool regather (the steady-state case once the tree has
+            # converged — every iteration calls refine regardless)
+            self.statw_b = new_statw
+            return
 
         # rebuild pools by gathering source slabs
         self._gather_dtrees(src, new_statw)
@@ -312,27 +409,64 @@ class HostSDTree:
     def _gather_dtrees(self, src, new_statw_b):
         """Recreate per-dtree slabs for the new dtree list `src` (source
         dtree row per new dtree), remapping global child indices."""
+        from .native import get_lib
 
-        def regather(off, cnt, q_sum, q_child):
+        lib = get_lib()
+
+        def regather_native(off, cnt, q_sum, q_child, key):
+            import ctypes
+
             n_cnt = cnt[src]
             n_off = np.concatenate([[0], np.cumsum(n_cnt)[:-1]])
             total = int(n_cnt.sum())
-            ns = np.zeros((total, 4), q_sum.dtype)
-            nc = np.full((total, 4), -1, np.int64)
-            for i, s in enumerate(src):
-                o, c, no = off[s], cnt[s], n_off[i]
-                ns[no : no + c] = q_sum[o : o + c]
-                blk = q_child[o : o + c]
-                nc[no : no + c] = np.where(blk >= 0, blk - o + no, -1)
+            q_sum = np.ascontiguousarray(q_sum, np.float64)
+            q_child = np.ascontiguousarray(q_child, np.int64)
+            srcc = np.ascontiguousarray(src, np.int64)
+            offc = np.ascontiguousarray(off, np.int64)
+            cntc = np.ascontiguousarray(cnt, np.int64)
+            noffc = np.ascontiguousarray(n_off, np.int64)
+            ns = self._alloc(key + "_sum", (total, 4), np.float64)
+            nc = self._alloc(key + "_child", (total, 4), np.int64)
+            p = lambda a, t: a.ctypes.data_as(ctypes.POINTER(t))
+            f64, i64 = ctypes.c_double, ctypes.c_int64
+            lib.ppg_sdt_regather(len(src), p(srcc, i64), p(offc, i64),
+                                 p(cntc, i64), p(q_sum, f64), p(q_child, i64),
+                                 p(noffc, i64), p(ns, f64), p(nc, i64))
+            return n_off, n_cnt, ns, nc
+
+        def regather(off, cnt, q_sum, q_child, key):
+            if lib is not None:
+                return regather_native(off, cnt, q_sum, q_child, key)
+            # flat gather: element i of the new pool reads source slab
+            # row off[src[seg]] + (i - n_off[seg]); child links shift by
+            # (new slab start - old slab start)
+            n_cnt = cnt[src]
+            n_off = np.concatenate([[0], np.cumsum(n_cnt)[:-1]])
+            total = int(n_cnt.sum())
+            src_off = np.repeat(off[src], n_cnt)
+            seg_start = np.repeat(n_off, n_cnt)
+            src_idx = src_off + (np.arange(total, dtype=np.int64) - seg_start)
+            # mode="clip" skips numpy's per-element bounds check, which is
+            # ~60x slower than the gather itself; src_idx is in range by
+            # construction (slab offsets + within-slab ranks)
+            ns = self._alloc(key + "_sum", (total, 4), q_sum.dtype)
+            np.take(q_sum, src_idx, axis=0, out=ns, mode="clip")
+            blk = self._alloc(key + "_scratch", (total, 4), np.int64)
+            np.take(q_child, src_idx, axis=0, out=blk, mode="clip")
+            nc = self._alloc(key + "_child", (total, 4), np.int64)
+            np.subtract(seg_start, src_off, out=seg_start)
+            np.add(blk, seg_start[:, None], out=nc)
+            np.copyto(nc, -1, where=blk < 0)
             return n_off, n_cnt, ns, nc
 
         self.b_off, self.b_cnt, self.qb_sum, self.qb_child = regather(
-            self.b_off, self.b_cnt, self.qb_sum, self.qb_child
+            self.b_off, self.b_cnt, self.qb_sum, self.qb_child, "qb"
         )
         self.s_off, self.s_cnt, self.qs_sum, self.qs_child = regather(
-            self.s_off, self.s_cnt, self.qs_sum, self.qs_child
+            self.s_off, self.s_cnt, self.qs_sum, self.qs_child, "qs"
         )
         self.statw_b = new_statw_b
+        self._levels = None  # node numbering changed; reset re-caches
         self.statw_s = self.statw_s[src]
         self.sum_s = self.sum_s[src]
         self.maxdepth = self.maxdepth[src]
@@ -344,27 +478,74 @@ class HostSDTree:
         topology refines the sampling tree wherever a quadrant carries more
         than `threshold` of the tree's total energy (fraction 0.25^depth
         when the total is zero), subdividing virtually past old leaves with
-        sum/4 inheritance; max depth 20; all sums zeroed afterwards."""
+        sum/4 inheritance; max depth 20; all sums zeroed afterwards.
+
+        Dispatches to the native kernel (guiding/native/sdtree_host.cpp)
+        when available; the numpy fallback below produces the identical
+        node numbering (asserted by tests/test_host_scalability.py).
+
+        The per-level tree-id array stays SORTED (level 0 is arange(T);
+        children are emitted in row-major (node, quadrant) order), so the
+        final per-dtree-slab node numbering — by tree, then level, then
+        within-level creation order, identical to a stable argsort of the
+        concatenated levels — is computed arithmetically from bincounts:
+        final(node) = slab_off[tree] + nodes_in_earlier_levels[tree] +
+        rank_within_level(tree). No argsort/remap over the whole pool
+        (profiled 123 s -> <1 s at 22M nodes / 262k dtrees)."""
         T = self.num_dtrees
         totals = self.sum_s  # previous tree total (root sum)
 
-        # frontier: the nodes created at the previous level
-        cur_dtree = np.arange(T)
-        cur_src = self.s_off.copy()  # real source nodes (or -1 = virtual)
-        cur_sums = self.qs_sum[cur_src].copy()
+        from .native import get_lib
 
-        levels_dtree = []  # per level: dtree id of each node
-        levels_children = []  # per level: [n,4] temp child ids (-1 leaf)
-        next_tmp = T
+        lib = get_lib()
+        if lib is not None:
+            import ctypes
+
+            tot = np.ascontiguousarray(totals, np.float64)
+            s_off = np.ascontiguousarray(self.s_off, np.int64)
+            qs_sum = np.ascontiguousarray(self.qs_sum, np.float64)
+            qs_child = np.ascontiguousarray(self.qs_child, np.int64)
+            p = lambda a, t: a.ctypes.data_as(ctypes.POINTER(t))
+            f64, i64 = ctypes.c_double, ctypes.c_int64
+            N = lib.ppg_sdt_reset(T, p(tot, f64), p(s_off, i64),
+                                  p(qs_sum, f64), p(qs_child, i64),
+                                  float(threshold), MAX_Q_DEPTH, UINT16_CAP)
+            qb_child = self._alloc("qb_child", (N, 4), np.int64)
+            cnt = np.empty(T, np.int64)
+            lib.ppg_sdt_reset_copy(p(qb_child, i64), p(cnt, i64))
+            self.b_cnt = cnt
+            self.b_off = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+            qb_sum = self._alloc("qb_sum", (N, 4), np.float64)
+            qb_sum.fill(0.0)
+            self.qb_sum = qb_sum
+            self.qb_child = qb_child
+            self.statw_b = np.zeros(T)
+            self._levels = None
+            return
+
+        # frontier: the nodes created at the previous level
+        cur_dtree = np.arange(T, dtype=np.int64)
+        cur_src = self.s_off.copy()  # real source nodes (or -1 = virtual)
+        cur_sums = self.qs_sum[cur_src]
+
+        level_tree = []    # per level: sorted dtree id per node
+        level_rank = []    # per level: rank of each node within its dtree
+        level_sub = []     # per level: (rows, quads) of subdivided quadrants
+        counts = []        # per level: [T] nodes per dtree
         per_tree_count = np.ones(T, np.int64)
+        empty = (np.zeros(0, np.int64), np.zeros(0, np.int64))
 
         depth = 1
         while True:
             n_cur = len(cur_dtree)
-            cur_children = np.full((n_cur, 4), -1, np.int64)
+            cl = np.bincount(cur_dtree, minlength=T)
+            starts = np.concatenate([[0], np.cumsum(cl)[:-1]])
+            level_tree.append(cur_dtree)
+            level_rank.append(np.arange(n_cur, dtype=np.int64)
+                              - starts[cur_dtree])
+            counts.append(cl)
             if depth >= MAX_Q_DEPTH or n_cur == 0:
-                levels_dtree.append(cur_dtree)
-                levels_children.append(cur_children)
+                level_sub.append(empty)
                 break
 
             tot = totals[cur_dtree]
@@ -375,24 +556,20 @@ class HostSDTree:
             )
             sub = frac > threshold  # [n,4]
             # respect the 65535-node cap per dtree (:499-503)
-            add_cnt = np.zeros(T, np.int64)
-            np.add.at(add_cnt, cur_dtree, sub.sum(axis=1))
+            add_cnt = np.bincount(
+                cur_dtree, weights=sub.sum(axis=1), minlength=T
+            ).astype(np.int64)
             over = (per_tree_count + add_cnt) > UINT16_CAP
             if over.any():
                 sub &= ~over[cur_dtree][:, None]
-                add_cnt = np.zeros(T, np.int64)
-                np.add.at(add_cnt, cur_dtree, sub.sum(axis=1))
+                add_cnt = np.bincount(
+                    cur_dtree, weights=sub.sum(axis=1), minlength=T
+                ).astype(np.int64)
             per_tree_count += add_cnt
 
-            n_new = int(sub.sum())
-            rows, quads = np.nonzero(sub)
-            new_ids = next_tmp + np.arange(n_new)
-            next_tmp += n_new
-            cur_children[rows, quads] = new_ids
-
-            levels_dtree.append(cur_dtree)
-            levels_children.append(cur_children)
-            if n_new == 0:
+            rows, quads = np.nonzero(sub)  # row-major: stays tree-sorted
+            level_sub.append((rows, quads))
+            if len(rows) == 0:
                 break
 
             # child source nodes in the old sampling tree; virtual children
@@ -414,49 +591,68 @@ class HostSDTree:
             cur_sums = new_sums
             depth += 1
 
-        dtree_all = np.concatenate(levels_dtree)
-        children_all = np.concatenate(levels_children, axis=0)
-        N = len(dtree_all)
-
-        # renumber: per-dtree contiguous slabs, stable creation order inside
-        order = np.argsort(dtree_all, kind="stable")
-        remap = np.empty(N, np.int64)
-        remap[order] = np.arange(N)
-        new_children = np.where(children_all >= 0, remap[np.maximum(children_all, 0)], -1)
-        new_children = new_children[order]
-
-        cnt = np.bincount(dtree_all, minlength=T)
+        cnt = np.zeros(T, np.int64)
+        for c in counts:
+            cnt += c
         off = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        N = int(cnt.sum())
+
+        qb_child = self._alloc("qb_child", (N, 4), np.int64)
+        qb_child.fill(-1)
+        node_levels = []  # final pool index per node, per level
+        before = np.zeros(T, np.int64)  # nodes of this tree in levels < l
+        for l in range(len(level_tree)):
+            t_l = level_tree[l]
+            node_final = off[t_l] + before[t_l] + level_rank[l]
+            rows, quads = level_sub[l]
+            before = before + counts[l]
+            if len(rows):
+                ct = t_l[rows]
+                # children of level-l nodes ARE level l+1, in the same order
+                child_final = off[ct] + before[ct] + level_rank[l + 1]
+                qb_child[node_final[rows], quads] = child_final
+            node_levels.append(node_final)
 
         self.b_off, self.b_cnt = off, cnt
-        self.qb_sum = np.zeros((N, 4))
-        self.qb_child = new_children
+        qb_sum = self._alloc("qb_sum", (N, 4), np.float64)
+        qb_sum.fill(0.0)
+        self.qb_sum = qb_sum
+        self.qb_child = qb_child
         self.statw_b = np.zeros(T)
+        # level cache: build() consumes it right after the render passes
+        # (topology is frozen in between); refine invalidates it
+        self._levels = node_levels
+        self._level_counts = counts
 
     # -- .sdt dump -------------------------------------------------------------
 
     def leaf_boxes(self):
-        """(pos, size) world-space box per spatial leaf, by dtree id."""
+        """(pos, size) world-space box per spatial leaf, by dtree id.
+        Iterative level-BFS (the split axis cycles x->y->z per DEPTH, so a
+        whole frontier level shares one axis); no recursion limit games at
+        production tree sizes."""
         out_pos = np.zeros((self.num_dtrees, 3))
         out_size = np.zeros((self.num_dtrees, 3))
-
-        def walk(node, lo, size, axis):
-            t = self.s_dtree[node]
-            if t >= 0:
-                out_pos[t] = lo
-                out_size[t] = size
-                return
-            h = size.copy()
-            h[axis] /= 2
-            walk(self.s_child[node, 0], lo, h, (axis + 1) % 3)
-            lo2 = lo.copy()
-            lo2[axis] += h[axis]
-            walk(self.s_child[node, 1], lo2, h, (axis + 1) % 3)
-
-        import sys
-
-        old = sys.getrecursionlimit()
-        sys.setrecursionlimit(max(old, len(self.s_child) + 100))
-        walk(0, self.aabb_min.copy(), np.full(3, self.aabb_size), 0)
-        sys.setrecursionlimit(old)
+        nodes = np.array([0], np.int64)
+        lo = self.aabb_min[None, :].copy()
+        size = np.full((1, 3), self.aabb_size)
+        axis = 0
+        while len(nodes):
+            t = self.s_dtree[nodes]
+            leaf = t >= 0
+            out_pos[t[leaf]] = lo[leaf]
+            out_size[t[leaf]] = size[leaf]
+            internal = ~leaf
+            if not internal.any():
+                break
+            n = nodes[internal]
+            l0 = lo[internal]
+            h = size[internal].copy()
+            h[:, axis] /= 2
+            l1 = l0.copy()
+            l1[:, axis] += h[:, axis]
+            nodes = np.concatenate([self.s_child[n, 0], self.s_child[n, 1]])
+            lo = np.concatenate([l0, l1])
+            size = np.concatenate([h, h])
+            axis = (axis + 1) % 3
         return out_pos, out_size
