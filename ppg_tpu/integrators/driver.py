@@ -38,6 +38,10 @@ def make_config(sc, **overrides) -> PTConfig:
         bsdf_fraction=float(ip.get("bsdfSamplingFraction", 0.5)),
         has_env=sc.env_emitter is not None,
         has_tex=bool(sc.textures is not None and sc.textures.specs),
+        has_tex_opacity=bool(
+            sc.materials is not None
+            and np.any(np.asarray(sc.materials.tex_opacity) >= 0)
+        ),
         has_mask=bool(
             sc.materials is not None
             and np.any(np.asarray(sc.materials.mtype) == MAT_MASK)
@@ -106,21 +110,27 @@ def _render_chunk(scene, cfg, sensor, film, chunk, buffers, key, pix_start,
     return buffers, out["vertices"]
 
 
-@partial(jax.jit, static_argnames=("cfg", "sensor", "L"),
+@partial(jax.jit,
+         static_argnames=("cfg", "sensor", "L", "n_film", "n_blocks",
+                          "n_slots"),
          donate_argnames=("carry",))
 def _regen_dispatch(scene, cfg, key, salt, sensor, pix_start, L, spp, K,
-                    carry, it_base):
+                    carry, it_base, qstart=None, qend=None, n_film=None,
+                    n_blocks=1, n_slots=16):
     # K is a traced while_loop bound here (cfg.record_vertices must be
     # False — the record-stacking scan needs a static K). The per-chunk
     # key derivation (fold_in) happens INSIDE the jit: an eager fold_in
     # per dispatch costs a device round-trip on the TPU tunnel (~10+ ms)
     # and serializes the dispatch pipeline. Callers pass plain numpy
     # scalars for salt/pix_start/spp/K/it_base for the same reason.
+    # qstart/qend/n_film switch on pixel-queue mode (see trace_regen).
     from .regen import trace_regen
 
     key = jax.random.fold_in(key, salt)
     return trace_regen(scene, cfg, key, sensor, pix_start, L, spp, K,
-                       carry=carry, it_base=it_base)
+                       carry=carry, it_base=it_base,
+                       qstart=qstart, qend=qend, n_film=n_film,
+                       n_blocks=n_blocks, n_slots=n_slots)
 
 
 def regen_eligible(sc, cfg):
@@ -134,30 +144,65 @@ def regen_eligible(sc, cfg):
 
 
 def render_regen(sc, spp, seed=0, chunk=1 << 16, cfg=None, scene_dev=None,
-                 K=None):
+                 K=None, queue=True):
     """Render with the persistent-wavefront regenerative tracer
-    (integrators/regen.py): one dispatch per chunk renders ALL spp with
-    near-full lane utilization. Requires the box rfilter (jitter within
+    (integrators/regen.py). Requires the box rfilter (jitter within
     the pixel), independent sampler, and a media-free scene — callers
-    fall back to render() otherwise."""
+    fall back to render() otherwise.
+
+    queue=True (default): the whole image is one shared pixel queue
+    served by a `chunk`-lane pool — lanes that finish a pixel's spp
+    claim the next unrendered pixel, so occupancy stays near 1 until
+    the global tail (measured 3x+ over the fixed binding on kitchen).
+    queue=False keeps the legacy fixed lane<->pixel chunks (used by the
+    equal-seed agreement tests)."""
     dev = scene_dev if scene_dev is not None else DeviceScene.from_scene(sc)
     cfg = cfg or make_config(sc, guiding=False)
     W, H = sc.film["width"], sc.film["height"]
     sensor = make_sensor(sc.sensor, sc.film)
-    # unguided: the while_loop inside trace_regen exits as soon as every
-    # lane finishes, so K is just a generous watchdog bound and a chunk
-    # is ONE dispatch; the continuation loop below is a safety net
-    K = K or (spp * 24 + 64)
+    n_pix = W * H
+    base = jax.random.key(seed)
+    spp_t = np.int32(spp)
 
     def run(key, salt, **kw):
         return _regen_dispatch(dev, cfg, key, salt, **kw)
 
-    n_pix = W * H
+    if queue:
+        n_chunks = (n_pix + chunk - 1) // chunk
+        # per-dispatch watchdog bound: capped so one dispatch stays well
+        # under the TPU kernel watchdog; the while_loop exits early on
+        # queue exhaustion, extra dispatches continue the carry
+        need = n_chunks * (spp * 24 + 64)
+        K = K or min(need, 4000)
+        # sample-block items shorten the drain tail to ~one block's
+        # duration (8 samples x path length) at queue exhaustion; a lane
+        # that banks QUEUE_SLOTS blocks stalls until the next dispatch
+        # drains its slots, so budget extra dispatches for that
+        n_blocks = max(1, (spp + 7) // 8)
+        # size the slot buffers for the expected items per lane so a
+        # dispatch almost never stalls on full slots
+        n_slots = int(min(np.ceil(n_pix * n_blocks / chunk) + 4, 96))
+        max_disp = need // K + spp // 8 + 8
+        carry = None
+        for i in range(max_disp):
+            out, carry = run(
+                base, np.int32(i), sensor=sensor, pix_start=np.int32(0),
+                L=chunk, spp=spp_t, K=np.int32(K), carry=carry,
+                it_base=np.int32(i * K), qstart=np.int32(0),
+                qend=np.int32(n_pix * n_blocks), n_film=n_pix + 1,
+                n_blocks=n_blocks, n_slots=n_slots)
+            if bool(out["all_done"]):
+                break
+        film = np.asarray(carry["film"])[:n_pix]
+        rgb = film[:, :3].reshape(H, W, 3)
+        wsum = film[:, 6].reshape(H, W)
+        return rgb / np.maximum(wsum, 1e-20)[..., None]
+
+    # legacy fixed-binding path: one dispatch chain per pixel chunk
+    K = K or (spp * 24 + 64)
     rgb = np.zeros((((n_pix + chunk - 1) // chunk) * chunk, 3), np.float32)
     wsum = np.zeros(rgb.shape[0], np.float32)
-    base = jax.random.key(seed)
     max_disp = (spp * 24) // K + 8
-    spp_t = np.int32(spp)
     K_t = np.int32(K)
     for c in range((n_pix + chunk - 1) // chunk):
         carry = None

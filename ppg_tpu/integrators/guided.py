@@ -281,23 +281,42 @@ def _guided_mesh_pass(scene, cfg, sensor, sdtree, key, salt0, L, spp, K,
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "sensor", "L"),
+    static_argnames=("cfg", "sensor", "L", "n_film", "n_blocks",
+                     "n_slots"),
     donate_argnames=("carry",),
 )
 def _guided_regen_step(scene, cfg, sensor, sdtree, key, salt, pix_start, L,
-                       spp, K, carry, it_base):
+                       spp, K, carry, it_base, qstart=None, qend=None,
+                       n_film=None, n_blocks=1, n_slots=16):
     """One record-free continuation dispatch of the regenerative tracer
-    for one chunk (early-exit while_loop inside trace_regen). The
-    returned carry keeps in-flight samples alive across dispatches so
-    nothing is discarded — a fixed window would drop a length-biased
-    set of samples (built-tree guided RR survives at 0.99, so long
-    paths dominate the tail)."""
+    (early-exit while_loop inside trace_regen). The returned carry keeps
+    in-flight samples alive across dispatches so nothing is discarded —
+    a fixed window would drop a length-biased set of samples
+    (built-tree guided RR survives at 0.99, so long paths dominate the
+    tail). With qstart/qend/n_film the L lanes serve the whole image as
+    a shared pixel queue (see trace_regen) — the production path."""
     from .regen import trace_regen
 
     k = jax.random.fold_in(key, salt)
     out, carry = trace_regen(scene, cfg, k, sensor, pix_start, L, spp, K,
-                             sdtree=sdtree, carry=carry, it_base=it_base)
+                             sdtree=sdtree, carry=carry, it_base=it_base,
+                             qstart=qstart, qend=qend, n_film=n_film,
+                             n_blocks=n_blocks, n_slots=n_slots)
     return out["all_done"], carry
+
+
+@partial(jax.jit, donate_argnames=("img_buf", "sq_buf"))
+def _accum_film(img_buf, sq_buf, film):
+    """Fold a pixel-queue device film [n_pix + 1, 8] (rgb, rgb^2, count)
+    into the flat box-filter buffers (padded to a chunk multiple)."""
+    n_pix = film.shape[0] - 1
+    pad = img_buf[0].shape[0] - n_pix
+    rgb = jnp.concatenate([film[:-1, :3], jnp.zeros((pad, 3))], 0)
+    sq = jnp.concatenate([film[:-1, 3:6], jnp.zeros((pad, 3))], 0)
+    w = jnp.concatenate([film[:-1, 6], jnp.zeros(pad)], 0)
+    img_buf = (img_buf[0] + rgb, img_buf[1] + w)
+    sq_buf = (sq_buf[0] + sq, sq_buf[1] + w)
+    return img_buf, sq_buf
 
 
 @partial(jax.jit, static_argnames=("L",),
@@ -510,29 +529,31 @@ class GuidedPathTracer:
             from .regen import iterations_for
 
             N = n_passes * self.spp_per_pass
-            total_K = iterations_for(N, cfg.max_depth, cfg.rr_depth,
-                                     built_rr=cfg.is_built and cfg.guiding)
-            K = np.int32(min(total_K, 256 * 24 + 64))
-            max_disp = total_K // int(K) + 8
-            for c in range(n_chunks):
-                carry = None
-                prev_done = None
-                for i in range(max_disp):
-                    done_f, carry = _guided_regen_step(
-                        self.scene_dev, cfg, self.sensor, sdtree, base,
-                        np.int32(c * max_disp + i),
-                        np.int32(c * self.chunk), self.chunk,
-                        np.int32(N), K, carry, np.int32(i * int(K)))
-                    # overlapped termination check (see render_regen)
-                    if prev_done is not None and bool(prev_done):
-                        break
-                    prev_done = done_f
-                img_buf, sq_buf = _accum_regen(
-                    img_buf, sq_buf, carry, np.int32(c * self.chunk),
-                    self.chunk)
-                n_rays += int(np.asarray(carry["n_rays"]))
-                n_verts += int(np.asarray(carry["vsum"]))
-                n_samples += int(np.asarray(carry["done"]).sum())
+            n_pix = W * H
+            total_K = n_chunks * iterations_for(
+                N, cfg.max_depth, cfg.rr_depth,
+                built_rr=cfg.is_built and cfg.guiding)
+            K = np.int32(min(total_K, 4000))
+            n_blocks = max(1, (N + 7) // 8)
+            n_slots = int(min(
+                np.ceil(n_pix * n_blocks / self.chunk) + 4, 96))
+            # slot-full stalls bound the useful iterations per dispatch
+            # at n_slots blocks per lane; extra dispatches continue
+            max_disp = total_K // int(K) + N // 8 + 8
+            carry = None
+            for i in range(max_disp):
+                done_f, carry = _guided_regen_step(
+                    self.scene_dev, cfg, self.sensor, sdtree, base,
+                    np.int32(i), np.int32(0), self.chunk,
+                    np.int32(N), K, carry, np.int32(i * int(K)),
+                    qstart=np.int32(0), qend=np.int32(n_pix * n_blocks),
+                    n_film=n_pix + 1, n_blocks=n_blocks, n_slots=n_slots)
+                if bool(done_f):
+                    break
+            img_buf, sq_buf = _accum_film(img_buf, sq_buf, carry["film"])
+            n_rays += int(np.asarray(carry["n_rays"]))
+            n_verts += int(np.asarray(carry["vsum"]))
+            n_samples += int(np.asarray(carry["film"])[:-1, 6].sum())
         elif self._regen_train_ok(cfg):
             # TRAINING through the regenerative record path: one dispatch
             # per spp slab covering all chunks (scan inside the jit with

@@ -79,12 +79,28 @@ MACHINE_GROUPS = 1
 # ~1-2 windows (closest walk + shadow walk at SEG_B steps each)
 MACHINE_ITER_MULT = 2
 
+# pixel-queue mode: per-lane slot-buffer depth. A lane flushes one slot
+# entry per COMPLETED pixel (all spp samples done) and claims the next
+# pixel from a global queue head; slots drain into the device film by a
+# single scatter at dispatch end. A lane that completes more than
+# QUEUE_SLOTS pixels inside one dispatch stalls (resumes next dispatch).
+QUEUE_SLOTS = 16
 
-def init_carry(L, machine_sd=None):
+
+def init_carry(L, machine_sd=None, n_film=None, qstart=0,
+               n_slots=QUEUE_SLOTS):
     """Fresh lane-pool state for trace_regen continuation dispatches.
     `machine_sd` (the BVH stack depth) adds the segment-machine fields:
     per-lane traversal state, current-segment interval, pending NEE
-    contribution and the queued bounce ray."""
+    contribution and the queued bounce ray. `n_film` switches on
+    pixel-queue mode: lanes claim pixels from a shared queue head
+    (starting at `qstart`) instead of a fixed lane<->pixel binding, and
+    completed pixels accumulate into a device film [n_film, 8] holding
+    (rgb sum, rgb^2 sum, sample count, pad); the reference's analog is
+    the block queue of BlockedRenderProcess (renderproc.cpp), rebuilt
+    here as a lane-level work queue so the wavefront never idles on the
+    long-path tail of a fixed assignment (measured 28% -> ~90% lane
+    occupancy on kitchen)."""
     f3 = lambda: jnp.zeros((L, 3), jnp.float32)
     c = dict(
         started=jnp.zeros(L, jnp.int32), done=jnp.zeros(L, jnp.int32),
@@ -105,6 +121,18 @@ def init_carry(L, machine_sd=None):
             seg_shadow=jnp.zeros(L, bool), l_nee=f3(),
             qo=f3(), qd=f3(), qalive=jnp.zeros(L, bool),
             sh_budget=jnp.zeros(L, jnp.int32),
+            # telemetry: machine iterations run, cumulative alive lanes,
+            # cumulative completed walks (occupancy diagnostics)
+            mi=jnp.int32(0), mi_alive=jnp.int32(0), mi_walks=jnp.int32(0),
+        )
+    if n_film is not None:
+        c.update(
+            pix=jnp.full(L, -1, jnp.int32),
+            qhead=jnp.asarray(qstart, jnp.int32),
+            slot_pix=jnp.full((L, n_slots), -1, jnp.int32),
+            slot_acc=jnp.zeros((L, n_slots, 8), jnp.float32),
+            slot_i=jnp.zeros(L, jnp.int32),
+            film=jnp.zeros((n_film, 8), jnp.float32),
         )
     return c
 
@@ -131,9 +159,27 @@ class _RandBlock:
 
 
 def trace_regen(scene: DeviceScene, cfg: PTConfig, key, sensor, pix_start,
-                L, spp, K, sdtree=None, carry=None, it_base=0):
+                L, spp, K, sdtree=None, carry=None, it_base=0,
+                qstart=None, qend=None, n_film=None, n_blocks=1,
+                n_slots=QUEUE_SLOTS):
     """Render up to `spp` samples for pixels [pix_start, pix_start + L)
     with an L-lane pool over K iterations.
+
+    Pixel-queue mode (`n_film` not None): instead of the fixed
+    lane<->pixel binding, lanes claim pixels from the shared queue
+    [qstart, qend) — when a lane finishes all `spp` samples of its
+    pixel it banks (rgb, rgb^2, count) into a per-lane slot buffer and
+    claims the queue head, so the pool stays saturated instead of
+    draining on the longest-path lanes. Slots scatter into the carry's
+    device film [n_film, 8] once per dispatch. The returned `out` is
+    then diagnostic only — read carry["film"] after all_done.
+
+    `n_blocks` splits each pixel's spp into that many queue items
+    (sample blocks of ceil(spp / n_blocks)): the drain tail at queue
+    exhaustion then lasts one BLOCK's duration instead of a full
+    pixel's, at the cost of more flush traffic — qend must be given in
+    item units (n_pix * n_blocks). Blocks of one pixel may run on
+    different lanes concurrently; the film scatter sums them.
 
     Continuation: pass the returned `carry` (and a bumped `it_base`, so
     randomness never repeats) to keep tracing the same chunk in further
@@ -158,10 +204,85 @@ def trace_regen(scene: DeviceScene, cfg: PTConfig, key, sensor, pix_start,
     if guide:
         from ..guiding import sdtree as G
 
+    use_queue = n_film is not None
     ids = pix_start + jnp.arange(L)
     px = (ids % sensor.W).astype(jnp.float32)
     py = (ids // sensor.W).astype(jnp.float32)
     pos_base = jnp.stack([px, py], -1)
+
+    # sample-block partitioning of queue items (see trace_regen doc):
+    # item = pixel * n_blocks + block, each block ceil(spp / n_blocks)
+    # samples (the last block takes the remainder)
+    B_blk = (spp + n_blocks - 1) // n_blocks
+
+    def _lane_spp(item):
+        b = jnp.maximum(item, 0) % n_blocks
+        return jnp.clip(spp - b * B_blk, 0, B_blk)
+
+    def _item_pix(item):
+        return jnp.maximum(item, 0) // n_blocks
+
+    def queue_flush(c):
+        """Bank every lane whose item completed all its samples into
+        its next free slot; the banked lane drops its item (pix = -1)
+        and resets its per-item accumulators."""
+        pix, started, done = c["pix"], c["started"], c["done"]
+        acc, acc2 = c["acc"], c["acc2"]
+        flush = ((pix >= 0) & ~c["alive"] & (done >= _lane_spp(pix))
+                 & (c["slot_i"] < n_slots))
+        oh = flush[:, None] & (jnp.arange(n_slots)[None, :]
+                               == c["slot_i"][:, None])
+        slot_pix = jnp.where(oh, _item_pix(pix)[:, None], c["slot_pix"])
+        entry = jnp.concatenate(
+            [acc, acc2, done.astype(jnp.float32)[:, None],
+             jnp.zeros((L, 1), jnp.float32)], -1)
+        slot_acc = jnp.where(oh[..., None], entry[:, None, :], c["slot_acc"])
+        f1 = flush[:, None]
+        return dict(
+            pix=jnp.where(flush, -1, pix),
+            started=jnp.where(flush, 0, started),
+            done=jnp.where(flush, 0, done),
+            acc=jnp.where(f1, 0.0, acc), acc2=jnp.where(f1, 0.0, acc2),
+            slot_pix=slot_pix, slot_acc=slot_acc,
+            slot_i=c["slot_i"] + flush.astype(jnp.int32),
+            qhead=c["qhead"])
+
+    def queue_claim(q):
+        """Hand queue-head pixels to pixel-less lanes (dense ranks via
+        cumsum keep assignments unique and deterministic)."""
+        claim = q["pix"] < 0
+        rank = jnp.cumsum(claim.astype(jnp.int32)) - 1
+        newp = q["qhead"] + rank
+        ok = claim & (newp < qend)
+        q = dict(q)
+        q["pix"] = jnp.where(ok, newp, q["pix"])
+        q["qhead"] = jnp.minimum(
+            q["qhead"] + jnp.sum(claim.astype(jnp.int32)), qend)
+        return q
+
+    def regen_inputs(carry):
+        """Section-1 bookkeeping shared by both bodies: returns (q,
+        want, pos) where q carries the post-flush/claim per-pixel state
+        (started/done/acc/acc2 + queue fields) and pos the pixel corner
+        for camera-sample regeneration."""
+        if use_queue:
+            q = queue_claim(queue_flush(carry))
+            want = ((q["pix"] >= 0) & ~carry["alive"]
+                    & (q["started"] < _lane_spp(q["pix"])))
+            rpix = _item_pix(q["pix"])
+            pxq = (rpix % sensor.W).astype(jnp.float32)
+            pyq = (rpix // sensor.W).astype(jnp.float32)
+            pos = jnp.stack([pxq, pyq], -1)
+        else:
+            q = dict(started=carry["started"], done=carry["done"],
+                     acc=carry["acc"], acc2=carry["acc2"])
+            want = ~carry["alive"] & (carry["started"] < spp)
+            pos = pos_base
+        return q, want, pos
+
+    def queue_out(q):
+        return {k: q[k] for k in ("pix", "qhead", "slot_pix", "slot_acc",
+                                  "slot_i")} if use_queue else {}
     # shades per path: maxDepth-1 like the classic loop (rRec.depth starts
     # at 1, sampling while depth < maxDepth); unlimited -> RR terminates
     max_shades = jnp.int32(2**30 if cfg.max_depth < 0 else cfg.max_depth - 1)
@@ -264,8 +385,10 @@ def trace_regen(scene: DeviceScene, cfg: PTConfig, key, sensor, pix_start,
             if not cfg.has_tex:
                 return pr
             n_slots_tex = scene.tex.vcflag.shape[0]
-            for field, tslot in (("reflectance", "tex_reflectance"),
-                                 ("opacity", "tex_opacity")):
+            fields = [("reflectance", "tex_reflectance")]
+            if cfg.has_tex_opacity:
+                fields.append(("opacity", "tex_opacity"))
+            for field, tslot in fields:
                 tid = pr[tslot]
                 val = sample_atlas(scene.tex, tid + 1, uv, foot_uv)
                 if cfg.has_vertexcolors:
@@ -651,10 +774,10 @@ def trace_regen(scene: DeviceScene, cfg: PTConfig, key, sensor, pix_start,
     def body(carry, it):
         rng = _RandBlock(key, it, L, n_rand_cols)
         # -- 1. regenerate finished lanes with their next camera sample --
-        want = ~carry["alive"] & (carry["started"] < spp)
+        q, want, pos1 = regen_inputs(carry)
         jit2 = rng.take(2)
         u_lens = rng.take(2) if lens else None
-        o_c, d_c, tmin_c, tmax_c = sensor.sample_rays(pos_base + jit2, u_lens)
+        o_c, d_c, tmin_c, tmax_c = sensor.sample_rays(pos1 + jit2, u_lens)
         w1 = want[..., None]
 
         o = jnp.where(w1, o_c, carry["o"])
@@ -669,7 +792,7 @@ def trace_regen(scene: DeviceScene, cfg: PTConfig, key, sensor, pix_start,
         fresh = want | (carry["fresh"] & carry["alive"])
         cur = jnp.where(w1, 0.0, carry["cur"])
         p_prev = jnp.where(w1, o_c, carry["p_prev"])
-        started = carry["started"] + want.astype(jnp.int32)
+        started = q["started"] + want.astype(jnp.int32)
         alive = carry["alive"] | want
 
         # -- 2. intersect every pending ray -------------------------------
@@ -684,11 +807,11 @@ def trace_regen(scene: DeviceScene, cfg: PTConfig, key, sensor, pix_start,
 
         # -- commit finished samples ----------------------------------------
         died = alive & ~alive2
-        acc = carry["acc"] + jnp.where(died[..., None], cur, 0.0)
+        acc = q["acc"] + jnp.where(died[..., None], cur, 0.0)
         # per-sample squared accumulation for the variance estimator
         # (performRenderPasses' squaredImage, guided_path.cpp:1288-1319)
-        acc2 = carry["acc2"] + jnp.where(died[..., None], cur * cur, 0.0)
-        done = carry["done"] + died.astype(jnp.int32)
+        acc2 = q["acc2"] + jnp.where(died[..., None], cur * cur, 0.0)
+        done = q["done"] + died.astype(jnp.int32)
 
         keep_mis = R["keep_mis"]  # ENull transition: MIS state survives
         new_carry = dict(
@@ -705,6 +828,7 @@ def trace_regen(scene: DeviceScene, cfg: PTConfig, key, sensor, pix_start,
             depth=R["depth2"],
             n_rays=carry["n_rays"] + R["n_rays_it"],
             vsum=carry["vsum"] + jnp.sum(jnp.where(died, R["depth2"], 0)),
+            **queue_out(q),
         )
         hit_light = jnp.where(alive[..., None], R["slot"], 0.0)
         outs = dict(slot=hit_light + (l_nee if cfg.do_nee else 0.0),
@@ -733,10 +857,10 @@ def trace_regen(scene: DeviceScene, cfg: PTConfig, key, sensor, pix_start,
         scenes get exact attenuated NEE without a separate pass."""
         rng = _RandBlock(key, it, L, n_rand_cols)
         # -- 1. regenerate lanes with no sample in flight ------------------
-        want = ~carry["alive"] & (carry["started"] < spp)
+        q, want, pos1 = regen_inputs(carry)
         jit2 = rng.take(2)
         u_lens = rng.take(2) if lens else None
-        o_c, d_c, tmin_c, tmax_c = sensor.sample_rays(pos_base + jit2, u_lens)
+        o_c, d_c, tmin_c, tmax_c = sensor.sample_rays(pos1 + jit2, u_lens)
         w1 = want[..., None]
         o = jnp.where(w1, o_c, carry["o"])
         d = jnp.where(w1, d_c, carry["d"])
@@ -750,7 +874,7 @@ def trace_regen(scene: DeviceScene, cfg: PTConfig, key, sensor, pix_start,
         fresh = want | (carry["fresh"] & carry["alive"])
         cur = jnp.where(w1, 0.0, carry["cur"])
         p_prev = jnp.where(w1, o_c, carry["p_prev"])
-        started = carry["started"] + want.astype(jnp.int32)
+        started = q["started"] + want.astype(jnp.int32)
         alive = carry["alive"] | want
         seg_shadow = jnp.where(want, False, carry["seg_shadow"])
         tst = bvh_state_reset(carry["tst"], want, want)
@@ -800,7 +924,7 @@ def trace_regen(scene: DeviceScene, cfg: PTConfig, key, sensor, pix_start,
             passthru = (((mtw == MAT_NULL) | (mtw == MAT_MASK))
                         & (sh_budget != 0))
             opac = mrow[:, 23:26]
-            if cfg.has_tex:
+            if cfg.has_tex and cfg.has_tex_opacity:
                 tidw = jax.lax.bitcast_convert_type(mrow[:, 34], jnp.int32)
                 tval = sample_atlas(scene.tex, tidw + 1, uvw, None)
                 opac = jnp.where((tidw >= 0)[..., None], tval, opac)
@@ -876,9 +1000,9 @@ def trace_regen(scene: DeviceScene, cfg: PTConfig, key, sensor, pix_start,
         # -- 6. commit finished samples ------------------------------------
         died = dies_sh | dies_bd
         alive2 = alive & ~died
-        acc = carry["acc"] + jnp.where(died[..., None], cur, 0.0)
-        acc2 = carry["acc2"] + jnp.where(died[..., None], cur * cur, 0.0)
-        done = carry["done"] + died.astype(jnp.int32)
+        acc = q["acc"] + jnp.where(died[..., None], cur, 0.0)
+        acc2 = q["acc2"] + jnp.where(died[..., None], cur * cur, 0.0)
+        done = q["done"] + died.astype(jnp.int32)
         new_carry = dict(
             started=started, done=done, acc=acc, acc2=acc2, cur=cur,
             alive=alive2, fresh=fresh & alive2,
@@ -889,6 +1013,10 @@ def trace_regen(scene: DeviceScene, cfg: PTConfig, key, sensor, pix_start,
             vsum=carry["vsum"] + jnp.sum(jnp.where(died, depth, 0)),
             tst=tst, seg_shadow=seg_shadow, l_nee=l_nee,
             qo=qo, qd=qd, qalive=qalive, sh_budget=sh_budget,
+            mi=carry["mi"] + 1,
+            mi_alive=carry["mi_alive"] + jnp.sum(alive.astype(jnp.int32)),
+            mi_walks=carry["mi_walks"] + jnp.sum(seg_done.astype(jnp.int32)),
+            **queue_out(q),
         )
         return new_carry, None
 
@@ -900,9 +1028,16 @@ def trace_regen(scene: DeviceScene, cfg: PTConfig, key, sensor, pix_start,
 
         mask_walk = cfg.has_mask or cfg.has_null
         carry0 = carry if carry is not None else init_carry(
-            L, machine_sd=scene.geom.stack_depth)
+            L, machine_sd=scene.geom.stack_depth, n_film=n_film,
+            qstart=qstart, n_slots=n_slots)
     else:
-        carry0 = carry if carry is not None else init_carry(L)
+        carry0 = carry if carry is not None else init_carry(
+            L, n_film=n_film, qstart=qstart, n_slots=n_slots)
+    if use_queue:
+        # the film is only touched by the dispatch-end slot scatter —
+        # keep it out of the loop carry
+        carry0 = dict(carry0)
+        film = carry0.pop("film")
     if not cfg.record_vertices:
         # no stacked per-iteration outputs needed: run the whole chunk in
         # ONE dispatch with an early-exit while_loop (every scan-style
@@ -925,9 +1060,22 @@ def trace_regen(scene: DeviceScene, cfg: PTConfig, key, sensor, pix_start,
         else:
             K_eff, it0 = K, it_base
 
-        def w_cond(st):
-            c, it = st
-            return (it < it0 + K_eff) & ~jnp.all(c["done"] >= spp)
+        if use_queue:
+            def w_cond(st):
+                c, it = st
+                # a lane can make progress unless it is flush-stalled
+                # (item done, slot buffer full); a fresh claim is
+                # possible while the queue has items and a lane is free
+                can_work = (c["pix"] >= 0) & ~(
+                    (c["done"] >= _lane_spp(c["pix"]))
+                    & (c["slot_i"] >= n_slots))
+                return (it < it0 + K_eff) & (
+                    jnp.any(can_work)
+                    | ((c["qhead"] < qend) & jnp.any(c["pix"] < 0)))
+        else:
+            def w_cond(st):
+                c, it = st
+                return (it < it0 + K_eff) & ~jnp.all(c["done"] >= spp)
 
         def w_body(st):
             c, it = st
@@ -973,9 +1121,29 @@ def trace_regen(scene: DeviceScene, cfg: PTConfig, key, sensor, pix_start,
         vert["radiance"] = rad
         vertices = dict(bsdf=vert, nee=outs["nee"])
 
-    return dict(rgb=carry["acc"], rgb2=carry["acc2"],
-                w=carry["done"].astype(jnp.float32),
-                n_rays=carry["n_rays"], n_vertices=carry["vsum"],
-                started=carry["started"],
-                done=carry["done"], all_done=jnp.all(carry["done"] >= spp),
-                vertices=vertices), carry
+    if use_queue:
+        # final flush of pixels that completed on the last iteration,
+        # then one scatter of the banked slots into the film. Slot
+        # pixels are globally unique (a pixel is owned by one lane until
+        # flushed exactly once); empty slots route to the padded
+        # dump row n_film - 1 — callers size n_film = n_pix + 1.
+        carry = dict(carry, **queue_flush(carry))
+        idx = carry["slot_pix"].ravel()
+        idx = jnp.where(idx < 0, n_film - 1, idx)
+        film = film.at[idx].add(carry["slot_acc"].reshape(-1, 8))
+        carry["film"] = film
+        carry["slot_pix"] = jnp.full((L, n_slots), -1, jnp.int32)
+        carry["slot_i"] = jnp.zeros(L, jnp.int32)
+        all_done = (carry["qhead"] >= qend) & jnp.all(carry["pix"] < 0)
+    else:
+        all_done = jnp.all(carry["done"] >= spp)
+    out = dict(rgb=carry["acc"], rgb2=carry["acc2"],
+               w=carry["done"].astype(jnp.float32),
+               n_rays=carry["n_rays"], n_vertices=carry["vsum"],
+               started=carry["started"],
+               done=carry["done"], all_done=all_done,
+               vertices=vertices)
+    if "mi" in carry:
+        out.update(mi=carry["mi"], mi_alive=carry["mi_alive"],
+                   mi_walks=carry["mi_walks"])
+    return out, carry

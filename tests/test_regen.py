@@ -211,3 +211,51 @@ def test_guided_regen_training_with_learned_fraction():
     img = tracer.render(seed=2)
     assert np.isfinite(img).all() and img.mean() > 0.01
 
+
+
+def test_regen_queue_matches_legacy():
+    # the shared pixel-queue (lanes claim pixels/sample-blocks from a
+    # global head) must agree with the fixed lane<->pixel binding: both
+    # draw independent samples of the same estimator
+    img_c, img_q = _renders(nee="never", spp=48, queue=True, chunk=512)
+    _assert_agree(img_c, img_q, 48)
+
+
+def test_regen_queue_exact_counts_and_determinism():
+    # every pixel receives exactly spp samples through the queue film
+    # (weight channel), across both bodies, blocks, and slot overflow
+    # (tiny slot buffers force flush-stall continuation dispatches)
+    import jax
+
+    from ppg_tpu.integrators.driver import _regen_dispatch, make_config
+    from ppg_tpu.integrators.wavefront import DeviceScene
+    from ppg_tpu.render.sensor import make_sensor
+
+    sc = mini_cbox(res=24, max_depth=5, nee="always")
+    dev = DeviceScene.from_scene(sc)
+    sensor = make_sensor(sc.sensor, sc.film)
+    n_pix = 24 * 24
+    films = []
+    for fm in (False, True):
+        cfg = make_config(sc, guiding=False, record_vertices=False,
+                          force_machine=fm)
+        for _ in range(2):  # determinism: identical reruns
+            carry = None
+            for i in range(40):
+                out, carry = _regen_dispatch(
+                    dev, cfg, jax.random.key(0), np.int32(i),
+                    sensor=sensor, pix_start=np.int32(0), L=128,
+                    spp=np.int32(9), K=np.int32(200), carry=carry,
+                    it_base=np.int32(i * 200), qstart=np.int32(0),
+                    qend=np.int32(n_pix * 3), n_film=n_pix + 1,
+                    n_blocks=3, n_slots=4)
+                if bool(out["all_done"]):
+                    break
+            film = np.asarray(carry["film"])[:n_pix]
+            assert (film[:, 6] == 9).all(), film[:, 6]
+            assert np.isfinite(film).all()
+            films.append(film)
+        assert np.array_equal(films[-1], films[-2])
+    # both bodies integrate the same estimator
+    m0, m1 = films[0][:, :3].mean(), films[2][:, :3].mean()
+    assert abs(m0 - m1) / max(m1, 1e-9) < 0.1, (m0, m1)
