@@ -387,6 +387,7 @@ class GuidedPathTracer:
         # recompiles as trees deepen, but shallow early descents stay cheap
 
         self.stats = []  # per-call telemetry: seconds, variance, ttuv, stuv
+        self._warned_mesh = False  # one-shot mesh-fallback warning
         self.tree_stats = []  # per-iteration SD-tree distribution stats
         # partial-image flush hook (mitsuba.cpp:92-127 SIGHUP / -r timer):
         # called with the developed partial image after every pass batch
@@ -435,9 +436,20 @@ class GuidedPathTracer:
 
     def _mesh_ok(self, cfg):
         # mesh passes go through the regen tracer inside shard_map
-        return (self.mesh is not None and not cfg.has_media
-                and not cfg.has_subsurf and cfg.sampler == "independent"
-                and self.film.rfilter == "box")
+        ok = (self.mesh is not None and not cfg.has_media
+              and not cfg.has_subsurf and cfg.sampler == "independent"
+              and self.film.rfilter == "box")
+        if self.mesh is not None and not ok and not self._warned_mesh:
+            self._warned_mesh = True
+            why = ("participating media" if cfg.has_media else
+                   "subsurface" if cfg.has_subsurf else
+                   f"sampler '{cfg.sampler}'" if cfg.sampler
+                   != "independent" else
+                   f"rfilter '{self.film.rfilter}'")
+            log(f"GuidedPathTracer(mesh=...) falling back to "
+                f"single-device passes: {why} is outside the shard_map "
+                f"regen fast path (see _guided_mesh_pass)", level="warn")
+        return ok
 
     def _render_passes_mesh(self, n_passes, sdtree, cfg, img_buf, sq_buf,
                             base):
@@ -628,7 +640,9 @@ class GuidedPathTracer:
         avg_len = n_verts / n_samples if n_samples else 0.0
         self.stats.append(dict(seconds=seconds, passes=n_passes, spp=N,
                                variance=variance, ttuv=ttuv, stuv=stuv,
-                               n_rays=n_rays, avg_path_length=avg_len))
+                               n_rays=n_rays, avg_path_length=avg_len,
+                               is_final=bool(is_final),
+                               training=bool(cfg.record_vertices)))
         log(f"  {seconds:.2f}s, {n_passes} passes, var {variance:.6f}, "
             f"TTUV {ttuv:.6f}, STUV {stuv:.6f}, "
             f"avgPathLength {avg_len:.2f}, "

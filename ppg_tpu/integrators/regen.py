@@ -30,6 +30,8 @@ vertices).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -67,13 +69,17 @@ def iterations_for(spp, max_depth, rr_depth=5, mean_len=None,
 
 # budgeted segment machine (see trace_regen.machine_body): traversal
 # steps per window, and independent gather groups per window step.
-# Swept on kitchen (1M tris, 64k lanes): SEG_B 8/16/32 -> 0.35/0.54/0.49
-# Mrays/s (8 re-runs completion processing twice per mean-15-step walk;
-# 32 idles finished lanes too long), and MACHINE_GROUPS 1/2/4/8 all
-# within noise (the interleaved-gather win measured in isolation does
-# not survive inside the full window body), so the sub-pool split is
-# disabled by default.
-SEG_B = 16
+# Swept on kitchen (1M tris, 64k lanes) with the shared pixel queue:
+# SEG_B 8/10/12/16 -> 1.98/2.13/2.14/2.00 Mrays/s. The per-iteration
+# cost decomposes as ~15 ms fixed (completion processing + queue) +
+# ~0.84 ms per traversal step; mean walk length is ~6 steps (measured
+# visits/ray: camera 5.2 internal + 1.2 leaf), so windows shorter than
+# ~10 re-run the expensive completion phase for too few finished walks
+# and longer windows idle finished lanes against the fixed cost.
+# MACHINE_GROUPS 1/2/4/8 all within noise (the interleaved-gather win
+# measured in isolation does not survive inside the full window body),
+# so the sub-pool split is disabled by default.
+SEG_B = int(os.environ.get("PPG_SEG_B", "12"))
 MACHINE_GROUPS = 1
 # machine iterations per classic bounce-iteration budget: a bounce takes
 # ~1-2 windows (closest walk + shadow walk at SEG_B steps each)

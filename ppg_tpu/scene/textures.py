@@ -80,9 +80,14 @@ def load_texture(path, gamma=0.0):
 class TextureAtlas:
     """Device-side packed texture set (pytree).
 
-    pixels [P, 3] f32; meta [N, 3] i32 = (offset, W, H);
-    uvx [N, 4] f32 = (uscale, vscale, uoffset, voffset). Slot 0 is a
-    1x1 white dummy; material rows store spec-index + 1 (0 = none).
+    pixels [P, 6] f16 = (texel rgb, repeat-wrapped RIGHT-neighbor rgb):
+    the duplicated neighbor makes one row gather serve both x taps of a
+    bilinear lookup, halving the gather count (TPU gathers cost per-op,
+    not per-byte), and f16 storage (10-bit mantissa) is exact enough
+    for 8-bit/sRGB-decoded sources while halving table bytes. meta
+    [N, 3] i32 = (offset, W, H); uvx [N, 4] f32 = (uscale, vscale,
+    uoffset, voffset). Slot 0 is a 1x1 white dummy; material rows
+    store spec-index + 1 (0 = none).
     """
 
     FIELDS = ("pixels", "meta", "uvx", "vcflag", "wfp", "mip_meta")
@@ -170,7 +175,8 @@ class TextureAtlas:
                 if lvl == 0:
                     meta[i] = (off, W, H)
                 mip_meta[i, lvl] = (off, W, H)
-                flats.append(im.reshape(-1, 3))
+                flats.append(np.concatenate(
+                    [im, np.roll(im, -1, axis=1)], -1).reshape(-1, 6))
                 off += H * W
                 if W == 1 and H == 1:
                     # repeat the 1x1 top for the remaining levels
@@ -198,14 +204,17 @@ class TextureAtlas:
                                         0.0), 1.0)
                 wfp[i + 1, 2:5] = rgb3(p.get("edgeColor"), [0.1] * 3)
                 wfp[i + 1, 5:8] = rgb3(p.get("interiorColor"), [0.5] * 3)
-        return cls(jnp.asarray(np.concatenate(flats, 0)),
+        # clamp into f16's finite range: HDR EXR sources can exceed
+        # 65504 and would otherwise overflow to inf in the cast
+        packed = np.clip(np.concatenate(flats, 0), -65504.0, 65504.0)
+        return cls(jnp.asarray(packed, jnp.float16),
                    jnp.asarray(meta), jnp.asarray(np.stack(uvx)),
                    jnp.asarray(vcflag), jnp.asarray(wfp),
                    jnp.asarray(mip_meta.reshape(-1, 3)))
 
     @classmethod
     def empty(cls):
-        return cls(jnp.ones((1, 3), jnp.float32),
+        return cls(jnp.ones((1, 6), jnp.float32),
                    jnp.asarray([[0, 1, 1]], jnp.int32),
                    jnp.asarray([[1.0, 1.0, 0.0, 0.0]], jnp.float32),
                    jnp.zeros(1, bool))
@@ -243,15 +252,18 @@ def _bilinear(atlas, off, W, H, x4, uv):
     dx = (x - x0)[..., None]
     dy = (y - y0)[..., None]
 
-    def tex(xi, yi):
-        xi = jnp.remainder(xi, W)
+    def tex_pair(yi):
+        # one gather returns (x0, x0+1) thanks to the packed
+        # right-neighbor columns (wrap baked in at build time)
+        xi = jnp.remainder(x0, W)
         yi = jnp.remainder(yi, H)
-        return atlas.pixels[off + yi * W + xi]
+        row = atlas.pixels[off + yi * W + xi].astype(jnp.float32)
+        return row[..., :3], row[..., 3:]
 
-    return (tex(x0, y0) * (1 - dx) * (1 - dy)
-            + tex(x0 + 1, y0) * dx * (1 - dy)
-            + tex(x0, y0 + 1) * (1 - dx) * dy
-            + tex(x0 + 1, y0 + 1) * dx * dy)
+    a00, a10 = tex_pair(y0)
+    a01, a11 = tex_pair(y0 + 1)
+    return ((a00 * (1 - dx) + a10 * dx) * (1 - dy)
+            + (a01 * (1 - dx) + a11 * dx) * dy)
 
 
 def sample_atlas(atlas: TextureAtlas, tex_id, uv, foot_uv=None):
