@@ -99,6 +99,7 @@ def main(argv=None):
                                    overrides=overrides, mesh=mesh)
             gpt.dump_path = os.path.splitext(out)[0]
             gpt.flush_cb = _make_flush_cb(out, sc.film, args.flush_timer)
+            _warn_unqueried(sc, scene_path)
             img = gpt.render(seed=args.seed, spp_budget=args.spp)
         elif itype in ("path", "volpath", "volpath_simple", "direct"):
             from .integrators.driver import make_config, render
@@ -107,6 +108,7 @@ def main(argv=None):
             md = 2 if itype == "direct" else None
             cfg = make_config(sc, guiding=False,
                               **({"max_depth": md} if md else {}))
+            _warn_unqueried(sc, scene_path)
             if args.devices > 1:
                 img = _render_sharded(sc, cfg, spp, args)
             else:
@@ -123,6 +125,15 @@ def main(argv=None):
 
         _write_film(out, np.asarray(img, np.float32), sc.film)
         log(f"wrote {out}")
+
+
+def _warn_unqueried(sc, scene_path):
+    """Unqueried-property warnings (properties.h:46 analog), emitted
+    once the integrator/sensor/film params have been consumed."""
+    if sc.xml_root is not None:
+        from .scene.validate import warn_unused
+
+        warn_unused(sc.xml_root, scene_path)
 
 
 def _make_flush_cb(out, film, flush_timer):

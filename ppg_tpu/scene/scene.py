@@ -15,7 +15,16 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from .shapes import build_shape
+from .validate import Props
 from .xml_parser import SceneXML, Spectrum
+
+
+def _tcopy(props, **extra):
+    """Copy a property dict; Props copies share read-tracking so the
+    unqueried-property warnings see reads made through builder copies."""
+    out = props.copy() if isinstance(props, Props) else dict(props)
+    out.update(extra)
+    return out
 
 # Material type enum (device-side dispatch indices)
 MAT_DIFFUSE = 0
@@ -270,7 +279,7 @@ class MaterialBuilder:
             if inner is None:
                 raise ValueError(f"{spec.otype}: missing nested bsdf")
             nested_row = self._build(inner, twosided=twosided)
-            p = dict(spec.props)
+            p = _tcopy(spec.props)
             d = dict(
                 self._defaults(),
                 mtype=(MAT_COATING if spec.otype == "coating"
@@ -314,7 +323,7 @@ class MaterialBuilder:
         if d["mtype"] is None:
             raise NotImplementedError(f"bsdf type {spec.otype!r}")
 
-        p = dict(spec.props)
+        p = _tcopy(spec.props)
         # nested texture children attach by their _name
         for c in spec.children_of("texture"):
             p[c.props.get("_name", "reflectance")] = c
@@ -549,6 +558,8 @@ class SceneData:
     tri_subsurf: np.ndarray = None  # [F] subsurface id, -1 = none
     aabb_min: np.ndarray = None
     aabb_max: np.ndarray = None
+    xml_root: object = None  # PluginSpec tree (unqueried-prop warnings)
+    xml_path: str = ""
 
     @property
     def num_tris(self):
@@ -921,7 +932,7 @@ def build_scene(xml: SceneXML, missing_ok=True) -> SceneData:
 
     sensor = {}
     if sensor_spec is not None:
-        sensor = dict(sensor_spec.props)
+        sensor = _tcopy(sensor_spec.props)
         sensor["type"] = sensor_spec.otype
         sensor["to_world"] = sensor_spec.props.get("toWorld", np.eye(4))
         if sensor_spec.otype in ("perspective", "thinlens"):
@@ -929,9 +940,19 @@ def build_scene(xml: SceneXML, missing_ok=True) -> SceneData:
         sensor["near_clip"] = float(sensor_spec.props.get("nearClip", 1e-2))
         sensor["far_clip"] = float(sensor_spec.props.get("farClip", 1e4))
 
-    film = dict(width=W, height=H)
-    if film_spec is not None:
-        film.update(film_spec.props)
+    film = _tcopy(film_spec.props) if film_spec is not None else {}
+    film.update(width=W, height=H)
+    # parameters the reference plugins query but that are deliberate
+    # no-ops here (banner overlay, RNG seed — we use counter-based
+    # streams, a documented deviation; shutter interval — no motion
+    # blur; perspective focusDistance is only used by thinlens)
+    for spec_, keys in ((film_spec, ("banner", "highQualityEdges",
+                                     "attachLog")),
+                        (sampler_spec, ("seed",)),
+                        (sensor_spec, ("focusDistance", "shutterOpen",
+                                       "shutterClose"))):
+        if spec_ is not None and isinstance(spec_.props, Props):
+            spec_.props.mark_read(*keys)
         film["type"] = film_spec.otype
     film["rfilter"] = rfilter_spec.otype if rfilter_spec is not None else "gaussian"
 
@@ -956,12 +977,12 @@ def build_scene(xml: SceneXML, missing_ok=True) -> SceneData:
         sensor=sensor,
         film=film,
         integrator=(
-            dict(integrator_spec.props, type=integrator_spec.otype)
+            _tcopy(integrator_spec.props, type=integrator_spec.otype)
             if integrator_spec
             else {"type": "path"}
         ),
         sampler=(
-            dict(sampler_spec.props, type=sampler_spec.otype)
+            _tcopy(sampler_spec.props, type=sampler_spec.otype)
             if sampler_spec
             else {"type": "independent", "sampleCount": 4}
         ),
@@ -989,7 +1010,14 @@ def _default_bsdf():
 
 
 def load_scene(path, defaults=None, missing_ok=True) -> SceneData:
-    return build_scene(SceneXML(path, defaults), missing_ok=missing_ok)
+    xml = SceneXML(path, defaults)
+    sc = build_scene(xml, missing_ok=missing_ok)
+    # keep the spec tree so callers can emit unqueried-property warnings
+    # (properties.h:46 analog) once the integrator/sensor have consumed
+    # their parameters — the CLI does this after tracer construction
+    sc.xml_root = xml.root
+    sc.xml_path = path
+    return sc
 
 
 def curvature_colors(positions, faces, show_k=True, scale=1.0):

@@ -24,13 +24,14 @@ import numpy as np
 
 from ..core import spectrum as spec
 from ..core import transform as tf
+from .validate import Props, upgrade, validate
 
 
 @dataclass
 class PluginSpec:
     cls: str  # tag name: bsdf / shape / emitter / sensor / ...
     otype: str  # plugin type attribute: diffuse / obj / area / ...
-    props: dict = field(default_factory=dict)
+    props: dict = field(default_factory=Props)
     children: list = field(default_factory=list)  # nested PluginSpecs
     oid: str | None = None
 
@@ -154,8 +155,10 @@ class SceneXML:
         self.defaults = dict(defaults or {})
         self.named: dict[str, PluginSpec] = {}
         root = ET.parse(path).getroot()
-        if root.tag != "scene":
-            raise ValueError("root element must be <scene>")
+        # versioned upgrade + XSD-lite validation (scenehandler.cpp +
+        # data/schema/scene.xsd + upgrade_*.xsl semantics)
+        upgrade(root, path)
+        validate(root, path)
         self.version = root.attrib.get("version", "0.5.0")
         self.root = PluginSpec("scene", "scene")
         # collect <default> elements first (document order, like the SAX parser)
