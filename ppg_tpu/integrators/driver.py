@@ -38,6 +38,13 @@ def make_config(sc, **overrides) -> PTConfig:
         bsdf_fraction=float(ip.get("bsdfSamplingFraction", 0.5)),
         has_env=sc.env_emitter is not None,
         has_tex=bool(sc.textures is not None and sc.textures.specs),
+        has_tex_ewa=bool(
+            sc.textures is not None
+            and any(s.otype == "bitmap"
+                    and str(s.props.get("filterType", "ewa")).lower()
+                    == "ewa"
+                    for s in sc.textures.specs)
+        ),
         has_tex_opacity=bool(
             sc.materials is not None
             and np.any(np.asarray(sc.materials.tex_opacity) >= 0)

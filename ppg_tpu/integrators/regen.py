@@ -374,7 +374,18 @@ def trace_regen(scene: DeviceScene, cfg: PTConfig, key, sensor, pix_start,
         else:
             wf_tri = None
 
-        if cfg.has_tex and hasattr(sensor, "footprint"):
+        duv = None
+        if cfg.has_tex and cfg.has_tex_ewa \
+                and hasattr(sensor, "dir_differentials"):
+            # full uv Jacobian from transferred camera ray differentials
+            # (EWA path, mipmap.h:640-713); bounce lanes get zero
+            # gradients -> base-level lookups
+            from ..scene.textures import uv_differentials
+
+            duv = uv_differentials(sensor, d, t2, geo_n, dpdu, dpdv,
+                                   fresh)
+            foot_uv = None
+        elif cfg.has_tex and hasattr(sensor, "footprint"):
             # primary (fresh) lanes carry camera ray differentials ->
             # MIP level; bounce lanes sample the base level (matching
             # the reference path tracer's camera-only differentials)
@@ -396,7 +407,8 @@ def trace_regen(scene: DeviceScene, cfg: PTConfig, key, sensor, pix_start,
                 fields.append(("opacity", "tex_opacity"))
             for field, tslot in fields:
                 tid = pr[tslot]
-                val = sample_atlas(scene.tex, tid + 1, uv, foot_uv)
+                val = sample_atlas(scene.tex, tid + 1, uv, foot_uv,
+                                   duv=duv)
                 if cfg.has_vertexcolors:
                     is_vc = scene.tex.vcflag[
                         jnp.clip(tid + 1, 0, n_slots_tex - 1)]

@@ -59,6 +59,8 @@ class PTConfig:
     learn_fraction: bool = False  # bsdfSamplingFractionLoss != none
     has_env: bool = False  # scene has an environment emitter
     has_tex: bool = False  # scene has bitmap textures
+    has_tex_ewa: bool = False  # any bitmap with filterType=ewa (default):
+    # primary hits carry the full uv Jacobian for anisotropic lookups
     has_tex_opacity: bool = True  # any material textures its opacity
     # (False skips a full atlas sample per shade — measured 3.2 ms/call
     # at 64k lanes on the kitchen atlas)
@@ -540,8 +542,19 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
         else:
             wf_tri = None
 
-        if cfg.has_tex and sensor is not None and hasattr(sensor,
-                                                          "footprint"):
+        duv = None
+        if cfg.has_tex and cfg.has_tex_ewa and sensor is not None \
+                and hasattr(sensor, "dir_differentials"):
+            # full uv Jacobian from transferred camera ray differentials
+            # (EWA path, mipmap.h:640-713); bounce lanes get zero
+            # gradients -> base-level lookups
+            from ..scene.textures import uv_differentials
+
+            duv = uv_differentials(sensor, d, carry["t"], geo_n, dpdu,
+                                   dpdv, j == 0)
+            foot_uv = None
+        elif cfg.has_tex and sensor is not None and hasattr(sensor,
+                                                            "footprint"):
             # primary-hit ray differentials (isotropic): pixel footprint
             # at the camera hit mapped through dpdu/dpdv into uv space,
             # selecting the MIP level (secondary bounces sample the base
@@ -566,7 +579,8 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
                 fields.append(("opacity", "tex_opacity"))
             for field, slot in fields:
                 tid = pr[slot]
-                val = sample_atlas(scene.tex, tid + 1, uv, foot_uv)
+                val = sample_atlas(scene.tex, tid + 1, uv, foot_uv,
+                                   duv=duv)
                 if cfg.has_vertexcolors:
                     is_vc = scene.tex.vcflag[
                         jnp.clip(tid + 1, 0, n_slots_tex - 1)]

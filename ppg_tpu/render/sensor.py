@@ -58,6 +58,23 @@ class PerspectiveSensor(_SensorHash):
         reference's EWA lookups, perspective.cpp sampleRayDifferential)."""
         return t * (2.0 * self.tan_half / self.W)
 
+    def dir_differentials(self, d):
+        """Per-pixel ray-direction differentials (ddir/dpx, ddir/dpy),
+        reconstructed from the unit direction itself — the perspective
+        mapping dir = normalize([(1-2u)tan, (1-2v)tan/aspect, 1]) gives
+        d(dir)/dpx = s * dz * (e_x - dir * dir_x) with s = -2 tan / W
+        (identical scale for y since aspect = W/H). The analog of
+        perspective.cpp sampleRayDifferential's neighbor-pixel rays,
+        without carrying pixel positions through the wavefront."""
+        d_cam = d @ self.axes  # world -> camera (axes orthonormal)
+        s = -2.0 * self.tan_half / self.W
+        z = d_cam[:, 2:3]
+        ex = jnp.asarray([1.0, 0.0, 0.0])
+        ey = jnp.asarray([0.0, 1.0, 0.0])
+        ddx = s * z * (ex - d_cam * d_cam[:, 0:1])
+        ddy = s * z * (ey - d_cam * d_cam[:, 1:2])
+        return ddx @ self.axes.T, ddy @ self.axes.T
+
     def __init__(self, sensor_cfg, film_cfg, crop=None):
         self.W = film_cfg["width"]
         self.H = film_cfg["height"]

@@ -56,10 +56,10 @@ def load_texture(path, gamma=0.0):
     """Decode an image file to linear float32 RGB [H, W, 3]."""
     ext = os.path.splitext(path)[1].lower()
     if ext == ".exr":
-        from ..io.exr import read_exr
+        from ..io import exr
 
-        img = read_exr(path)
-        return np.asarray(img, np.float32)
+        img = exr.read(path)[0]
+        return np.asarray(img, np.float32)[..., :3]
     from PIL import Image
 
     im = Image.open(path)
@@ -90,14 +90,21 @@ class TextureAtlas:
     store spec-index + 1 (0 = none).
     """
 
-    FIELDS = ("pixels", "meta", "uvx", "vcflag", "wfp", "mip_meta")
+    FIELDS = ("pixels", "meta", "uvx", "vcflag", "wfp", "mip_meta", "filt")
     MAX_LEVELS = 13
+    # filterType codes (src/textures/bitmap.cpp:213-229; default ewa)
+    F_EWA, F_TRILINEAR, F_BILINEAR, F_NEAREST = 0.0, 1.0, 2.0, 3.0
 
     def __init__(self, pixels, meta, uvx, vcflag=None, wfp=None,
-                 mip_meta=None):
+                 mip_meta=None, filt=None):
         self.pixels = pixels
         self.meta = meta
         self.uvx = uvx
+        # per-slot (filterType code, maxAnisotropy); trilinear default
+        # for the dummy slot
+        self.filt = (filt if filt is not None
+                     else jnp.tile(jnp.asarray([[1.0, 20.0]], jnp.float32),
+                                   (meta.shape[0], 1)))
         # per-slot marker: slot resolves to interpolated mesh vertex
         # colors (src/textures/vertexcolors.cpp) instead of atlas pixels
         self.vcflag = (vcflag if vcflag is not None
@@ -204,13 +211,29 @@ class TextureAtlas:
                                         0.0), 1.0)
                 wfp[i + 1, 2:5] = rgb3(p.get("edgeColor"), [0.1] * 3)
                 wfp[i + 1, 5:8] = rgb3(p.get("interiorColor"), [0.5] * 3)
+        # per-slot filter mode + anisotropy clamp (bitmap.cpp:213-232:
+        # filterType default "ewa", maxAnisotropy default 20)
+        fmap = {"ewa": cls.F_EWA, "trilinear": cls.F_TRILINEAR,
+                "bilinear": cls.F_BILINEAR, "nearest": cls.F_NEAREST}
+        filt = np.tile(np.array([[cls.F_TRILINEAR, 20.0]], np.float32),
+                       (len(imgs), 1))
+        for i, p in enumerate(specs):
+            # filterType is a bitmap parameter (default ewa); procedural
+            # textures are point-evaluated in the reference, so their
+            # atlas rasterizations default to trilinear
+            dflt = "ewa" if p.get("_otype", "bitmap") == "bitmap" \
+                else "trilinear"
+            filt[i + 1, 0] = fmap.get(
+                str(p.get("filterType", dflt)).lower(), cls.F_EWA)
+            filt[i + 1, 1] = float(p.get("maxAnisotropy", 20.0))
         # clamp into f16's finite range: HDR EXR sources can exceed
         # 65504 and would otherwise overflow to inf in the cast
         packed = np.clip(np.concatenate(flats, 0), -65504.0, 65504.0)
         return cls(jnp.asarray(packed, jnp.float16),
                    jnp.asarray(meta), jnp.asarray(np.stack(uvx)),
                    jnp.asarray(vcflag), jnp.asarray(wfp),
-                   jnp.asarray(mip_meta.reshape(-1, 3)))
+                   jnp.asarray(mip_meta.reshape(-1, 3)),
+                   jnp.asarray(filt))
 
     @classmethod
     def empty(cls):
@@ -266,8 +289,21 @@ def _bilinear(atlas, off, W, H, x4, uv):
             + (a01 * (1 - dx) + a11 * dx) * dy)
 
 
-def sample_atlas(atlas: TextureAtlas, tex_id, uv, foot_uv=None):
-    """Bilinear lookup with repeat wrap. tex_id [L] i32 (PLUS ONE vs the
+def _trilinear(atlas, tid, x4, uv, lod):
+    """Two-level MIP blend at a per-lane lod (mipmap.h trilinear)."""
+    LMAX = TextureAtlas.MAX_LEVELS
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    frac = (lod - l0)[..., None]
+    ma = atlas.mip_meta[tid * LMAX + l0]
+    mb = atlas.mip_meta[tid * LMAX + jnp.minimum(l0 + 1, LMAX - 1)]
+    va = _bilinear(atlas, ma[..., 0], ma[..., 1], ma[..., 2], x4, uv)
+    vb = _bilinear(atlas, mb[..., 0], mb[..., 1], mb[..., 2], x4, uv)
+    return va * (1 - frac) + vb * frac
+
+
+def sample_atlas(atlas: TextureAtlas, tex_id, uv, foot_uv=None, duv=None,
+                 taps=4):
+    """Filtered lookup with repeat wrap. tex_id [L] i32 (PLUS ONE vs the
     builder's spec index; <=0 lanes return white), uv [L, 2].
 
     foot_uv (optional [L,2]): isotropic uv-space footprint of the
@@ -275,9 +311,22 @@ def sample_atlas(atlas: TextureAtlas, tex_id, uv, foot_uv=None):
     selects a MIP level pair for trilinear filtering, lod =
     log2(max footprint in texels). None or 0 -> base level, matching
     the reference path tracer where only camera rays carry
-    differentials (bitmap.cpp eval / mipmap.h)."""
+    differentials (bitmap.cpp eval / mipmap.h).
+
+    duv (optional ([L,2], [L,2])): the full uv-space Jacobian (duv/dx,
+    duv/dy) from ray differentials — enables per-texture filterType
+    dispatch incl. anisotropic EWA (mipmap.h:640-713). The TPU
+    formulation replaces the reference's variable-texel Gaussian loop
+    with `taps` fixed trilinear probes spaced along the ellipse's major
+    axis at the minor-axis MIP level (hardware-AF-style footprint
+    assembly: bounded gather count, anisotropy preserved up to
+    maxAnisotropy) — documented deviation. Non-EWA lanes collapse to
+    exact trilinear/bilinear/nearest (all probes coincide)."""
     tid = jnp.clip(tex_id, 0, atlas.meta.shape[0] - 1)
     x4 = atlas.uvx[tid]
+    if duv is not None:
+        v = _sample_ewa(atlas, tid, x4, uv, duv, taps)
+        return jnp.where((tex_id > 0)[..., None], v, 1.0)
     if foot_uv is None:
         m = atlas.meta[tid]
         v = _bilinear(atlas, m[..., 0], m[..., 1], m[..., 2], x4, uv)
@@ -291,14 +340,117 @@ def sample_atlas(atlas: TextureAtlas, tex_id, uv, foot_uv=None):
         jnp.abs(foot_uv[..., 1] * x4[..., 1]) *
         m0[..., 2].astype(jnp.float32))
     lod = jnp.clip(jnp.log2(jnp.maximum(texels, 1e-9)), 0.0, LMAX - 1.0)
-    l0 = jnp.floor(lod).astype(jnp.int32)
-    frac = (lod - l0)[..., None]
-    ma = atlas.mip_meta[tid * LMAX + l0]
-    mb = atlas.mip_meta[tid * LMAX + jnp.minimum(l0 + 1, LMAX - 1)]
-    va = _bilinear(atlas, ma[..., 0], ma[..., 1], ma[..., 2], x4, uv)
-    vb = _bilinear(atlas, mb[..., 0], mb[..., 1], mb[..., 2], x4, uv)
-    v = va * (1 - frac) + vb * frac
+    v = _trilinear(atlas, tid, x4, uv, lod)
     return jnp.where((tex_id > 0)[..., None], v, 1.0)
+
+
+def _sample_ewa(atlas, tid, x4, uv, duv, taps):
+    """filterType dispatch from the full uv Jacobian; see sample_atlas."""
+    LMAX = TextureAtlas.MAX_LEVELS
+    m0 = atlas.meta[tid]
+    W0 = m0[..., 1].astype(jnp.float32)
+    H0 = m0[..., 2].astype(jnp.float32)
+    mode = atlas.filt[tid, 0]
+    max_aniso = jnp.maximum(atlas.filt[tid, 1], 1.0)
+    su = x4[..., 0] * W0  # uv -> level-0 texel scale
+    sv = x4[..., 1] * H0
+
+    # implicit ellipse from the texel-space Jacobian (mipmap.h:640-652)
+    du0 = duv[0][..., 0] * su
+    dv0 = duv[0][..., 1] * sv
+    du1 = duv[1][..., 0] * su
+    dv1 = duv[1][..., 1] * sv
+    A = dv0 * dv0 + dv1 * dv1
+    B = -2.0 * (du0 * dv0 + du1 * dv1)
+    C = du0 * du0 + du1 * du1
+    F = A * C - 0.25 * B * B
+    root = jnp.hypot(A - C, B)
+    Ap = 0.5 * (A + C - root)
+    Cp = 0.5 * (A + C + root)
+    major = jnp.sqrt(jnp.maximum(F, 0.0) / jnp.maximum(Ap, 1e-20))
+    minor = jnp.sqrt(jnp.maximum(F, 0.0) / jnp.maximum(Cp, 1e-20))
+
+    is_ewa = (mode == TextureAtlas.F_EWA) & (F > 0) & (minor > 0) \
+        & (major > 0)
+    # anisotropy clamp: enlarge the minor radius (extra blur) rather
+    # than taking unbounded samples (mipmap.h:671-676)
+    minor_c = jnp.maximum(minor, major / max_aniso)
+    lod_tri = jnp.log2(jnp.maximum(major, 1e-9))
+    lod_ewa = jnp.log2(jnp.maximum(minor_c, 1e-9))
+    lod = jnp.where(is_ewa, lod_ewa, lod_tri)
+    lod = jnp.where(mode >= TextureAtlas.F_BILINEAR, 0.0, lod)
+    lod = jnp.clip(lod, 0.0, LMAX - 1.0)
+
+    # nearest: snap uv to the base-level texel center
+    ut = uv[..., 0] * x4[..., 0] + x4[..., 2]
+    vt = uv[..., 1] * x4[..., 1] + x4[..., 3]
+    un = ((jnp.floor(ut * W0) + 0.5) / W0 - x4[..., 2]) \
+        / jnp.where(x4[..., 0] == 0, 1.0, x4[..., 0])
+    vn = ((jnp.floor(vt * H0) + 0.5) / H0 - x4[..., 3]) \
+        / jnp.where(x4[..., 1] == 0, 1.0, x4[..., 1])
+    nearest = mode == TextureAtlas.F_NEAREST
+    uv = jnp.stack([jnp.where(nearest, un, uv[..., 0]),
+                    jnp.where(nearest, vn, uv[..., 1])], -1)
+
+    # major-axis direction = eigenvector of [[A,B/2],[B/2,C]] for the
+    # smaller eigenvalue Ap; two candidate forms, keep the better
+    # conditioned one
+    v1 = jnp.stack([0.5 * B, Ap - A], -1)
+    v2 = jnp.stack([Ap - C, 0.5 * B], -1)
+    pick = (jnp.sum(v1 * v1, -1) >= jnp.sum(v2 * v2, -1))[..., None]
+    ax = jnp.where(pick, v1, v2)
+    nrm = jnp.sqrt(jnp.sum(ax * ax, -1, keepdims=True))
+    ax = jnp.where(nrm > 1e-20, ax / jnp.maximum(nrm, 1e-20),
+                   jnp.asarray([1.0, 0.0]))
+    # probe extent: cover the major radius beyond what one isotropic
+    # probe already covers; zero for non-EWA lanes so all taps coincide
+    ext = jnp.where(is_ewa, jnp.maximum(major - minor_c, 0.0), 0.0)
+    off_u = ax[..., 0] * ext / jnp.maximum(su, 1e-20)  # texel -> raw uv
+    off_v = ax[..., 1] * ext / jnp.maximum(sv, 1e-20)
+
+    acc = 0.0
+    wsum = 0.0
+    for k in range(taps):
+        t = (2 * k + 1 - taps) / taps  # (-1, 1)
+        w = float(np.exp(-2.0 * t * t))
+        p = uv + jnp.stack([off_u * t, off_v * t], -1)
+        acc = acc + w * _trilinear(atlas, tid, x4, p, lod)
+        wsum = wsum + w
+    return acc / wsum
+
+
+def uv_differentials(sensor, d, t, geo_n, dpdu, dpdv, active):
+    """Transfer camera ray differentials to the hit surface and solve
+    for the uv-space Jacobian (duv/dx, duv/dy) — the wavefront analog of
+    Intersection::computeUVPartials (librender/trimesh + mipmap.h
+    callers). `active` masks lanes that carry differentials (primary
+    hits); others get zero gradients (base-level lookups)."""
+    ddx, ddy = sensor.dir_differentials(d)
+    dn = jnp.sum(d * geo_n, -1)
+    dn = jnp.where(jnp.abs(dn) < 1e-8, jnp.where(dn >= 0, 1e-8, -1e-8), dn)
+
+    def transfer(dd):
+        # first-order plane transfer: p(px) = o + t(px) d(px) with
+        # (p - p0) . n = 0  ->  dp = t (dd - d (dd.n)/(d.n))
+        k = jnp.sum(dd * geo_n, -1) / dn
+        return t[..., None] * (dd - d * k[..., None])
+
+    dpdx = transfer(ddx)
+    dpdy = transfer(ddy)
+    a = jnp.sum(dpdu * dpdu, -1)
+    b = jnp.sum(dpdu * dpdv, -1)
+    c = jnp.sum(dpdv * dpdv, -1)
+    det = a * c - b * b
+    inv = jnp.where(jnp.abs(det) < 1e-24, 0.0, 1.0 / det)
+    zm = active.astype(jnp.float32)[..., None]
+
+    def solve(dp):
+        pu = jnp.sum(dp * dpdu, -1)
+        pv = jnp.sum(dp * dpdv, -1)
+        return jnp.stack([(c * pu - b * pv) * inv,
+                          (a * pv - b * pu) * inv], -1) * zm
+
+    return solve(dpdx), solve(dpdy)
 
 
 def perturb_normal(atlas: TextureAtlas, tex_id, is_normalmap, uv,
