@@ -44,6 +44,10 @@ def main(argv=None):
                     help="device-mesh size: the reference's worker-count "
                          "flag maps to data-parallel chips (shard_map + "
                          "psum over ICI). 1 = single chip")
+    ap.add_argument("-j", dest="parallel_scenes", type=int, default=1,
+                    help="render N scenes in parallel job threads "
+                         "(mitsuba.cpp -j; scene parse/build overlaps, "
+                         "device phases serialize on the single chip)")
     ap.add_argument("-r", dest="flush_timer", type=float, default=0.0,
                     help="write the partial image to the output file "
                          "every N seconds; SIGHUP forces a flush "
@@ -66,6 +70,34 @@ def main(argv=None):
 
     from .io import exr
     from .scene.scene import load_scene
+
+    if args.parallel_scenes > 1 and len(args.scenes) > 1:
+        # -j: one RenderJob thread per scene through a shared queue
+        # (mitsuba.cpp -j / RenderQueue); scene parse + BVH build overlap
+        # across threads, device phases serialize on the chip lock
+        from .render.queue import RenderJob, RenderQueue
+
+        queue = RenderQueue()
+        pending = list(args.scenes)
+        running = []
+        while pending or running:
+            while pending and len(running) < args.parallel_scenes:
+                sp = pending.pop(0)
+                dest = (args.output if len(args.scenes) == 1 else
+                        os.path.splitext(sp)[0] + ".exr")
+                if args.skip_existing and os.path.exists(dest):
+                    log(f"skipping {sp} (output exists)")
+                    continue
+                job = RenderJob(sp, queue, seed=args.seed, spp=args.spp,
+                                integrator=args.integrator, dest=dest,
+                                defaults=defaults, chunk=args.chunk)
+                job.start()
+                running.append(job)
+            if running:
+                queue.wait_left(len(running) - 1)
+                running = [j for j in running if j.is_alive()]
+        queue.join()
+        return
 
     for scene_path in args.scenes:
         out = args.output
