@@ -88,9 +88,8 @@ def bench(scene_path, lanes=1 << 16, verify=4096, reps=3, seed=0):
     if verify:
         n = min(verify, lanes)
         sl = lambda x: x[:n]
-        bi, bt, _, _ = jax.jit(
-            lambda gm, o, d, a, b: bvh_closest(gm, o, d, a, b, True))(
-                geom, sl(o_i), sl(d_i), sl(tmin_i), sl(tmax_i))
+        bi, bt, _, _ = shoot(geom, sl(o_i), sl(d_i), sl(tmin_i),
+                             sl(tmax_i))
         ri, rt, _, _ = brute_force_closest(
             geom, sl(o_i), sl(d_i), sl(tmin_i), sl(tmax_i))
         bi, bt = np.asarray(bi), np.asarray(bt)
