@@ -308,19 +308,23 @@ def trace_regen(scene: DeviceScene, cfg: PTConfig, key, sensor, pix_start,
 
     def shade_hit(rng, it, alive, fresh, o, d, thr, eta, depth,
                   wo_pdf_prev, delta_prev, p_prev, cur,
-                  tri2, t2, bu2, bv2, defer_shadow=False):
+                  tri2, t2, bu2, bv2, defer_shadow=False, row=None):
         """Sections 2+3 of the per-bounce body: emitter/env-hit MIS
         accumulation, surface shading, next-direction sampling, NEE and
         RR, for the lanes flagged `alive` (others inert). Shared by the
         classic per-bounce body and the budgeted segment machine (which
         passes defer_shadow=True: the NEE shadow ray is NOT traced here
         — its pre-visibility contribution and segment are returned for
-        the machine to resolve across traversal windows)."""
+        the machine to resolve across traversal windows). `row` lets
+        the machine pass an already-gathered shade-table row (shared
+        with the shadow-blocker phase); its contents only matter on
+        lanes where tri2 >= 0."""
 
         hit = (tri2 >= 0) & alive
         escaped = alive & (tri2 < 0)
         tri2s = jnp.maximum(tri2, 0)
-        row = fetch_row(scene, tri2s)
+        if row is None:
+            row = fetch_row(scene, tri2s)
         sh_n, geo_n, mid, eid, rad, uv, _med, dpdu, dpdv = decode_row(
             row, bu2, bv2)
         front = dot(sh_n, -d) > 0
@@ -926,17 +930,25 @@ def trace_regen(scene: DeviceScene, cfg: PTConfig, key, sensor, pix_start,
             tst = jax.lax.fori_loop(0, SEG_B, lambda _i, s: step(s), tst)
         seg_done = alive & (tst["cur"] < 0)
 
+        # ONE shade-table gather serves both completion phases: the
+        # shadow-blocker decode (sd lanes) and the bounce-hit shade (bd
+        # lanes) read disjoint lanes of the same [T,30] row fetch, and
+        # that fetch is the single most expensive op of the fixed
+        # per-iteration cost (~2.3 ms at 64k lanes on 1M-row tables)
+        rowm = fetch_row(scene, jnp.maximum(tst["best_i"], 0))
+
         # -- 3. shadow-segment completion ---------------------------------
         sd = seg_done & seg_shadow
         sh_hit = sd & (tst["best_i"] >= 0)
         l_nee = carry["l_nee"]
         sh_budget = carry["sh_budget"]
-        if mask_walk:
+        if mask_walk and cfg.do_nee:
             # nearest blocker: ENull lobes transmit (null: x1, mask:
-            # x(1 - opacity) at the hit uv), anything else blocks
-            roww = fetch_row(scene, jnp.maximum(tst["best_i"], 0))
+            # x(1 - opacity) at the hit uv), anything else blocks.
+            # Without NEE no shadow segments ever exist, so the whole
+            # phase (incl. its material/atlas lookups) compiles away.
             _, _, midw, _, _, uvw, _, _, _ = decode_row(
-                roww, tst["best_u"], tst["best_v"])
+                rowm, tst["best_u"], tst["best_v"])
             mrow = _stg(scene.mats.packed, midw)
             mtw = jax.lax.bitcast_convert_type(mrow[:, 0], jnp.int32)
             passthru = (((mtw == MAT_NULL) | (mtw == MAT_MASK))
@@ -973,7 +985,8 @@ def trace_regen(scene: DeviceScene, cfg: PTConfig, key, sensor, pix_start,
         R = shade_hit(rng, it, bd, fresh, o, d, thr, eta, depth,
                       wo_pdf_prev, delta_prev, p_prev, cur,
                       jnp.where(bd, tst["best_i"], -1), tst["best_t"],
-                      tst["best_u"], tst["best_v"], defer_shadow=True)
+                      tst["best_u"], tst["best_v"], defer_shadow=True,
+                      row=rowm)
         cur = R["cur"]
         if cfg.do_nee:
             has_nee = bd & (R["nee_tmax"] > 0) & jnp.any(R["l_nee"] > 0, -1)
