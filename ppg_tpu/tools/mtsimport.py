@@ -9,8 +9,8 @@ Kd as an rgb reflectance; the OBJ splits into one submesh per usemtl
 run, each saved as meshes/<name>.serialized and referenced from a
 <shape type="serialized"> entry (meshes without a known material get a
 default diffuse). The emitted scene header uses the reference's
-<integrator type="direct"/> default. COLLADA (.dae) import is not
-supported (the reference's collada.cpp path); use OBJ.
+<integrator type="direct"/> default. COLLADA (.dae) input dispatches to
+tools/collada.py (the reference's collada.cpp path).
 
 Usage: python -m ppg_tpu.tools.mtsimport input.obj output.xml
 """
@@ -196,10 +196,11 @@ def main(argv=None):
         return 1
     inp, outp = argv[0], argv[1]
     if inp.lower().endswith((".dae", ".zae")):
-        print("COLLADA import is not supported; convert to OBJ first",
-              file=sys.stderr)
-        return 1
-    n = convert(inp, outp)
+        from .collada import convert as convert_dae
+
+        n = convert_dae(inp, outp)
+    else:
+        n = convert(inp, outp)
     print(f"wrote {outp} ({n} meshes)")
     return 0
 
