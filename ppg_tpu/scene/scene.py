@@ -953,6 +953,7 @@ def build_scene(xml: SceneXML, missing_ok=True) -> SceneData:
                                        "shutterClose"))):
         if spec_ is not None and isinstance(spec_.props, Props):
             spec_.props.mark_read(*keys)
+    if film_spec is not None:
         film["type"] = film_spec.otype
     film["rfilter"] = rfilter_spec.otype if rfilter_spec is not None else "gaussian"
 

@@ -215,6 +215,8 @@ def build_shape(spec, scene_xml):
         mesh = make_heightfield(spec, scene_xml)
     elif spec.otype == "hair":
         mesh = make_hair(spec, scene_xml)
+    elif spec.otype == "deformable":
+        mesh = make_deformable(spec, scene_xml)
     else:
         raise NotImplementedError(f"shape type {spec.otype!r}")
 
@@ -229,6 +231,55 @@ def build_shape(spec, scene_xml):
     elif flip_normals:
         mesh.normals = -mesh.normals
     return mesh
+
+
+def make_deformable(spec, scene_xml):
+    """Deformable (keyframe-animated) shape
+    (src/shapes/deformable.cpp:388-694): nested shape children are the
+    animation frames, `times` gives each frame's time stamp, and hit
+    attributes linearly interpolate between the two bracketing frames
+    (fillIntersectionRecord's alpha lerp of positions/normals/uvs).
+    TPU-native deviation: the reference builds a 4D space-time kd-tree
+    and interpolates at each ray's time for motion blur; this framework
+    renders a single time sample (like the reference with
+    shutterOpen == shutterClose), so the lerp happens once at build
+    time at the scene-level `time` parameter (default 0)."""
+    pr = spec.props
+    frames = [c for c in spec.children if getattr(c, "cls", None) == "shape"]
+    if not frames:
+        raise ValueError("deformable: needs nested shape children (frames)")
+    times = [float(t) for t in
+             str(pr.get("times", "")).replace(",", " ").replace(";", " ")
+             .split()]
+    if not times:
+        times = list(range(len(frames)))
+    if len(times) != len(frames):
+        raise ValueError(
+            f"deformable: {len(times)} times for {len(frames)} frames")
+    t = float(pr.get("time", times[0]))
+    hi = int(np.searchsorted(np.asarray(times), t, side="right"))
+    hi = min(max(hi, 1), len(frames) - 1) if len(frames) > 1 else 0
+    lo = max(hi - 1, 0)
+    denom = times[hi] - times[lo]
+    alpha = 0.0 if denom == 0 else min(max((t - times[lo]) / denom, 0.0),
+                                       1.0)
+    m0 = build_shape(frames[lo], scene_xml)
+    if alpha == 0.0 or lo == hi:
+        return m0
+    m1 = build_shape(frames[hi], scene_xml)
+    if m0.positions.shape != m1.positions.shape or \
+            m0.faces.shape != m1.faces.shape:
+        raise ValueError("deformable: frames must share mesh topology")
+    m0.positions = (1 - alpha) * m0.positions + alpha * m1.positions
+    if m0.normals is not None and m1.normals is not None:
+        n = (1 - alpha) * m0.normals + alpha * m1.normals
+        m0.normals = n / np.maximum(
+            np.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+    else:
+        m0.normals = None  # recomputed by the caller
+    if m0.texcoords is not None and m1.texcoords is not None:
+        m0.texcoords = (1 - alpha) * m0.texcoords + alpha * m1.texcoords
+    return m0
 
 
 def make_heightfield(spec, scene_xml):
