@@ -1016,6 +1016,20 @@ def trace_regen(scene: DeviceScene, cfg: PTConfig, key, sensor, pix_start,
         n_new = (n_new + jnp.sum(direct_b.astype(jnp.int32))
                  + R["n_rays_it"] - jnp.sum(bd.astype(jnp.int32)))
 
+        # record stream (training): one vertex row per shade, one slot
+        # row per iteration — the same (slot, fresh, vert) stream shape
+        # as the classic body, so the segmented suffix-sum radiance and
+        # the splat path apply unchanged. Machine-record mode is gated
+        # to nee=never (trace_regen): with NEE the pending l_nee would
+        # resolve at a LATER iteration than its vertex's row and the
+        # own-NEE exclusion of guided_path.cpp's vertex ordering would
+        # need cross-iteration corrections.
+        if cfg.record_vertices:
+            outs = dict(slot=jnp.where(bd[..., None], R["slot"], 0.0),
+                        fresh=fresh, vert=R["vert"], nee=R["nee_rec"])
+        else:
+            outs = None
+
         # -- 5. path-state updates for shaded lanes ------------------------
         keep = R["keep_mis"]
         thr = jnp.where(bd[..., None], R["thr2"], thr)
@@ -1049,11 +1063,17 @@ def trace_regen(scene: DeviceScene, cfg: PTConfig, key, sensor, pix_start,
             mi_walks=carry["mi_walks"] + jnp.sum(seg_done.astype(jnp.int32)),
             **queue_out(q),
         )
-        return new_carry, None
+        return new_carry, outs
 
-    use_machine = (not cfg.record_vertices and not cfg.force_classic
-                   and (scene.geom.num_tris > BRUTE_MAX
-                        or cfg.force_machine))
+    big_scene = (scene.geom.num_tris > BRUTE_MAX or cfg.force_machine)
+    # training (record) mode rides the segment machine too when there is
+    # no NEE: the (slot, fresh, vert) stream it emits per iteration is
+    # suffix-sum compatible with the classic body's, and on BVH scenes
+    # the machine's budgeted windows track MEAN walk length instead of
+    # the wavefront-max of the classic run-to-completion closest_hit
+    # (kitchen training measured ~4x fewer row gathers per bounce)
+    use_machine = (not cfg.force_classic and big_scene
+                   and (not cfg.record_vertices or not cfg.do_nee))
     if use_machine:
         from ..core.vecmath import small_table_gather as _stg
 
@@ -1116,6 +1136,16 @@ def trace_regen(scene: DeviceScene, cfg: PTConfig, key, sensor, pix_start,
         carry, _ = jax.lax.while_loop(
             w_cond, w_body, (carry0, jnp.int32(it0)))
         outs = None
+    elif use_machine:
+        # machine-record scan: a machine iteration advances most lanes
+        # one full bounce (mean walk ~6 steps < SEG_B), but walks longer
+        # than one window need a second iteration — size the static scan
+        # ~25% past the classic per-bounce budget so record-tail
+        # truncation stays in the classic path's measured <1% regime
+        K_m = int(K) * 5 // 4 + 8
+        carry, outs = jax.lax.scan(
+            machine_body, carry0,
+            it_base * MACHINE_ITER_MULT + jnp.arange(K_m))
     else:
         carry, outs = jax.lax.scan(body, carry0, it_base + jnp.arange(K))
 

@@ -111,7 +111,19 @@ def render_gt(name, sc, gt_spp, force=False):
     return img
 
 
-def run_scene(name, spp=None, gt_spp=1024, regen_gt=False, save_out=True):
+def run_scene(name, spp=None, gt_spp=1024, regen_gt=False, save_out=True,
+              self_ratio=False):
+    """Render one golden config and score it.
+
+    self_ratio=True additionally renders OUR unguided tracer at the same
+    eval spp and reports mse_unguided plus improvement = mse_unguided /
+    mse_guided — the binding quality protocol for the scenes whose
+    bundled EXRs are not comparable (missing occluder meshes,
+    /root/reference/.MISSING_LARGE_BLOBS): guided must beat unguided by
+    a healthy factor end-to-end on OUR geometry, mirroring the paper's
+    guided-vs-path improvement claims on these scenes."""
+    from ..integrators.driver import make_config, regen_eligible, render, \
+        render_regen
     from ..integrators.guided import GuidedPathTracer
     from ..io import exr
     from ..scene.scene import load_scene
@@ -155,6 +167,22 @@ def run_scene(name, spp=None, gt_spp=1024, regen_gt=False, save_out=True):
             result["mse_ratio"] = result["mse_ours"] / result["mse_ref"]
             result["relmse_ratio"] = (result["relmse_ours"]
                                       / result["relmse_ref"])
+    if self_ratio:
+        cfg = make_config(sc, guiding=False, record_vertices=False)
+        if regen_eligible(sc, cfg):
+            ung = render_regen(sc, eval_spp, seed=EVAL_SEED + 7000, cfg=cfg)
+        else:
+            ung = render(sc, eval_spp, seed=EVAL_SEED + 7000, cfg=cfg)
+        ung = np.asarray(ung, np.float32)
+        if save_out:
+            exr.write(os.path.join(OUT_DIR,
+                                   f"{name}-{eval_spp}spp-unguided.exr"), ung)
+        result["mse_unguided"] = mse(ung, gt)
+        result["relmse_unguided"] = relmse(ung, gt)
+        result["improvement_mse"] = result["mse_unguided"] / max(
+            result["mse_ours"], 1e-12)
+        result["improvement_relmse"] = result["relmse_unguided"] / max(
+            result["relmse_ours"], 1e-12)
     return result
 
 
@@ -184,6 +212,9 @@ def main(argv=None):
                     help="override the scene's pinned budget")
     ap.add_argument("--gt-spp", type=int, default=1024)
     ap.add_argument("--regen-gt", action="store_true")
+    ap.add_argument("--self-ratio", action="store_true",
+                    help="also render OUR unguided tracer at eval spp and "
+                         "report the guided-vs-unguided improvement ratio")
     ap.add_argument("--table", action="store_true",
                     help="print a BASELINE.md-ready markdown table")
     args = ap.parse_args(argv)
@@ -192,8 +223,8 @@ def main(argv=None):
     results = []
     for name in names:
         r = run_scene(name, spp=args.spp, gt_spp=args.gt_spp,
-                      regen_gt=args.regen_gt)
-        print(json.dumps(r))
+                      regen_gt=args.regen_gt, self_ratio=args.self_ratio)
+        print(json.dumps(r), flush=True)
         results.append(r)
     if args.table:
         print(format_table(results))
