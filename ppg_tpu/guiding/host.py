@@ -197,6 +197,42 @@ class HostSDTree:
 
     # -- build (end of iteration): sums up, copy building -> sampling --------
 
+    def _pushdown_residuals(self):
+        """Distribute box-splat residuals accumulated on INTERNAL
+        quadrant cells down to the leaves before the bottom-up build.
+
+        The 4-corner box splat (sdtree.dtree_box_targets4) clamps its
+        descent at the splat box's own depth; when a quadrant there is
+        still internal, the whole subtree's share lands on that internal
+        cell. Pushing it down uniformly by area (child quadrants get a
+        quarter each, level by level) reproduces the reference recursion
+        (QuadTreeNode::record, guided_path.cpp:322-338) exactly for
+        cells fully inside the box and blurs only the box-boundary cells
+        of deeper-than-box neighbours. No-op (and skipped) when no
+        internal cell holds a residual."""
+        internal = self.qb_child >= 0
+        if not len(self.qb_sum) or not (self.qb_sum[internal] != 0).any():
+            return
+        levels = getattr(self, "_levels", None)
+        if levels is None:
+            depth = self._node_depths(self.qb_child, self.b_off, self.b_cnt)
+            maxd = int(depth.max()) if len(depth) else 0
+            levels = [np.nonzero(depth == lev)[0] for lev in range(maxd + 1)]
+        for nodes in levels[:-1]:
+            if len(nodes) == 0:
+                continue
+            ch = self.qb_child[nodes]  # [n, 4]
+            mask = ch >= 0
+            if not mask.any():
+                continue
+            r = self.qb_sum[nodes]  # residual on internal quadrants
+            share = np.where(mask, r, 0.0) * 0.25
+            kids = ch[mask]
+            # children are unique (one parent quadrant each): direct
+            # vectorized add, no np.add.at needed
+            self.qb_sum[kids] += share[mask][:, None]
+            self.qb_sum[nodes] = np.where(mask, 0.0, r)
+
     def build(self):
         """QuadTreeNode::build + DTree::build + DTreeWrapper::build.
 
@@ -205,6 +241,7 @@ class HostSDTree:
         by the last reset when valid — topology is frozen in between)."""
         from .native import get_lib
 
+        self._pushdown_residuals()
         lib = get_lib()
         if lib is not None:
             import ctypes

@@ -20,6 +20,13 @@ def _flatten(tree):
     return out
 
 
+# splat-target fields the tracer may have precomputed at shade time
+# (regen.shade_hit); their presence switches splat_records to its
+# descent-free fast path. Legacy fields (p/d/voxel/dtree_id) ride along
+# when present so the spatial box filter keeps working.
+_PASSTHRU = ("sp_id", "cell", "cell4", "w4", "p", "d", "voxel")
+
+
 def vertex_records(vert, stat_weight):
     """vert: stacked dict [J, L, ...] from trace_paths; returns flat rec dict
     for guiding.sdtree.splat_records."""
@@ -43,9 +50,7 @@ def vertex_records(vert, stat_weight):
     radiance = jnp.mean(local, axis=-1)
 
     n = radiance.shape[0]
-    return dict(
-        p=v["p"],
-        d=v["d"],
+    rec = dict(
         radiance=radiance,
         product=product,
         wo_pdf=wo_pdf,
@@ -54,8 +59,11 @@ def vertex_records(vert, stat_weight):
         stat_weight=jnp.full(n, stat_weight, jnp.float32),
         is_delta=v["is_delta"],
         valid=valid,
-        voxel=v["voxel"],
     )
+    for k in _PASSTHRU:
+        if k in v:
+            rec[k] = v[k]
+    return rec
 
 
 def nee_records(nee):
@@ -76,9 +84,7 @@ def nee_records(nee):
     radiance = jnp.mean(local, axis=-1)
 
     n = radiance.shape[0]
-    return dict(
-        p=v["p"],
-        d=v["d"],
+    rec = dict(
         radiance=radiance,
         product=product,
         wo_pdf=wo_pdf,
@@ -87,5 +93,8 @@ def nee_records(nee):
         stat_weight=jnp.full(n, 0.5, jnp.float32),
         is_delta=jnp.zeros(n, bool),
         valid=valid,
-        voxel=v["voxel"],
     )
+    for k in _PASSTHRU:
+        if k in v:
+            rec[k] = v[k]
+    return rec

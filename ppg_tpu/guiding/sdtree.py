@@ -157,6 +157,118 @@ def descend_to_leaf(q_child, root, p, n_steps=MAX_Q_DEPTH):
     return node, quad, p
 
 
+def descend_cell(q_child, root, p, n_steps=MAX_Q_DEPTH):
+    """(leaf node, quadrant, leaf depth) at canonical p in ONE walk —
+    the shade-time splat-target precompute (descend_to_leaf +
+    _depth_at fused). Depth convention matches _depth_at (root leaf =
+    1, so the leaf QUADRANT cell has side 0.5**depth), which is what
+    dtree_box_splat expects."""
+
+    def body(carry, _):
+        node, quad, p, depth, done = carry
+        row = q_child[node]
+        bx = p[..., 0] >= 0.5
+        by = p[..., 1] >= 0.5
+        q, p2 = _quad_index(p)
+        child = _sel4(row, bx, by)
+        leaf = child < 0
+        new_node = jnp.where(done | leaf, node, child)
+        new_quad = jnp.where(done, quad, q)
+        new_p = jnp.where(done[..., None], p, p2)
+        new_depth = jnp.where(done, depth, depth + 1)
+        return (new_node, new_quad, new_p, new_depth, done | leaf), None
+
+    L = p.shape[0]
+    st = (root, jnp.zeros(L, jnp.int32), p, jnp.zeros(L, jnp.int32),
+          jnp.zeros(L, bool))
+    (node, quad, _, depth, _), _ = jax.lax.scan(body, st, None,
+                                                length=n_steps)
+    return node, quad, depth
+
+
+def descend_cell_clamped(q_child, root, p, depth_limit, n_steps=MAX_Q_DEPTH):
+    """descend_cell with a per-lane depth clamp: the walk stops at cell
+    depth `depth_limit` even if the node is internal there. Returns
+    (node, quad, depth); the cell (node, quad) may then be an INTERNAL
+    quadrant — its accumulated residual is pushed down uniformly by
+    area at build time (host.HostSDTree._pushdown_residuals)."""
+
+    def body(carry, _):
+        node, quad, p, depth, done = carry
+        row = q_child[node]
+        bx = p[..., 0] >= 0.5
+        by = p[..., 1] >= 0.5
+        q, p2 = _quad_index(p)
+        child = _sel4(row, bx, by)
+        stop = done | (child < 0) | (depth + 1 >= depth_limit)
+        new_node = jnp.where(stop, node, child)
+        new_quad = jnp.where(done, quad, q)
+        new_p = jnp.where(done[..., None], p, p2)
+        new_depth = jnp.where(done, depth, depth + 1)
+        return (new_node, new_quad, new_p, new_depth, stop), None
+
+    L = p.shape[0]
+    st = (root, jnp.zeros(L, jnp.int32), p, jnp.zeros(L, jnp.int32),
+          jnp.zeros(L, bool))
+    (node, quad, _, depth, _), _ = jax.lax.scan(body, st, None,
+                                                length=n_steps)
+    return node, quad, depth
+
+
+def dtree_box_targets4(q_child, root, pc, depth, n_steps=MAX_Q_DEPTH):
+    """TPU-native box directional splat targets: the 4 CORNERS of the
+    splat box (side 0.5**depth centered at pc, QuadTreeNode::record
+    guided_path.cpp:322-338) descend the building tree with the walk
+    clamped at the box's own depth. Down to that depth every cell is at
+    least box-sized, so the box overlaps at most the 2x2 block whose
+    cells contain its corners — 4 fixed-trip scans enumerate ALL
+    overlapped cells with their exact overlap weights, replacing the
+    dynamic-stack walk (dtree_box_splat) whose unbounded while_loop
+    tripped the TPU watchdog on refined trees (the cbox-improved
+    iteration-2 kernel fault). Cells that are still internal at the
+    clamp depth take the residual for their whole subtree; the build
+    pushes it down uniformly by area — exact for interior cells of the
+    box, an area-uniform blur only at box-boundary cells of
+    deeper-than-box neighbours (the legacy walk instead TRUNCATED
+    those at D_TARGETS, dropping the energy).
+
+    Returns (cell [L,4] int32 flat quadrant indices, w [L,4] f32
+    overlap weights summing to the in-domain box fraction)."""
+    L = pc.shape[0]
+    s = 0.5 ** depth.astype(jnp.float32)
+    b_lo = pc - s[..., None] * 0.5
+    b_hi = pc + s[..., None] * 0.5
+    corners = jnp.stack(
+        [b_lo,
+         jnp.stack([b_hi[:, 0], b_lo[:, 1]], -1),
+         jnp.stack([b_lo[:, 0], b_hi[:, 1]], -1),
+         b_hi], axis=1)  # [L, 4, 2]
+    cc = jnp.clip(corners, 0.0, 1.0 - 1e-6).reshape(L * 4, 2)
+    root4 = jnp.repeat(root, 4)
+    dlim4 = jnp.repeat(depth, 4)
+    node, quad, d = descend_cell_clamped(q_child, root4, cc, dlim4, n_steps)
+    scale = jnp.exp2(d.astype(jnp.float32))
+    csz = 1.0 / scale
+    o = jnp.floor(cc * scale[..., None]) * csz[..., None]
+    lo4 = jnp.repeat(b_lo, 4, axis=0)
+    hi4 = jnp.repeat(b_hi, 4, axis=0)
+    w2 = (jnp.minimum(hi4, o + csz[..., None])
+          - jnp.maximum(lo4, o))
+    w2 = jnp.maximum(w2, 0.0)
+    s4 = jnp.repeat(s, 4)
+    w = (w2[:, 0] * w2[:, 1]) / jnp.maximum(s4 * s4, 1e-38)
+    cell = (node * 4 + quad).reshape(L, 4)
+    w = w.reshape(L, 4)
+    # dedupe corners that landed in the same cell (weights are computed
+    # from the cell geometry, so duplicates carry identical w)
+    for j in range(1, 4):
+        dup = jnp.zeros(L, bool)
+        for i in range(j):
+            dup = dup | (cell[:, i] == cell[:, j])
+        w = w.at[:, j].set(jnp.where(dup, 0.0, w[:, j]))
+    return cell, w
+
+
 def pdf_dir(sdt: SDTreeArrays, dtree_id, d_world):
     """Solid-angle pdf of the sampling distribution at direction d
     (DTree::pdf, guided_path.cpp:415-421; QuadTreeNode::pdf :232-245).
@@ -484,10 +596,21 @@ def splat_records(sdt: SDTreeArrays, rec, spatial_filter="nearest",
     nearest / stochastic spatial filters re-resolve the spatial leaf at the
     (jittered) position (Vertex::commit, guided_path.cpp:1742-1767);
     the box filters are handled by guiding.box_filter.
+
+    FAST PATH: when the tracer precomputed the splat targets at shade
+    time (rec carries "sp_id" and "cell" / "pc"+"cell_depth" — see
+    regen.shade_hit), the per-record spatial lookup and directional
+    descent are skipped entirely: those tree walks over the stacked
+    record stream (N = K x L rows, mostly invalid) were the measured
+    bottleneck of every training pass — ~20 sequential gather rounds at
+    2M+ lanes per splat — while the same walks at shade time run once
+    per REAL vertex at wavefront width. The splat then reduces to
+    sort-based bincounts.
     """
     valid = rec["valid"]
     stat_w0 = jnp.where(valid, rec["stat_weight"], 0.0)
     irradiance0 = rec["radiance"] / jnp.maximum(rec["wo_pdf"], 1e-38)
+    fast = "sp_id" in rec and spatial_filter != "box"
 
     if spatial_filter == "box":
         # volume-overlap splat to every overlapping spatial leaf
@@ -506,6 +629,18 @@ def splat_records(sdt: SDTreeArrays, rec, spatial_filter="nearest",
         product = rep(rec["product"])
         is_delta = rep(rec["is_delta"])
         dtree_id = jnp.maximum(dtree_id, 0)
+    elif fast:
+        # spatial leaf (incl. any stochastic jitter) resolved at shade
+        dtree_id = jnp.where(valid, rec["sp_id"], 0)
+        valid_e = valid
+        stat_w = stat_w0
+        irradiance = irradiance0
+        d = None
+        bsdf_pdf = rec["bsdf_pdf"]
+        dtree_pdf = rec["dtree_pdf"]
+        wo_pdf = rec["wo_pdf"]
+        product = rec["product"]
+        is_delta = rec["is_delta"]
     else:
         p = rec["p"]
         if spatial_filter == "stochastic":
@@ -535,15 +670,23 @@ def splat_records(sdt: SDTreeArrays, rec, spatial_filter="nearest",
         sdt.db_statw, dtree_id, jnp.where(rec_ok, stat_w, 0.0)
     )
 
-    pc = dir_to_canonical(d)
-    root = sdt.db_root[dtree_id]
     amount = jnp.where(irr_ok, irradiance * stat_w, 0.0)
-    if directional_filter == "box":
+    if directional_filter == "box" and fast:
+        qb_flat = bincount_add(
+            sdt.qb_sum.reshape(-1), rec["cell4"].reshape(-1),
+            (amount[:, None] * rec["w4"]).reshape(-1))
+    elif directional_filter == "box":
+        pc = dir_to_canonical(d)
+        root = sdt.db_root[dtree_id]
         depth = _depth_at(sdt.qb_child, root, pc, sdt.q_depth)
         qb_flat = dtree_box_splat(
             sdt.qb_sum.reshape(-1), sdt.qb_child, root, pc, amount, depth
         )
+    elif fast:
+        qb_flat = bincount_add(sdt.qb_sum.reshape(-1), rec["cell"], amount)
     else:
+        root = sdt.db_root[dtree_id]
+        pc = dir_to_canonical(d)
         node, quad, _ = descend_to_leaf(sdt.qb_child, root, pc, sdt.q_depth)
         qb_flat = bincount_add(sdt.qb_sum.reshape(-1), node * 4 + quad, amount)
 

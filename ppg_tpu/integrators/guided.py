@@ -120,14 +120,19 @@ def _splat_chunk_records(sdtree, verts, k, cfg, spatial_filter,
     recs = R.vertex_records(verts["bsdf"], stat_w)
     lf = learn_fraction if cfg.is_built else None
     kj = jax.random.fold_in(k, 0x7FFFFFFF)
-    uj = jax.random.uniform(jax.random.fold_in(kj, 23),
-                            (recs["valid"].shape[0], 3))
+    # splat-time jitter only exists on the legacy path — the fast path
+    # (rec carries sp_id) drew it at shade time inside the tracer
+    need_uj = "sp_id" not in recs and spatial_filter == "stochastic"
+    uj = (jax.random.uniform(jax.random.fold_in(kj, 23),
+                             (recs["valid"].shape[0], 3))
+          if need_uj else None)
     sdtree = G.splat_records(
         sdtree, recs, spatial_filter, directional_filter, lf, uj)
     if verts["nee"] is not None:
         nrecs = R.nee_records(verts["nee"])
-        uj2 = jax.random.uniform(jax.random.fold_in(kj, 29),
-                                 (nrecs["valid"].shape[0], 3))
+        uj2 = (jax.random.uniform(jax.random.fold_in(kj, 29),
+                                  (nrecs["valid"].shape[0], 3))
+               if need_uj else None)
         sdtree = G.splat_records(
             sdtree, nrecs, spatial_filter, directional_filter, lf, uj2)
     return sdtree
@@ -406,6 +411,11 @@ class GuidedPathTracer:
         return True
 
     def _cfg(self, is_built, do_nee, is_final):
+        # shade-time splat-target precompute (regen.shade_hit): only the
+        # spatial box filter still needs the per-record multi-target
+        # resolution at splat time
+        precompute = (not is_final
+                      and self.spatial_filter in ("nearest", "stochastic"))
         return replace(
             self.base_cfg,
             do_nee=do_nee,
@@ -415,6 +425,8 @@ class GuidedPathTracer:
             record_vertices=not is_final,
             learn_fraction=self.loss != "none" and is_built,
             bsdf_fraction=self.bsdf_fraction,
+            splat_spatial=self.spatial_filter if precompute else "",
+            splat_dir=self.directional_filter if precompute else "",
         )
 
     # -- one performRenderPasses call ---------------------------------------
@@ -507,14 +519,15 @@ class GuidedPathTracer:
         return sdtree, img_buf, sq_buf, n_rays, n_verts, n_samples
 
     def _regen_train_ok(self, cfg):
-        # regen training trades MORE stacked record rows (K vs bounces)
-        # for near-full traversal utilization: a win only when traversal
-        # dominates the iteration (big BVH scenes); on brute-force-sized
-        # scenes the splat is the cost and the fused classic pass wins
+        # regen training: near-full traversal utilization on big BVH
+        # scenes, and — with the shade-time splat-target precompute
+        # (cfg.splat_spatial) — a splat that is pure bincounts, so it
+        # wins on brute-force-sized scenes too (the classic per-bounce
+        # pass previously won there only because the splat's per-record
+        # tree walks dominated)
         return (not cfg.has_media and not cfg.has_subsurf
                 and cfg.sampler == "independent"
-                and self.film.rfilter == "box"
-                and int(self.scene_dev.geom.num_tris) > 1024)
+                and self.film.rfilter == "box")
 
     def _render_passes(self, n_passes, sdtree, is_built, do_nee, is_final,
                        film_buf, seed_base):

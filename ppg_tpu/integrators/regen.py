@@ -305,6 +305,48 @@ def trace_regen(scene: DeviceScene, cfg: PTConfig, key, sensor, pix_start,
         from ..guiding import sdtree as _G
 
         n_rand_cols += _G.MAX_Q_DEPTH + 2
+    # shade-time splat-target precompute: stochastic jitters come from a
+    # dedicated fold (NOT the shared rand block — widening the block
+    # would change every column of the threefry draw and desync the
+    # path sampling from the record-free/legacy configs)
+    precompute_splat = (cfg.record_vertices and guide
+                        and cfg.splat_spatial != "")
+
+    def splat_targets(it, salt, rec, p_rec, d_rec, dtree_id, voxel, valid):
+        """Resolve a record's splat targets at SHADE time (the fast
+        path of guiding.sdtree.splat_records): the spatial leaf
+        (jittered for the stochastic filter, Vertex::commit
+        guided_path.cpp:1746-1762) and the BUILDING-tree directional
+        cell. The building pool's topology is frozen during an
+        iteration, so these walks — once per real vertex at wavefront
+        width — replace the same walks over the 10-100x larger stacked
+        record stream at splat time."""
+        if cfg.splat_spatial == "stochastic":
+            kj = jax.random.fold_in(jax.random.fold_in(key, 0x5B1A7), it)
+            uj = jax.random.uniform(jax.random.fold_in(kj, salt),
+                                    (valid.shape[0], 3))
+            pj = jnp.clip(p_rec + (uj - 0.5) * voxel, sdtree.aabb_min,
+                          sdtree.aabb_min + sdtree.aabb_size)
+            sp_id, _ = G.lookup(sdtree, pj)
+        else:
+            sp_id = dtree_id
+        sp_id = jnp.maximum(jnp.where(valid, sp_id, 0), 0)
+        pc = G.dir_to_canonical(d_rec)
+        pc = jnp.where(jnp.isfinite(pc), pc, 0.0)
+        root = sdtree.db_root[sp_id]
+        node, quad, dep = G.descend_cell(sdtree.qb_child, root, pc,
+                                         sdtree.q_depth)
+        rec["sp_id"] = sp_id
+        if cfg.splat_dir == "box":
+            # 4-corner box targets (sdtree.dtree_box_targets4): exact
+            # overlap weights, fixed-trip walks — no dynamic stack
+            cell4, w4 = G.dtree_box_targets4(sdtree.qb_child, root, pc,
+                                             dep, sdtree.q_depth)
+            rec["cell4"] = cell4
+            rec["w4"] = w4
+        else:
+            rec["cell"] = node * 4 + quad
+        return rec
 
     def shade_hit(rng, it, alive, fresh, o, d, thr, eta, depth,
                   wo_pdf_prev, delta_prev, p_prev, cur,
@@ -716,13 +758,19 @@ def trace_regen(scene: DeviceScene, cfg: PTConfig, key, sensor, pix_start,
                 nee_so = nee_d = None
                 nee_tmax = None
             if cfg.record_vertices:
+                nee_valid = nee_ok & (dtree_id >= 0)
                 nee_rec = dict(
-                    p=p2, d=ds["d"], radiance=l_nee,
+                    radiance=l_nee,
                     throughput=(thr * f_nee
                                 / jnp.maximum(ds["pdf"], 1e-38)[..., None]),
                     bsdf_val=f_nee, wo_pdf=ds["pdf"], bsdf_pdf=bsdf_pdf_nee,
-                    dtree_pdf=dtree_pdf_nee, dtree_id=dtree_id, voxel=voxel,
-                    valid=nee_ok & (dtree_id >= 0))
+                    dtree_pdf=dtree_pdf_nee, valid=nee_valid)
+                if precompute_splat:
+                    nee_rec = splat_targets(it, 29, nee_rec, p2, ds["d"],
+                                            dtree_id, voxel, nee_valid)
+                else:
+                    nee_rec.update(p=p2, d=ds["d"], dtree_id=dtree_id,
+                                   voxel=voxel)
         else:
             l_nee = jnp.zeros((L, 3), jnp.float32)
             nee_so = nee_d = None
@@ -777,11 +825,16 @@ def trace_regen(scene: DeviceScene, cfg: PTConfig, key, sensor, pix_start,
             if not cfg.learn_fraction:
                 v_valid = v_valid & ~sampled_delta
             vert = dict(
-                p=o2, d=wo_world, throughput=thr2,
+                throughput=thr2,
                 bsdf_val=bsdf_weight * wo_pdf[..., None],
                 wo_pdf=wo_pdf, bsdf_pdf=bsdf_pdf, dtree_pdf=dtree_pdf,
-                is_delta=sampled_delta, dtree_id=dtree_id, voxel=voxel,
-                valid=v_valid)
+                is_delta=sampled_delta, valid=v_valid)
+            if precompute_splat:
+                vert = splat_targets(it, 23, vert, o2, wo_world, dtree_id,
+                                     voxel, v_valid)
+            else:
+                vert.update(p=o2, d=wo_world, dtree_id=dtree_id,
+                            voxel=voxel)
         else:
             vert = None
 

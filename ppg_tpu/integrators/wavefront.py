@@ -75,6 +75,13 @@ class PTConfig:
     has_wireframe: bool = False  # scene has wireframe textures
     has_subsurf: bool = False  # scene has dipole subsurface shapes
     sampler: str = "independent"  # sampler plugin type (render/samplers.py)
+    # splat-target precompute (regen.shade_hit): when non-empty and
+    # record_vertices, the tracer resolves each vertex's splat leaf
+    # (spatial jitter included) and directional cell at SHADE time so
+    # splat_records skips its per-stacked-record tree walks. Values
+    # mirror the guided_path spatialFilter / directionalFilter props.
+    splat_spatial: str = ""  # "" (off) | "nearest" | "stochastic"
+    splat_dir: str = ""  # "" (off) | "nearest" | "box"
     force_machine: bool = False  # regen: use the segment machine even on
     # small scenes (tests; big scenes engage it automatically)
     force_classic: bool = False  # regen: keep the classic per-bounce

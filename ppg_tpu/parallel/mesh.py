@@ -128,7 +128,8 @@ def make_mesh2(n_slices, tiles_per_slice, axes=("slice", "tiles")):
 
 def seed_parallel_pass(mesh2, scene, cfg, sensor, film, sdtree, key, chunk,
                        spatial_filter="nearest",
-                       directional_filter="nearest", learn_fraction=None):
+                       directional_filter="nearest", learn_fraction=None,
+                       slice_offset=0):
     """One pass on EVERY slice concurrently: each slice renders the full
     image with an independent RNG stream, tiles sharded inside the
     slice, film + tree deltas psum'd over 'tiles' (ICI) only. Returns
@@ -183,9 +184,12 @@ def seed_parallel_pass(mesh2, scene, cfg, sensor, film, sdtree, key, chunk,
     total = n_tiles * chunk
     ids = jnp.arange(total, dtype=jnp.int32).reshape(1, n_tiles, chunk)
     ids = jnp.broadcast_to(ids, (n_slices, n_tiles, chunk))
+    # slice_offset lets a multi-host deployment run local 1-slice meshes
+    # whose RNG streams line up with a single-process multi-slice mesh
+    # (parallel.multihost: slice index = global process id)
     keys = jax.vmap(lambda s: jax.vmap(
         lambda t: jax.random.fold_in(jax.random.fold_in(key, s), t))(
-            jnp.arange(n_tiles)))(jnp.arange(n_slices))
+            jnp.arange(n_tiles)))(jnp.arange(n_slices) + slice_offset)
 
     fn = jax.shard_map(
         shard_fn,

@@ -2,9 +2,14 @@
 
 The reference's bitmap texture plugin (mitsuba/src/textures/bitmap.cpp)
 MIP-maps each image and filters with EWA/trilinear using ray
-differentials. The wavefront tracer doesn't carry differentials, so we
-sample the base level bilinearly with repeat wrapping (the plugin's
-default wrapMode) — unbiased point sampling of the same texture signal.
+differentials. This module mirrors that: each bitmap gets a full MIP
+pyramid packed into the same atlas; primary (camera) hits carry ray
+differentials from the sensor — trilinear minification by default, and
+the full-Jacobian EWA anisotropic path (uv_differentials +
+sample_atlas's duv argument, mipmap.h:640-713) for textures with
+filterType=ewa. Bounce lanes sample the base level bilinearly with
+repeat wrapping, matching the reference path tracer's camera-only
+differentials.
 
 8-bit PNG/JPG sources are converted sRGB -> linear exactly as
 Bitmap::setGamma/fromLinearRGB does for gamma=-1 (srgb).
