@@ -78,7 +78,12 @@ def make_config(sc, **overrides) -> PTConfig:
             sc.textures is not None
             and any(s.otype == "wireframe" for s in sc.textures.specs)
         ),
-        has_subsurf=bool(getattr(sc, "subsurfaces", None)),
+        has_subsurf=bool(any(
+            r.get("kind", "dipole") == "dipole"
+            for r in getattr(sc, "subsurfaces", None) or ())),
+        has_sss=bool(any(
+            r.get("kind", "dipole") == "singlescatter"
+            for r in getattr(sc, "subsurfaces", None) or ())),
         sampler=str(sc.sampler.get("type", "independent")),
     )
     kw.update(overrides)
@@ -145,6 +150,7 @@ def regen_eligible(sc, cfg):
     media-free, record-free renders; everything else uses the classic
     fixed-bounce wavefront."""
     return (not cfg.has_media and not cfg.has_subsurf
+            and not cfg.has_sss
             and cfg.sampler == "independent"
             and str(sc.film.get("rfilter", "box")) == "box"
             and not cfg.record_vertices)
@@ -234,17 +240,28 @@ def render_regen(sc, spp, seed=0, chunk=1 << 16, cfg=None, scene_dev=None,
 
 
 def ensure_subsurface(sc, dev):
-    """Populate dev.subsurf with the dipole irradiance point cloud
-    (cached on the scene; a no-op for scenes without subsurfaces)."""
-    if not getattr(sc, "subsurfaces", None):
+    """Populate dev.subsurf with the dipole irradiance point cloud and
+    dev.sss with the singlescatter constants (cached on the scene; a
+    no-op for scenes without subsurfaces)."""
+    rows = getattr(sc, "subsurfaces", None)
+    if not rows:
         return dev
-    cached = getattr(sc, "_subsurf_cache", None)
-    if cached is None:
-        from ..subsurface import build_subsurface
+    if any(r.get("kind", "dipole") == "dipole" for r in rows):
+        cached = getattr(sc, "_subsurf_cache", None)
+        if cached is None:
+            from ..subsurface import build_subsurface
 
-        cached = build_subsurface(sc, dev)
-        sc._subsurf_cache = cached
-    dev.subsurf = cached
+            cached = build_subsurface(sc, dev)
+            sc._subsurf_cache = cached
+        dev.subsurf = cached
+    if any(r.get("kind", "dipole") == "singlescatter" for r in rows):
+        cached = getattr(sc, "_sss_cache", None)
+        if cached is None:
+            from ..singlescatter import build_sss
+
+            cached = build_sss(sc, dev)
+            sc._sss_cache = cached
+        dev.sss = cached
     return dev
 
 

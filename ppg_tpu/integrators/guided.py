@@ -442,14 +442,15 @@ class GuidedPathTracer:
 
     def _regen_ok(self, cfg):
         return (not cfg.record_vertices and not cfg.has_media
-                and not cfg.has_subsurf
+                and not cfg.has_subsurf and not cfg.has_sss
                 and cfg.sampler == "independent"
                 and self.film.rfilter == "box")
 
     def _mesh_ok(self, cfg):
         # mesh passes go through the regen tracer inside shard_map
         ok = (self.mesh is not None and not cfg.has_media
-              and not cfg.has_subsurf and cfg.sampler == "independent"
+              and not cfg.has_subsurf and not cfg.has_sss
+              and cfg.sampler == "independent"
               and self.film.rfilter == "box")
         if self.mesh is not None and not ok and not self._warned_mesh:
             self._warned_mesh = True
@@ -526,6 +527,7 @@ class GuidedPathTracer:
         # pass previously won there only because the splat's per-record
         # tree walks dominated)
         return (not cfg.has_media and not cfg.has_subsurf
+                and not cfg.has_sss
                 and cfg.sampler == "independent"
                 and self.film.rfilter == "box")
 

@@ -74,6 +74,7 @@ class PTConfig:
     has_vertexcolors: bool = False  # meshes carry per-vertex colors
     has_wireframe: bool = False  # scene has wireframe textures
     has_subsurf: bool = False  # scene has dipole subsurface shapes
+    has_sss: bool = False  # scene has singlescatter subsurface shapes
     sampler: str = "independent"  # sampler plugin type (render/samplers.py)
     # splat-target precompute (regen.shade_hit): when non-empty and
     # record_vertices, the tracer resolves each vertex's splat leaf
@@ -108,7 +109,7 @@ class DeviceScene:
     """
 
     FIELDS = ("geom", "mats", "emitters", "shade", "eps", "env", "tex",
-              "delta", "media", "subsurf")
+              "delta", "media", "subsurf", "sss")
 
     def __init__(self, **kw):
         for f in self.FIELDS:
@@ -226,9 +227,12 @@ class DeviceScene:
 
         from ..subsurface import SubsurfArrays
 
+        from ..singlescatter import SSSArrays
+
         diag = float(np.linalg.norm(sc.aabb_max - sc.aabb_min))
         return cls(
             subsurf=SubsurfArrays.empty(),
+            sss=SSSArrays.empty(),
             geom=geom,
             mats=B.MaterialArrays.from_table(sc.materials),
             emitters=E.EmitterArrays.from_scene(sc),
@@ -880,6 +884,33 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
             ss_id_l = jnp.where(act & ~in_med if cfg.has_media else act,
                                 scene.subsurf.tri_ss[carry["tri"]], -1)
             slot = slot + thr * lo_sub(scene.subsurf, ss_id_l, p, wi_dot_sh)
+        if cfg.has_sss:
+            # singlescatter subsurface (singlescatter.cpp Lo()): interior
+            # single-scattering added here; the shape's boundary is a
+            # delta interface whose reflect/refract branch OVERRIDES the
+            # path continuation (the black default BSDF sampled above
+            # would terminate it) — see singlescatter.py for semantics
+            from ..singlescatter import single_scatter
+
+            is_ss_gate = act & ~in_med if cfg.has_media else act
+            sss_id_l = jnp.where(is_ss_gate,
+                                 scene.sss.tri_ss[carry["tri"]], -1)
+            k_sss = jax.random.fold_in(jax.random.fold_in(key, j), 0x551)
+            L_ss, ss_cont = single_scatter(scene, cfg, sss_id_l, p, d,
+                                           sh_n, geo_n, k_sss)
+            slot = slot + thr * L_ss
+            is_ss = sss_id_l >= 0
+            wo_world = jnp.where(is_ss[..., None], ss_cont["d"], wo_world)
+            wo = jnp.where(is_ss[..., None],
+                           to_local(s_ax, t_ax, sh_n, ss_cont["d"]), wo)
+            bsdf_weight = jnp.where(is_ss[..., None], ss_cont["w"],
+                                    bsdf_weight)
+            wo_pdf = jnp.where(is_ss, 1.0, wo_pdf)
+            bsdf_pdf = jnp.where(is_ss, 1.0, bsdf_pdf)
+            sampled_delta = sampled_delta | is_ss
+            eta_s = jnp.where(is_ss, 1.0, eta_s)
+            dtree_pdf = jnp.where(is_ss, 0.0, dtree_pdf)
+            dtree_id = jnp.where(is_ss, -1, dtree_id)
         # -- next-event estimation (guided_path.cpp:1967-2021) --------------
         nee_rec = None
         if cfg.do_nee:
@@ -966,6 +997,12 @@ def trace_paths(scene: DeviceScene, cfg: PTConfig, key, o, d, t_min, t_max,
         o2 = p + jnp.sign(dot(geo_n, wo_world))[..., None] * geo_n * scene.eps
         if cfg.has_media:
             o2 = jnp.where(in_med[..., None], p, o2)
+        if cfg.has_sss:
+            # singlescatter transmission continues from the FAR boundary
+            # exit point, not the entry hit (singlescatter.cpp:1344-1374
+            # launches Li from its2.p); reflection lanes get the same
+            # entry-side origin either way
+            o2 = jnp.where(is_ss[..., None], ss_cont["o"], o2)
         d2 = wo_world
 
         # inactive lanes park immediately in the traversal (t_max < t_min)

@@ -807,6 +807,11 @@ def build_scene(xml: SceneXML, missing_ok=True) -> SceneData:
             mesh.apply_transform(extra_xf)
 
         bspec = shape.child("bsdf")
+        if bspec is None and shape.child("subsurface") is not None:
+            # a subsurface shape without a BSDF gets an all-absorbing
+            # one (shape.cpp:49-56): the boundary transport is owned by
+            # the subsurface model, not a default Lambertian
+            bspec = _black_bsdf()
         mat_id = mats.add(bspec if bspec is not None else _default_bsdf())
 
         espec = shape.child("emitter")
@@ -855,7 +860,7 @@ def build_scene(xml: SceneXML, missing_ok=True) -> SceneData:
         ss_spec = shape.child("subsurface")
         ss_id = -1
         if ss_spec is not None:
-            if ss_spec.otype != "dipole":
+            if ss_spec.otype not in ("dipole", "singlescatter"):
                 raise NotImplementedError(
                     f"subsurface type {ss_spec.otype!r}")
             sp = ss_spec.props
@@ -865,18 +870,45 @@ def build_scene(xml: SceneXML, missing_ok=True) -> SceneData:
                     str(sp["material"]).lower()]
                 ss_s = np.asarray(ss_v, np.float64) * scale
                 ss_a = np.asarray(sa_v, np.float64) * scale
-                g_m = float(np.mean(g_v))
+                g_v = np.asarray(g_v, np.float64)
+            elif "sigmaT" in sp or "albedo" in sp:
+                # sigmaT/albedo alternative (medium/materials.h):
+                # sigma_s = albedo * sigma_t, sigma_a = sigma_t - sigma_s
+                st = _rgb(sp.get("sigmaT"), [2.55, 3.21, 3.77]) * scale
+                al = _rgb(sp.get("albedo"), [0.99, 0.99, 0.99])
+                ss_s = al * st
+                ss_a = st - ss_s
+                g_v = _rgb(sp.get("g"), [0, 0, 0])
             else:
                 ss_s = _rgb(sp.get("sigmaS"), [2.55, 3.21, 3.77]) * scale
                 ss_a = _rgb(sp.get("sigmaA"),
                             [0.0011, 0.0024, 0.014]) * scale
-                g_m = float(np.mean(_rgb(sp.get("g"), [0, 0, 0])))
-            eta = _ior(sp, "intIOR", 1.3) / _ior(sp, "extIOR", 1.000277)
-            subsurf_rows.append(dict(
-                sigma_s=ss_s, sigma_a=ss_a, g=g_m, eta=eta,
+                g_v = _rgb(sp.get("g"), [0, 0, 0])
+            g_m = float(np.mean(g_v))
+            row = dict(
+                sigma_s=ss_s, sigma_a=ss_a, g=g_m, g3=g_v,
+                kind=ss_spec.otype,
                 irr_samples=int(sp.get("irrSamples", 16)),
                 sample_mult=float(sp.get("sampleMultiplier", 1.0)),
-                tri_start=len(tri_mat) - F, n_tris=F))
+                tri_start=len(tri_mat) - F, n_tris=F)
+            if ss_spec.otype == "singlescatter":
+                # eta comes from the subsurface's child BSDF
+                # (singlescatter.cpp configure(): m_BSDF->getEta());
+                # fast-path knobs per the plugin ctor (:117-151)
+                child_bsdf = ss_spec.child("bsdf")
+                bp = child_bsdf.props if child_bsdf is not None else {}
+                row["eta"] = (_ior(bp, "intIOR", 1.5046)
+                              / _ior(bp, "extIOR", 1.000277))
+                row["fast"] = bool(sp.get("fastSingleScatter", True))
+                row["fss_samples"] = int(sp.get("fssSamples", 2))
+                row["ss_depth"] = int(sp.get("singleScatterDepth", 4))
+                if isinstance(sp, Props):
+                    sp.mark_read("singleScatterShadowRays",
+                                 "singleScatterTransmittance")
+            else:
+                row["eta"] = (_ior(sp, "intIOR", 1.3)
+                              / _ior(sp, "extIOR", 1.000277))
+            subsurf_rows.append(row)
             ss_id = len(subsurf_rows) - 1
         tri_subsurf.extend([ss_id] * F)
         vert_base += len(mesh.positions)
@@ -1008,6 +1040,19 @@ def _default_bsdf():
 
         _DEFAULT_BSDF = PluginSpec("bsdf", "diffuse")
     return _DEFAULT_BSDF
+
+
+_BLACK_BSDF = None
+
+
+def _black_bsdf():
+    global _BLACK_BSDF
+    if _BLACK_BSDF is None:
+        from .xml_parser import PluginSpec
+
+        _BLACK_BSDF = PluginSpec("bsdf", "diffuse",
+                                 props={"reflectance": [0.0, 0.0, 0.0]})
+    return _BLACK_BSDF
 
 
 def load_scene(path, defaults=None, missing_ok=True) -> SceneData:

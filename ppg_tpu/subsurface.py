@@ -244,7 +244,16 @@ def build_subsurface(sc, dev, n_points=2048, seed=17):
 
     rng = np.random.default_rng(seed)
     rows, all_pts, all_area, all_ss, all_nrm = [], [], [], [], []
+    irr_samples = 16
+    single_mask = np.zeros(len(sc.subsurfaces), bool)
     for i, row in enumerate(sc.subsurfaces):
+        if row.get("kind", "dipole") != "dipole":
+            # singlescatter rows live in scene.sss (singlescatter.py);
+            # keep the row slot so ids stay aligned but give it no
+            # points and gate its triangles out of tri_ss below
+            rows.append(np.zeros(12, np.float32))
+            single_mask[i] = True
+            continue
         rows.append(dipole_params(row))
         tri_ids = np.arange(row["tri_start"],
                             row["tri_start"] + row["n_tris"])
@@ -331,6 +340,9 @@ def build_subsurface(sc, dev, n_points=2048, seed=17):
     perm = np.asarray(dev.geom.perm)
     tri_ss = (sc.tri_subsurf[perm] if len(perm)
               else np.zeros(1, np.int32))
+    if single_mask.any():
+        tri_ss = np.where((tri_ss >= 0) & single_mask[
+            np.maximum(tri_ss, 0)], -1, tri_ss)
     return SubsurfArrays(
         jnp.asarray(np.stack(rows)), jnp.asarray(pts), jnp.asarray(E),
         jnp.asarray(area.astype(np.float32)), jnp.asarray(pt_ss),
