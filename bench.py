@@ -41,7 +41,7 @@ def _unguided(path, spp=32):
     key = jax.random.key(0)
 
     def render(salt0):
-        carry, out = None, None
+        carry, out, prev_done = None, None, None
         for i in range(40):
             out, carry = _regen_dispatch(
                 dev, cfg, key, np.int32(salt0 + i), sensor=sensor,
@@ -49,8 +49,12 @@ def _unguided(path, spp=32):
                 K=np.int32(4000), carry=carry, it_base=np.int32(i * 4000),
                 qstart=np.int32(0), qend=np.int32(n_pix * n_blocks),
                 n_film=n_pix + 1, n_blocks=n_blocks, n_slots=n_slots)
-            if bool(out["all_done"]):
+            # lag the termination sync one dispatch so the ~30 ms tunnel
+            # round-trip overlaps the next dispatch's execution (see
+            # driver.render_regen; this was the r3 cbox bench regression)
+            if prev_done is not None and bool(prev_done):
                 break
+            prev_done = out["all_done"]
         jax.block_until_ready(carry["film"])
         return out
 

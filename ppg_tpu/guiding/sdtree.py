@@ -578,6 +578,180 @@ def stree_box_targets(sdt: SDTreeArrays, p_world, voxel):
 
 
 # ---------------------------------------------------------------------------
+# Learned bsdfSamplingFraction (AdamOptimizer, guided_path.cpp:69-133,655-697)
+# ---------------------------------------------------------------------------
+#
+# The reference steps Adam once per ~2 units of statistical weight (its
+# batchSize=1 accumulator fires when the accumulated weight EXCEEDS 1 —
+# every second unit-weight record) and re-evaluates the loss gradient at
+# the CURRENT variable for every record. A single step per splat batch
+# with the batch-mean gradient — the previous implementation here —
+# freezes the optimizer at production batch sizes: the oracle in
+# tests/test_estimator_oracle.py shows the reference fraction moving
+# 0.50 -> 0.85 over a 2000-record stream while one-step batching stays
+# at 0.502, making the kl/var losses inert.
+#
+# TPU-native redesign. The per-record loss gradient of both losses is a
+# RATIONAL function of the sampling fraction f (x = bsdfPdf - dTreePdf,
+# c = dTreePdf / x, mix = x*(c+f)):
+#
+#   dl/df (kl)  = -(product / woPdf)        * 1/(c + f)
+#   dl/df (var) = -(product^2 / (woPdf*x))  * 1/(c + f)^2
+#
+# so per-(leaf, c-bucket) coefficient sums S0 (+ the first-order moment
+# S1 = sum coeff*(c - c_bucket)) are sufficient statistics to
+# re-evaluate the batch-mean gradient at ANY f: 31 log-spaced buckets
+# per sign of x (c >= 0 for x > 0; c <= -1 for x < 0, so c+f never
+# crosses 0 for f in (0,1)). The chain then runs as an ADAM_ROUNDS-round
+# scan over the leaf table: round t advances each leaf by its share of
+# k = floor(weight/2) reference steps using the constant-gradient
+# closed form for (m1, m2, sum of m1_t), with the gradient re-read from
+# the bucket stats at the leaf's CURRENT variable — preserving the
+# reference chain's step count AND its self-limiting feedback (the
+# gradient shrinks as f moves toward the optimum, which a single
+# batch-start gradient cannot see). The gradient at the batch-start
+# variable uses the exact per-record values (the bucket basis only
+# supplies the DELTA to a moved variable), so single-record batches
+# reproduce the reference chain exactly; the weight remainder (< 2) and
+# its gradient carry across batches in opt_bgrad/opt_bweight like the
+# reference's batchGradient/batchAccumulation.
+
+ADAM_B = 62       # c-buckets: 31 log-spaced per sign of x
+ADAM_ROUNDS = 64  # gradient re-evaluation rounds per splat batch
+_ADAM_LO, _ADAM_SPAN = -3.0, 7.0  # log10(c + 1e-3) bucket range
+
+
+def _adam_bucket_centers():
+    import numpy as np
+
+    i = np.arange(31)
+    z = _ADAM_LO + (i + 0.5) * (_ADAM_SPAN / 31)
+    pos = 10.0**z - 1e-3
+    # module-level NUMPY constant: caching a jnp array created inside a
+    # traced context leaks the trace; jnp.asarray per call is a no-op
+    # constant embed
+    return np.concatenate([pos, -(pos + 1.0)]).astype(np.float32)
+
+
+_ADAM_CHAT = _adam_bucket_centers()  # [ADAM_B] bucket-center c values
+
+
+def _adam_bucket_index(c):
+    """Bucket id for c = dTreePdf/x: 0..30 for c >= 0, 31..61 for
+    c <= -1 (u = -c-1 >= 0 shares the log mapping)."""
+    neg = c < 0
+    u = jnp.where(neg, -c - 1.0, c)
+    z = jnp.log10(jnp.maximum(u, 0.0) + 1e-3)
+    idx = jnp.clip(((z - _ADAM_LO) * (31 / _ADAM_SPAN)).astype(jnp.int32),
+                   0, 30)
+    return jnp.where(neg, idx + 31, idx)
+
+
+def _adam_chain(sdt, dtree_id, product, wo_pdf, bsdf_pdf, dtree_pdf,
+                stat_w, valid_e, learn_fraction):
+    """Returns the updated (opt_var, opt_m1, opt_m2, opt_iter,
+    opt_bgrad, opt_bweight) leaf arrays after consuming this record
+    batch with reference step cadence (see block comment above)."""
+    chat = jnp.asarray(_ADAM_CHAT)
+    is_kl = learn_fraction == "kl"
+    rp = 1.0 if is_kl else 2.0
+    T = sdt.opt_var.shape[0]
+    lr, b1, b2, eps = 0.01, 0.9, 0.999, 1e-8
+
+    var0 = sdt.opt_var[dtree_id]
+    frac0 = jax.nn.sigmoid(var0)
+    x = bsdf_pdf - dtree_pdf
+    mix0 = frac0 * bsdf_pdf + (1 - frac0) * dtree_pdf
+    # exact per-record gradient at the batch-start variable
+    # (optimizeBsdfSamplingFraction, guided_path.cpp:672-697)
+    ratio0 = (product / jnp.maximum(mix0, 1e-38)) ** rp
+    dl_dv0 = (-ratio0 / jnp.maximum(wo_pdf, 1e-38) * x
+              * frac0 * (1 - frac0) + 0.01 * var0)
+    opt_ok = valid_e & (product > 0) & jnp.isfinite(dl_dv0)
+    g0 = jnp.where(opt_ok, dl_dv0 * stat_w, 0.0)
+    w = jnp.where(opt_ok, stat_w, 0.0)
+
+    # bucket statistics for the variable-moved gradient delta
+    c = dtree_pdf / jnp.where(jnp.abs(x) > 1e-30, x, 1e-30)
+    coeff = (product / jnp.maximum(wo_pdf, 1e-38) if is_kl
+             else product * product / (jnp.maximum(wo_pdf, 1e-38)
+                                       * jnp.where(jnp.abs(x) > 1e-30,
+                                                   x, 1e-30)))
+    stat_ok = opt_ok & (jnp.abs(x)
+                        > 1e-5 * (bsdf_pdf + dtree_pdf + 1e-30))
+    b_idx = _adam_bucket_index(c)
+    cell = dtree_id * ADAM_B + jnp.where(stat_ok, b_idx, 0)
+    cw = jnp.where(stat_ok, coeff * stat_w, 0.0)
+    from ..ops.reduce import bincount_add2
+
+    S0, S1 = bincount_add2(
+        (jnp.zeros(T * ADAM_B), jnp.zeros(T * ADAM_B)), cell,
+        cw, cw * (c - chat[jnp.clip(b_idx, 0, ADAM_B - 1)]))
+    S0 = S0.reshape(T, ADAM_B)
+    S1 = S1.reshape(T, ADAM_B)
+    G0, W = bincount_add2(
+        (sdt.opt_bgrad, sdt.opt_bweight), dtree_id, g0, w)
+
+    def data_grad(f):
+        """Bucket-approximated mean dl/dvariable data term at fraction
+        f [T] (first-order Taylor in c around each bucket center)."""
+        d = chat[None, :] + f[:, None]
+        d = jnp.where(jnp.abs(d) > 1e-4, d, jnp.where(d < 0, -1e-4, 1e-4))
+        if is_kl:
+            p0 = 1.0 / d
+            p1 = -p0 * p0
+        else:
+            p0 = 1.0 / (d * d)
+            p1 = -2.0 * p0 / d
+        s = -(S0 * p0 + S1 * p1).sum(-1)
+        return s * f * (1 - f) / jnp.maximum(W, 1e-38)
+
+    f0 = jax.nn.sigmoid(sdt.opt_var)
+    d0 = data_grad(f0)
+    k = jnp.floor(W * 0.5).astype(jnp.int32)  # reference steps to take
+    q, r = k // ADAM_ROUNDS, k % ADAM_ROUNDS
+
+    def round_step(carry, t):
+        var, m1, m2, it = carry
+        s = (q + (t < r)).astype(jnp.float32)
+        f = jax.nn.sigmoid(var)
+        g = (G0 / jnp.maximum(W, 1e-38) + (data_grad(f) - d0)
+             + 0.01 * (var - sdt.opt_var))
+        a1 = b1**s
+        a2 = b2**s
+        m1n = a1 * m1 + (1 - a1) * g
+        m2n = a2 * m2 + (1 - a2) * g * g
+        # sum_{t=1..s} m1_t for the variable update (exact for the
+        # constant-gradient window; equals m1n at s = 1)
+        geo = b1 * (1 - a1) / (1 - b1)
+        summ1 = m1 * geo + g * (s - geo)
+        it_mid = it.astype(jnp.float32) + (s + 1) * 0.5
+        alr = lr * jnp.sqrt(1 - b2**it_mid) / (1 - b1**it_mid)
+        varn = jnp.clip(
+            var - alr * summ1 / (jnp.sqrt(jnp.maximum(m2n, 0.0)) + eps),
+            -20.0, 20.0)
+        do = s > 0
+        return (jnp.where(do, varn, var), jnp.where(do, m1n, m1),
+                jnp.where(do, m2n, m2),
+                it + s.astype(jnp.int32)), None
+
+    (var, m1, m2, it), _ = jax.lax.scan(
+        round_step, (sdt.opt_var, sdt.opt_m1, sdt.opt_m2, sdt.opt_iter),
+        jnp.arange(ADAM_ROUNDS))
+
+    # remainder (< 2 weight) carries to the next batch with its gradient
+    # evaluated at the final variable (the reference's partial
+    # batchGradient holds the most recent records' gradients likewise)
+    rem_w = W - 2.0 * k.astype(jnp.float32)
+    f = jax.nn.sigmoid(var)
+    g_end = (G0 / jnp.maximum(W, 1e-38) + (data_grad(f) - d0)
+             + 0.01 * (var - sdt.opt_var))
+    any_w = W > 0
+    rem_g = jnp.where(any_w, g_end * rem_w, 0.0)
+    return (var, m1, m2, it, rem_g, jnp.where(any_w, rem_w, 0.0))
+
+
+# ---------------------------------------------------------------------------
 # Splatting (training records -> building pool)
 # ---------------------------------------------------------------------------
 
@@ -696,40 +870,13 @@ def splat_records(sdt: SDTreeArrays, rec, spatial_filter="nearest",
 
     # --- learned bsdfSamplingFraction: Adam on the KL/variance loss -------
     if learn_fraction is not None:
-        ratio_power = 1.0 if learn_fraction == "kl" else 2.0
-        var = sdt.opt_var[dtree_id]
-        frac = jax.nn.sigmoid(var)
-        mix = frac * bsdf_pdf + (1 - frac) * dtree_pdf
-        ratio = (product / jnp.maximum(mix, 1e-38)) ** ratio_power
-        dloss_dfrac = -ratio / jnp.maximum(wo_pdf, 1e-38) * (bsdf_pdf - dtree_pdf)
-        dloss_dvar = dloss_dfrac * frac * (1 - frac) + 0.01 * var
-        opt_ok = valid_e & (product > 0) & jnp.isfinite(dloss_dvar)
-        g = jnp.where(opt_ok, dloss_dvar * stat_w, 0.0)
-        w = jnp.where(opt_ok, stat_w, 0.0)
-        from ..ops.reduce import bincount_add2
-
-        bgrad, bweight = bincount_add2(
-            (sdt.opt_bgrad, sdt.opt_bweight), dtree_id, g, w
-        )
-
-        # batched Adam step (batchSize=1 in the reference -> step whenever
-        # accumulated weight exceeds 1; here once per splat batch)
-        do_step = bweight > 1.0
-        grad = bgrad / jnp.maximum(bweight, 1e-38)
-        it = sdt.opt_iter + do_step.astype(jnp.int32)
-        lr, b1, b2, eps = 0.01, 0.9, 0.999, 1e-8
-        itf = jnp.maximum(it, 1).astype(jnp.float32)
-        alr = lr * jnp.sqrt(1 - b2**itf) / (1 - b1**itf)
-        m1 = jnp.where(do_step, b1 * sdt.opt_m1 + (1 - b1) * grad, sdt.opt_m1)
-        m2 = jnp.where(do_step, b2 * sdt.opt_m2 + (1 - b2) * grad * grad, sdt.opt_m2)
-        new_var = sdt.opt_var - alr * m1 / (jnp.sqrt(jnp.maximum(m2, 0.0)) + eps)
-        new_var = jnp.clip(new_var, -20.0, 20.0)
-        out["opt_var"] = jnp.where(do_step, new_var, sdt.opt_var)
-        out["opt_m1"] = m1
-        out["opt_m2"] = m2
-        out["opt_iter"] = it
-        out["opt_bgrad"] = jnp.where(do_step, 0.0, bgrad)
-        out["opt_bweight"] = jnp.where(do_step, 0.0, bweight)
+        for f, v in zip(
+            ("opt_var", "opt_m1", "opt_m2", "opt_iter", "opt_bgrad",
+             "opt_bweight"),
+            _adam_chain(sdt, dtree_id, product, wo_pdf, bsdf_pdf,
+                        dtree_pdf, stat_w, valid_e, learn_fraction),
+        ):
+            out[f] = v
 
     # preserve the depth class (pytree aux): splat output must carry the
     # same static metadata as its input so it can flow through scan

@@ -197,6 +197,7 @@ def render_regen(sc, spp, seed=0, chunk=1 << 16, cfg=None, scene_dev=None,
         n_slots = int(min(np.ceil(n_pix * n_blocks / chunk) + 4, 96))
         max_disp = need // K + spp // 8 + 8
         carry = None
+        prev_done = None
         for i in range(max_disp):
             out, carry = run(
                 base, np.int32(i), sensor=sensor, pix_start=np.int32(0),
@@ -204,8 +205,15 @@ def render_regen(sc, spp, seed=0, chunk=1 << 16, cfg=None, scene_dev=None,
                 it_base=np.int32(i * K), qstart=np.int32(0),
                 qend=np.int32(n_pix * n_blocks), n_film=n_pix + 1,
                 n_blocks=n_blocks, n_slots=n_slots)
-            if bool(out["all_done"]):
+            # overlapped termination check: sync the PREVIOUS dispatch's
+            # all_done while this one computes — a per-dispatch host
+            # round-trip on the TPU tunnel (~30 ms) otherwise serializes
+            # the pipeline (the r2->r3 cbox throughput regression).
+            # all_done is monotone and a post-done dispatch is a cheap
+            # no-op, so lagging the check one dispatch is safe.
+            if prev_done is not None and bool(prev_done):
                 break
+            prev_done = out["all_done"]
         film = np.asarray(carry["film"])[:n_pix]
         rgb = film[:, :3].reshape(H, W, 3)
         wsum = film[:, 6].reshape(H, W)

@@ -310,6 +310,40 @@ def _guided_regen_step(scene, cfg, sensor, sdtree, key, salt, pix_start, L,
     return out["all_done"], carry
 
 
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "sensor", "L", "K", "n_film", "n_blocks",
+                     "n_slots", "spatial_filter", "directional_filter",
+                     "learn_fraction"),
+    donate_argnames=("carry", "sdtree"),
+)
+def _guided_train_step(scene, cfg, sensor, sdtree, key, pix_start, L,
+                       spp, K, carry, it_base, qstart, qend, n_film,
+                       n_blocks, n_slots, spatial_filter,
+                       directional_filter, learn_fraction):
+    """One TRAINING continuation dispatch over the shared pixel queue:
+    trace K record-mode iterations (static scan stacking [K, L] vertex
+    records — K bounds the record memory, NOT the slab completion; the
+    queue drains across dispatches via the carry) and splat the stacked
+    records into the building tree inside the same program. Replaces
+    the per-slab `_guided_regen_pass` dispatches whose fixed
+    lane<->pixel binding left lanes idle from the first finished path
+    until the slab's worst-case iteration budget ran out (the 100x+
+    training-vs-unguided throughput gap, VERDICT r3 item 3)."""
+    from .regen import trace_regen
+
+    out, carry = trace_regen(scene, cfg, key, sensor, pix_start, L, spp,
+                             K, sdtree=sdtree, carry=carry,
+                             it_base=it_base, qstart=qstart, qend=qend,
+                             n_film=n_film, n_blocks=n_blocks,
+                             n_slots=n_slots)
+    ks = jax.random.fold_in(jax.random.fold_in(key, 0x5A1AD), it_base)
+    sdtree = _splat_chunk_records(
+        sdtree, out["vertices"], ks, cfg, spatial_filter,
+        directional_filter, learn_fraction)
+    return out["all_done"], carry, sdtree
+
+
 @partial(jax.jit, donate_argnames=("img_buf", "sq_buf"))
 def _accum_film(img_buf, sq_buf, film):
     """Fold a pixel-queue device film [n_pix + 1, 8] (rgb, rgb^2, count)
@@ -358,6 +392,11 @@ class GuidedPathTracer:
         ip.update(overrides or {})
         self.sc = sc
         self.chunk = chunk
+        # training scheduling: "queue" = shared pixel queue, records
+        # splatted per continuation dispatch (production); "slab" = one
+        # dispatch per spp slab with fixed lane<->pixel binding (kept
+        # for the estimator-equivalence tests and as a fallback)
+        self.train_mode = "queue"
         self.nee = str(ip.get("nee", "never"))
         self.sample_combination = str(ip.get("sampleCombination", "automatic"))
         self.spatial_filter = str(ip.get("spatialFilter", "nearest"))
@@ -577,6 +616,46 @@ class GuidedPathTracer:
                     n_film=n_pix + 1, n_blocks=n_blocks, n_slots=n_slots)
                 if bool(done_f):
                     break
+            img_buf, sq_buf = _accum_film(img_buf, sq_buf, carry["film"])
+            n_rays += int(np.asarray(carry["n_rays"]))
+            n_verts += int(np.asarray(carry["vsum"]))
+            n_samples += int(np.asarray(carry["film"])[:-1, 6].sum())
+        elif self._regen_train_ok(cfg) and self.train_mode == "queue":
+            # TRAINING over the shared pixel queue (same scheduling as
+            # the record-free production path): chained dispatches of K
+            # record-mode iterations, records splatted inside each
+            # dispatch, lag-1 all_done sync so the tunnel round-trip
+            # overlaps the next dispatch. K bounds the [K, L] stacked
+            # record memory (~70 B/lane/iter), not slab completion.
+            from .regen import iterations_for
+
+            N = n_passes * self.spp_per_pass
+            n_pix = W * H
+            total_K = n_chunks * iterations_for(
+                N, cfg.max_depth, cfg.rr_depth,
+                built_rr=cfg.is_built and cfg.guiding)
+            K = int(min(total_K, 96))
+            n_blocks = max(1, (N + 7) // 8)
+            n_slots = int(min(
+                np.ceil(n_pix * n_blocks / self.chunk) + 4, 96))
+            max_disp = total_K // K + N // 8 + 8
+            lf = self.loss if self.loss != "none" else None
+            lf = lf if cfg.is_built else None
+            carry = None
+            prev_done = None
+            for i in range(max_disp):
+                done_f, carry, sdtree = _guided_train_step(
+                    self.scene_dev, cfg, self.sensor, sdtree, base,
+                    np.int32(0), self.chunk, np.int32(N), K, carry,
+                    np.int32(i * K), qstart=np.int32(0),
+                    qend=np.int32(n_pix * n_blocks), n_film=n_pix + 1,
+                    n_blocks=n_blocks, n_slots=n_slots,
+                    spatial_filter=self.spatial_filter,
+                    directional_filter=self.directional_filter,
+                    learn_fraction=lf)
+                if prev_done is not None and bool(prev_done):
+                    break
+                prev_done = done_f
             img_buf, sq_buf = _accum_film(img_buf, sq_buf, carry["film"])
             n_rays += int(np.asarray(carry["n_rays"]))
             n_verts += int(np.asarray(carry["vsum"]))

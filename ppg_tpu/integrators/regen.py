@@ -1194,8 +1194,13 @@ def trace_regen(scene: DeviceScene, cfg: PTConfig, key, sensor, pix_start,
         # one full bounce (mean walk ~6 steps < SEG_B), but walks longer
         # than one window need a second iteration — size the static scan
         # ~25% past the classic per-bounce budget so record-tail
-        # truncation stays in the classic path's measured <1% regime
-        K_m = int(K) * 5 // 4 + 8
+        # truncation stays in the classic path's measured <1% regime.
+        # In QUEUE mode K IS the scan length: the queue drains across
+        # continuation dispatches, so slab-completion sizing is moot and
+        # K instead bounds the [K, L] stacked-record memory (it_base
+        # spacing of K per dispatch keeps rng streams disjoint since
+        # MACHINE_ITER_MULT >= 2 > 5/4).
+        K_m = int(K) if use_queue else int(K) * 5 // 4 + 8
         carry, outs = jax.lax.scan(
             machine_body, carry0,
             it_base * MACHINE_ITER_MULT + jnp.arange(K_m))

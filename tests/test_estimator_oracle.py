@@ -368,6 +368,82 @@ def test_adam_batch_step_deviation_quantified():
     assert abs(f_ours - f_ref) < 0.06, (ours, ref, gap)
 
 
+def _adam_oracle_true_cadence(records, ratio_power=1.0, var0=0.0):
+    """Exact reference chain: AdamOptimizer batchSize=1 fires when the
+    accumulated weight EXCEEDS 1 (guided_path.cpp:89 is a strict '>'),
+    i.e. one step per 2 units of statistical weight, gradient
+    re-evaluated at the current variable for every record."""
+    lr, b1, b2, eps = 0.01, 0.9, 0.999, 1e-8
+    m1 = m2 = 0.0
+    it = 0
+    var = var0
+    bg = bw = 0.0
+    for product, wo, bp, dp, sw in records:
+        frac = 1.0 / (1.0 + np.exp(-var))
+        mix = frac * bp + (1 - frac) * dp
+        g = (-((product / max(mix, 1e-38)) ** ratio_power)
+             / max(wo, 1e-38) * (bp - dp) * frac * (1 - frac) + 0.01 * var)
+        bg += g * sw
+        bw += sw
+        if bw > 1.0:
+            it += 1
+            grad = bg / bw
+            alr = lr * np.sqrt(1 - b2 ** it) / (1 - b1 ** it)
+            m1 = b1 * m1 + (1 - b1) * grad
+            m2 = b2 * m2 + (1 - b2) * grad * grad
+            var = np.clip(var - alr * m1 / (np.sqrt(max(m2, 0.0)) + eps),
+                          -20.0, 20.0)
+            bg = bw = 0.0
+    return var
+
+
+def _device_adam_chunks(records, loss, batch=400):
+    host = fresh()
+    sdt = host.push()
+    for i in range(0, len(records), batch):
+        rs = records[i:i + batch]
+        n = len(rs)
+        rec = dict(
+            p=jnp.full((n, 3), 0.5, jnp.float32),
+            d=jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32), (n, 1)),
+            radiance=jnp.ones(n, jnp.float32),
+            product=jnp.asarray([r[0] for r in rs], jnp.float32),
+            wo_pdf=jnp.asarray([r[1] for r in rs], jnp.float32),
+            bsdf_pdf=jnp.asarray([r[2] for r in rs], jnp.float32),
+            dtree_pdf=jnp.asarray([r[3] for r in rs], jnp.float32),
+            stat_weight=jnp.asarray([r[4] for r in rs], jnp.float32),
+            is_delta=jnp.zeros(n, bool),
+            valid=jnp.ones(n, bool),
+            voxel=jnp.ones((n, 3), jnp.float32),
+        )
+        sdt = G.splat_records(sdt, rec, learn_fraction=loss)
+    return float(np.asarray(sdt.opt_var)[0])
+
+
+def test_adam_long_stream_tracks_reference():
+    """Round-4 regression (the kl-inertness bug): on a 2000-record
+    stream whose optimum pulls the fraction far from 0.5, the batched
+    device chain must land within 0.02 of the exact reference chain in
+    FRACTION space for both loss modes and both pull directions. The
+    pre-fix one-step-per-batch rule froze at ~0.502 while the reference
+    reached 0.96 on the same stream, making kl/var losses inert at
+    production batch sizes."""
+    rng = np.random.default_rng(3)
+    n = 2000
+    up = [(float(rng.uniform(0.5, 2.0)), float(rng.uniform(0.3, 1.5)),
+           float(rng.uniform(0.6, 1.4)), float(rng.uniform(0.02, 0.4)), 1.0)
+          for _ in range(n)]
+    down = [(p, w, dp, bp, sw) for (p, w, bp, dp, sw) in up]
+    for loss, rp in (("kl", 1.0), ("var", 2.0)):
+        for name, recs in (("up", up), ("down", down)):
+            ref = _adam_oracle_true_cadence(recs, ratio_power=rp)
+            got = _device_adam_chunks(recs, loss)
+            f_ref = 1.0 / (1.0 + np.exp(-ref))
+            f_got = 1.0 / (1.0 + np.exp(-got))
+            assert abs(f_got - f_ref) < 0.02, (loss, name, f_ref, f_got)
+            assert abs(f_ref - 0.5) > 0.3, (loss, name, f_ref)
+
+
 # ---------------------------------------------------------------------------
 # regen record-tail truncation
 # ---------------------------------------------------------------------------
