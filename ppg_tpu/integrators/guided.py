@@ -638,7 +638,10 @@ class GuidedPathTracer:
             n_blocks = max(1, (N + 7) // 8)
             n_slots = int(min(
                 np.ceil(n_pix * n_blocks / self.chunk) + 4, 96))
-            max_disp = total_K // K + N // 8 + 8
+            # generous: a machine dispatch advances ~K/MACHINE_ITER_MULT
+            # classic-equivalents, and the banked-record while_loop
+            # makes post-done dispatches ~free (1 iteration each)
+            max_disp = 2 * (total_K // K) + N // 8 + 16
             lf = self.loss if self.loss != "none" else None
             lf = lf if cfg.is_built else None
             carry = None

@@ -164,6 +164,44 @@ class _RandBlock:
         return cols[:, 0] if flat else cols
 
 
+def _record_queue_loop(run_body, carry0, K_m, it0, lane_spp, n_slots,
+                       qend):
+    """Record-mode queue dispatch as an early-exit while_loop with
+    BANKED per-iteration outputs: iteration k's (slot, fresh, vert)
+    rows land at bank index k via dynamic_update, so the segmented
+    suffix-sum radiance over the bank is identical to the static
+    scan's stacked outs (untouched rows are zeros: slot adds nothing,
+    fresh=False passes segments through, vert.valid=False splats
+    nothing). The loop exits the moment the queue is drained and every
+    lane retired — a static scan pays the FULL traversal cost (SEG_B
+    BVH row-gathers x remaining iterations) for every post-done
+    iteration, and the driver's lag-1 all_done sync guarantees at
+    least one whole post-done dispatch per pass batch."""
+    shapes = jax.eval_shape(run_body, carry0, jnp.int32(0))[1]
+    outs0 = jax.tree.map(
+        lambda s: jnp.zeros((K_m,) + s.shape, s.dtype), shapes)
+
+    def cond(st):
+        c, k, _ = st
+        can_work = (c["pix"] >= 0) & ~(
+            (c["done"] >= lane_spp(c["pix"])) & (c["slot_i"] >= n_slots))
+        return (k < K_m) & (
+            jnp.any(can_work)
+            | ((c["qhead"] < qend) & jnp.any(c["pix"] < 0)))
+
+    def body_w(st):
+        c, k, outs = st
+        c2, o = run_body(c, it0 + k)
+        outs = jax.tree.map(
+            lambda buf, x: jax.lax.dynamic_update_index_in_dim(
+                buf, x, k, 0), outs, o)
+        return c2, k + 1, outs
+
+    carry, _, outs = jax.lax.while_loop(
+        cond, body_w, (carry0, jnp.int32(0), outs0))
+    return carry, outs
+
+
 def trace_regen(scene: DeviceScene, cfg: PTConfig, key, sensor, pix_start,
                 L, spp, K, sdtree=None, carry=None, it_base=0,
                 qstart=None, qend=None, n_film=None, n_blocks=1,
@@ -1201,9 +1239,17 @@ def trace_regen(scene: DeviceScene, cfg: PTConfig, key, sensor, pix_start,
         # spacing of K per dispatch keeps rng streams disjoint since
         # MACHINE_ITER_MULT >= 2 > 5/4).
         K_m = int(K) if use_queue else int(K) * 5 // 4 + 8
-        carry, outs = jax.lax.scan(
-            machine_body, carry0,
-            it_base * MACHINE_ITER_MULT + jnp.arange(K_m))
+        it0_m = it_base * MACHINE_ITER_MULT
+        if use_queue:
+            carry, outs = _record_queue_loop(
+                machine_body, carry0, K_m, it0_m, _lane_spp, n_slots,
+                qend)
+        else:
+            carry, outs = jax.lax.scan(
+                machine_body, carry0, it0_m + jnp.arange(K_m))
+    elif use_queue:
+        carry, outs = _record_queue_loop(
+            body, carry0, int(K), it_base, _lane_spp, n_slots, qend)
     else:
         carry, outs = jax.lax.scan(body, carry0, it_base + jnp.arange(K))
 

@@ -106,3 +106,36 @@ def test_guided_training_through_machine(scene):
     assert np.isfinite(a).all()
     ma, mb = float(a.mean()), float(b.mean())
     assert abs(ma - mb) / mb < 0.12, (ma, mb)
+
+
+def test_queue_training_matches_slab(scene):
+    """The banked-record queue training loop (one shared pixel queue,
+    early-exit while_loop, records splatted per continuation dispatch)
+    must be estimator-equivalent to the per-slab record path: same
+    image in expectation, same splatted tree statistics within noise."""
+    from ppg_tpu.integrators.guided import GuidedPathTracer
+
+    sc = mini_cbox(res=24, max_depth=5, nee="never")
+    sc.integrator.update(dict(type="guided_path", budgetType="spp",
+                              budget=16, sppPerPass=4))
+    out = {}
+    for mode in ("queue", "slab"):
+        tracer = GuidedPathTracer(sc, chunk=576)
+        tracer.train_mode = mode
+        img = np.asarray(tracer.render(seed=3))
+        rows = [r for r in tracer.stats if r.get("training")]
+        var = np.mean([r["variance"] / max(r["spp"], 1)
+                       for r in tracer.stats])
+        out[mode] = (img, sum(r["n_rays"] for r in rows),
+                     np.mean([r["avg_path_length"] for r in rows]), var)
+    (ia, ra, pa, va), (ib, rb, pb, vb) = out["queue"], out["slab"]
+    assert np.isfinite(ia).all()
+    assert abs(ra - rb) / rb < 0.05, (ra, rb)   # ray-count statistics
+    assert abs(pa - pb) / pb < 0.08, (pa, pb)   # path-length statistics
+    # both estimators are unbiased with INDEPENDENT sample streams, so
+    # the whole-image means differ only by Monte-Carlo noise: bound by
+    # 4 sigma of the measured per-sample luminance variance
+    ma, mb = float(ia.mean()), float(ib.mean())
+    n_pix = ia.shape[0] * ia.shape[1]
+    se = float(np.sqrt((va + vb) / n_pix))
+    assert abs(ma - mb) < max(4.0 * se, 0.02 * mb), (ma, mb, se)
