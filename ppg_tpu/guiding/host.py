@@ -221,11 +221,17 @@ class HostSDTree:
         for nodes in levels[:-1]:
             if len(nodes) == 0:
                 continue
-            ch = self.qb_child[nodes]  # [n, 4]
-            mask = ch >= 0
-            if not mask.any():
+            r0 = self.qb_sum[nodes]
+            ch0 = self.qb_child[nodes]
+            # residuals are sparse in production (box-boundary cells of
+            # deeper-than-box neighbours only): narrow to live rows
+            live = ((ch0 >= 0) & (r0 != 0)).any(axis=1)
+            if not live.any():
                 continue
-            r = self.qb_sum[nodes]  # residual on internal quadrants
+            nodes = nodes[live]
+            ch = ch0[live]
+            mask = ch >= 0
+            r = r0[live]  # residual on internal quadrants
             share = np.where(mask, r, 0.0) * 0.25
             kids = ch[mask]
             # children are unique (one parent quadrant each): direct
@@ -241,7 +247,6 @@ class HostSDTree:
         by the last reset when valid — topology is frozen in between)."""
         from .native import get_lib
 
-        self._pushdown_residuals()
         lib = get_lib()
         if lib is not None:
             import ctypes
@@ -255,6 +260,7 @@ class HostSDTree:
             maxdepth = np.zeros(T, np.int64)
             p = lambda a, t: a.ctypes.data_as(ctypes.POINTER(t))
             f64, i64 = ctypes.c_double, ctypes.c_int64
+            lib.ppg_sdt_pushdown(N, p(qb_sum, f64), p(qb_child, i64))
             lib.ppg_sdt_build(N, T, p(qb_sum, f64), p(qb_child, i64),
                               p(b_off, i64), p(b_cnt, i64), p(sum_s, f64),
                               p(maxdepth, i64))
@@ -272,6 +278,7 @@ class HostSDTree:
             self.maxdepth = maxdepth
             return
 
+        self._pushdown_residuals()
         levels = getattr(self, "_levels", None)
         if levels is not None:
             counts = self._level_counts

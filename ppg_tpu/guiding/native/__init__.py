@@ -48,6 +48,8 @@ def get_lib():
         lib.ppg_sdt_reset_copy.argtypes = [i64p, i64p]
         lib.ppg_sdt_build.restype = None
         lib.ppg_sdt_build.argtypes = [i64, i64, f64p, i64p, i64p, i64p, f64p, i64p]
+        lib.ppg_sdt_pushdown.restype = None
+        lib.ppg_sdt_pushdown.argtypes = [i64, f64p, i64p]
         lib.ppg_sdt_regather.restype = None
         lib.ppg_sdt_regather.argtypes = [
             i64, i64p, i64p, i64p, f64p, i64p, i64p, f64p, i64p]

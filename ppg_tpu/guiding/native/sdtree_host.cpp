@@ -154,6 +154,27 @@ void ppg_sdt_regather(int64_t T_new, const int64_t *src, const int64_t *off,
 // slab: internal quadrant sums become their child subtree's total
 // (children always follow parents, so one backward pass suffices),
 // sum_s[t] = root total, maxdepth[t] = deepest node level + 1.
+// Push box-splat residuals sitting on INTERNAL quadrants down to the
+// leaves (quarter per child quadrant, level by level). Forward index
+// order suffices: the numbering contract puts children after parents.
+// One linear pass, in place — the numpy level loop this replaces cost
+// ~6.5 s of CPU at 10M nodes when residuals are dense.
+void ppg_sdt_pushdown(int64_t N, double *qb_sum, const int64_t *qb_child) {
+  for (int64_t i = 0; i < N; ++i)
+    for (int q = 0; q < 4; ++q) {
+      const int64_t c = qb_child[i * 4 + q];
+      const double r = qb_sum[i * 4 + q];
+      if (c >= 0 && r != 0.0) {
+        const double s = r * 0.25;
+        qb_sum[c * 4 + 0] += s;
+        qb_sum[c * 4 + 1] += s;
+        qb_sum[c * 4 + 2] += s;
+        qb_sum[c * 4 + 3] += s;
+        qb_sum[i * 4 + q] = 0.0;
+      }
+    }
+}
+
 void ppg_sdt_build(int64_t N, int64_t T, double *qb_sum,
                    const int64_t *qb_child, const int64_t *b_off,
                    const int64_t *b_cnt, double *sum_s, int64_t *maxdepth) {

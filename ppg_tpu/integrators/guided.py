@@ -659,6 +659,8 @@ class GuidedPathTracer:
                 if prev_done is not None and bool(prev_done):
                     break
                 prev_done = done_f
+            log(f"    training: {i + 1}/{max_disp} dispatches "
+                f"(K={K}, n_blocks={n_blocks}, n_slots={n_slots})")
             img_buf, sq_buf = _accum_film(img_buf, sq_buf, carry["film"])
             n_rays += int(np.asarray(carry["n_rays"]))
             n_verts += int(np.asarray(carry["vsum"]))
