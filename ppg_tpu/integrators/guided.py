@@ -413,10 +413,12 @@ class GuidedPathTracer:
         self.dump_path = None
 
         self.base_cfg = make_config(sc, guiding=True, record_vertices=True)
-        self.scene_dev = DeviceScene.from_scene(sc)
-        from .driver import ensure_subsurface
-
-        self.scene_dev = ensure_subsurface(sc, self.scene_dev)
+        self._upload_scene()
+        # device-fault recovery (VERDICT r3 §5: graceful degradation):
+        # how many times a crashed-TPU-worker iteration is retried after
+        # a backend reset + scene re-upload before the error propagates
+        self.fault_retries = int(ip.get("faultRetries", 2))
+        self._faulted = False  # set by _device_retry when a fault occurred
         self.sensor = make_sensor(sc.sensor, sc.film)
         self.film = Film(
             sc.film["width"], sc.film["height"], sc.film.get("rfilter", "box")
@@ -440,6 +442,60 @@ class GuidedPathTracer:
     def _push(self):
         return self.host_tree.push(
             min_caps=self.tree_caps, fixed_depths=self.tree_depths)
+
+    def _upload_scene(self):
+        from .driver import ensure_subsurface
+
+        self.scene_dev = DeviceScene.from_scene(self.sc)
+        self.scene_dev = ensure_subsurface(self.sc, self.scene_dev)
+
+    # -- device-fault recovery (failure detection / graceful degradation) ---
+    def _recover_device(self):
+        """After a TPU worker crash every live device buffer and loaded
+        executable is gone (jax raises JaxRuntimeError UNAVAILABLE on
+        any touch). Reset the JAX backend, wait for the device to answer
+        a probe run in a SUBPROCESS (an in-process probe would hang this
+        thread on the dead tunnel), then re-upload the scene. The SD-tree
+        re-uploads from the host mirror at the next _push(). Plays the
+        role of the reference scheduler's failed-worker requeue
+        (sched.cpp / sched_remote.cpp connection-loss handling)."""
+        import subprocess
+        import sys as _sys
+
+        import jax.extend.backend as _eb
+
+        for wait in (5, 15, 30, 60, 120, 240, 480):
+            try:
+                r = subprocess.run(
+                    [_sys.executable, "-c",
+                     "import jax; jax.devices(); print('ok')"],
+                    timeout=240, capture_output=True)
+                if b"ok" in r.stdout:
+                    break
+            except subprocess.TimeoutExpired:
+                pass
+            log(f"  device still down; next probe in {wait}s",
+                level="warn")
+            time.sleep(wait)
+        _eb.clear_backends()
+        jax.clear_caches()
+        self._upload_scene()
+
+    def _device_retry(self, fn):
+        """Run `fn` (a closure over HOST state only — it must create its
+        own device buffers, e.g. via self._push()), retrying after
+        device faults up to self.fault_retries times."""
+        for attempt in range(self.fault_retries + 1):
+            try:
+                return fn()
+            except jax.errors.JaxRuntimeError as e:
+                if attempt >= self.fault_retries:
+                    raise
+                self._faulted = True
+                log(f"  TPU fault: {str(e)[:160]} — recovering "
+                    f"(retry {attempt + 1}/{self.fault_retries})",
+                    level="warn")
+                self._recover_device()
 
     # -- nee schedule (doNeeWithSpp, :1331-1340) ----------------------------
     def _do_nee(self, spp_rendered):
@@ -781,7 +837,6 @@ class GuidedPathTracer:
             log(f"ITERATION {it}, {passes_this_iter} passes "
                 f"(final={is_final}, nee={do_nee}, built={is_built})")
 
-            film_buf = self._zeros()
             # resetSDTree (:1108-1113)
             if sdtree is not None:
                 self.host_tree.pull(sdtree)
@@ -789,12 +844,19 @@ class GuidedPathTracer:
                 it, self.spp_per_pass, self.s_tree_threshold,
                 self.d_tree_threshold, self.sd_tree_max_mb,
             )
-            sdtree = self._push()
 
-            sdtree, film_buf, image, variance = self._render_passes(
-                passes_this_iter, sdtree, is_built, do_nee, is_final,
-                film_buf, seed_base=seed * 7919 + it,
-            )
+            def _iter_device(pti=passes_this_iter, ib=is_built,
+                             dn=do_nee, fin=is_final, sb=seed * 7919 + it):
+                # closure over HOST state only: a device-fault retry
+                # re-pushes the post-refine host tree and re-renders the
+                # iteration from scratch (film/tree device buffers of the
+                # failed attempt are dead anyway)
+                fb = self._zeros()
+                sdt = self._push()
+                return self._render_passes(pti, sdt, ib, dn, fin, fb, sb)
+
+            sdtree, film_buf, image, variance = self._device_retry(
+                _iter_device)
             passes_rendered += passes_this_iter
             if self.sample_combination == "inversevar":
                 images.append(image)
@@ -816,17 +878,41 @@ class GuidedPathTracer:
                      or (spp_rendered > 256 and cur_var_at_end > last_var))
             ):
                 log(f"FINAL {remaining} passes")
-                sdtree, film_buf, image, variance = self._render_passes(
-                    remaining, sdtree, True if is_built else is_built,
-                    do_nee, True, film_buf, seed_base=seed * 7919 + 1000 + it,
-                )
+
+                def _ext_device(rem=remaining, sdt0=sdtree, fb0=film_buf,
+                                ib=is_built, dn=do_nee,
+                                sb=seed * 7919 + 1000 + it):
+                    # first attempt continues the live tree/film; a retry
+                    # re-pushes from host (this iteration's training
+                    # records are lost to the fault — benign: the
+                    # extension is final, the next build is never sampled)
+                    sdt, fb = sdt0, fb0
+                    if sdt is None or self._faulted:
+                        fb = self._zeros()
+                        sdt = self._push()
+                    return self._render_passes(rem, sdt, ib, dn, True,
+                                               fb, sb)
+
+                self._faulted = False
+                sdtree, film_buf, image, variance = self._device_retry(
+                    _ext_device)
                 passes_rendered += remaining
                 if self.sample_combination == "inversevar":
                     images.append(image)
                     variances.append(variance)
 
             # buildSDTree (:1115-1189) + distribution statistics report
-            self.host_tree.pull(sdtree)
+            try:
+                self.host_tree.pull(sdtree)
+            except jax.errors.JaxRuntimeError as e:
+                # graceful degradation: the iteration's rendered image is
+                # already on the host; only its training records are lost.
+                # Recover the device and rebuild from whatever (possibly
+                # partial) sums landed before the fault.
+                log(f"  TPU fault during tree pull: {str(e)[:120]} — "
+                    "this iteration's remaining training records are "
+                    "lost; continuing", level="warn")
+                self._recover_device()
             self.host_tree.build()
             ds = self.host_tree.distribution_stats()
             self.tree_stats.append(ds)

@@ -139,3 +139,52 @@ def test_queue_training_matches_slab(scene):
     n_pix = ia.shape[0] * ia.shape[1]
     se = float(np.sqrt((va + vb) / n_pix))
     assert abs(ma - mb) < max(4.0 * se, 0.02 * mb), (ma, mb, se)
+
+
+def test_device_fault_retry_recovers(scene, monkeypatch):
+    """Failure-detection/recovery (sched.cpp failed-worker requeue
+    role): a JaxRuntimeError thrown mid-iteration must trigger backend
+    recovery and a retry that re-pushes the host tree, producing a
+    normal finite image; the error propagates only after faultRetries
+    consecutive failures."""
+    import jax
+
+    from ppg_tpu.integrators.guided import GuidedPathTracer
+
+    sc = mini_cbox(res=16, max_depth=4, nee="never")
+    sc.integrator.update(dict(type="guided_path", budgetType="spp",
+                              budget=8, sppPerPass=4))
+    tracer = GuidedPathTracer(sc, chunk=256)
+    calls = dict(n=0, recovered=0)
+    orig = tracer._render_passes
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise jax.errors.JaxRuntimeError(
+                "UNAVAILABLE: TPU worker process crashed (injected)")
+        return orig(*a, **kw)
+
+    # recovery probe must not spawn subprocesses in the test: stub it
+    monkeypatch.setattr(tracer, "_render_passes", flaky)
+    monkeypatch.setattr(
+        tracer, "_recover_device",
+        lambda: calls.__setitem__("recovered", calls["recovered"] + 1))
+    img = np.asarray(tracer.render(seed=1))
+    assert np.isfinite(img).all() and img.mean() > 0
+    assert calls["recovered"] == 1
+    assert tracer._faulted
+
+    # exhausted retries propagate
+    tracer2 = GuidedPathTracer(sc, chunk=256)
+    tracer2.fault_retries = 1
+
+    def always_fail(*a, **kw):
+        raise jax.errors.JaxRuntimeError("UNAVAILABLE: down (injected)")
+
+    monkeypatch.setattr(tracer2, "_render_passes", always_fail)
+    monkeypatch.setattr(tracer2, "_recover_device", lambda: None)
+    import pytest as _pytest
+
+    with _pytest.raises(jax.errors.JaxRuntimeError):
+        tracer2.render(seed=1)
