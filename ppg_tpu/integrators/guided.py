@@ -485,11 +485,13 @@ class GuidedPathTracer:
         """Run `fn` (a closure over HOST state only — it must create its
         own device buffers, e.g. via self._push()), retrying after
         device faults up to self.fault_retries times."""
-        for attempt in range(self.fault_retries + 1):
+        retries = getattr(self, "fault_retries", 2)  # driver-oracle
+        # probes bypass __init__
+        for attempt in range(retries + 1):
             try:
                 return fn()
             except jax.errors.JaxRuntimeError as e:
-                if attempt >= self.fault_retries:
+                if attempt >= retries:
                     raise
                 self._faulted = True
                 log(f"  TPU fault: {str(e)[:160]} — recovering "
@@ -975,19 +977,21 @@ class GuidedPathTracer:
             log(f"ITERATION {it}, {passes_this_iter} passes (time budget)")
 
             iter_start = time.time()
-            film_buf = self._zeros()
             if sdtree is not None:
                 self.host_tree.pull(sdtree)
             self.host_tree.refine_and_reset(
                 it, self.spp_per_pass, self.s_tree_threshold,
                 self.d_tree_threshold, self.sd_tree_max_mb,
             )
-            sdtree = self._push()
 
-            sdtree, film_buf, image, variance = self._render_passes(
-                passes_this_iter, sdtree, is_built, do_nee, False,
-                film_buf, seed_base=seed * 7919 + it,
-            )
+            def _iter_device(pti=passes_this_iter, ib=is_built,
+                             dn=do_nee, sb=seed * 7919 + it):
+                fb = self._zeros()
+                sdt = self._push()
+                return self._render_passes(pti, sdt, ib, dn, False, fb, sb)
+
+            sdtree, film_buf, image, variance = self._device_retry(
+                _iter_device)
             passes_rendered += passes_this_iter
             if self.sample_combination == "inversevar":
                 images.append(image)
@@ -1022,7 +1026,13 @@ class GuidedPathTracer:
                     if time.time() - start >= n_seconds:
                         break
 
-            self.host_tree.pull(sdtree)
+            try:
+                self.host_tree.pull(sdtree)
+            except jax.errors.JaxRuntimeError as e:
+                log(f"  TPU fault during tree pull: {str(e)[:120]} — "
+                    "this iteration's remaining training records are "
+                    "lost; continuing", level="warn")
+                self._recover_device()
             self.host_tree.build()
             sdtree = self._push()
             is_built = True
