@@ -17,6 +17,7 @@ import numpy as np
 
 from ..render.film import Film
 from ..render.sensor import make_sensor
+from ..utils import heartbeat
 from .wavefront import DeviceScene, PTConfig, trace_paths
 
 
@@ -214,6 +215,7 @@ def render_regen(sc, spp, seed=0, chunk=1 << 16, cfg=None, scene_dev=None,
             if prev_done is not None and bool(prev_done):
                 break
             prev_done = out["all_done"]
+            heartbeat.beat()
         film = np.asarray(carry["film"])[:n_pix]
         rgb = film[:, :3].reshape(H, W, 3)
         wsum = film[:, 6].reshape(H, W)
@@ -242,6 +244,7 @@ def render_regen(sc, spp, seed=0, chunk=1 << 16, cfg=None, scene_dev=None,
             prev_done = out["all_done"]
         rgb[c * chunk:(c + 1) * chunk] = np.asarray(out["rgb"])
         wsum[c * chunk:(c + 1) * chunk] = np.asarray(out["w"])
+        heartbeat.beat()
     rgb = rgb[:n_pix].reshape(H, W, 3)
     wsum = wsum[:n_pix].reshape(H, W)
     return rgb / np.maximum(wsum, 1e-20)[..., None]
@@ -295,6 +298,8 @@ def render(sc, spp, seed=0, chunk=1 << 16, cfg=None, scene_dev=None,
                 dev, cfg, sensor, film, chunk, buffers, key,
                 jnp.int32(c * chunk), sample_idx=jnp.int32(s),
             )
+        jax.block_until_ready(buffers)
+        heartbeat.beat()
     if is_box:
         buffers = film.unflatten(buffers)
     img = np.asarray(Film.develop(buffers))

@@ -26,6 +26,7 @@ from ..guiding import sdtree as G
 from ..guiding.host import HostSDTree
 from ..render.film import Film
 from ..render.sensor import make_sensor
+from ..utils import heartbeat
 from ..utils.logging import log
 from .driver import make_config
 from .wavefront import DeviceScene, PTConfig, trace_paths
@@ -750,6 +751,7 @@ class GuidedPathTracer:
                 # sync each slab: pipelined donation-chained dispatches
                 # stall multi-second on the TPU tunnel
                 jax.block_until_ready(img_buf[0])
+                heartbeat.beat()
                 done += slab
                 slab_i += 1
         else:
@@ -772,6 +774,7 @@ class GuidedPathTracer:
                 # sync each pass: pipelined donation-chained dispatches
                 # stall multi-second on the TPU tunnel
                 jax.block_until_ready(img_buf)
+                heartbeat.beat()
         jax.block_until_ready(img_buf)
         seconds = time.time() - t0
 
