@@ -363,6 +363,85 @@ def sample_dir(sdt: SDTreeArrays, dtree_id, key_or_u):
     return canonical_to_dir(p)
 
 
+def sample_pdf_dir(sdt: SDTreeArrays, dtree_id, u, is_point, p_point):
+    """One fused walk over the frozen sampling pool serving BOTH halves
+    of the one-sample MIS mixture (guided_path.cpp:1647-1692):
+    tree-sampled lanes (~is_point) run the conditional-CDF walk of
+    DTree::sample (:257-301) while bsdf-sampled lanes (is_point) run
+    the point descent of DTree::pdf (:232-245) at p_point (the
+    canonical map of their bsdf-sampled direction). Both walks gather
+    the same packed row per level, so fusing them removes one full
+    sequential gather chain per bounce — on TPU the per-level row
+    gather IS the cost of a guided pass (see the traversal cost model
+    in STATUS.md), making this a ~2x lever on guided sampling.
+
+    Returns (direction [L,3], pdf [L]) where direction is the sampled
+    one for tree lanes (garbage for point lanes — callers select) and
+    pdf is the solid-angle mixture-component pdf of each lane's CHOSEN
+    direction: identical to pdf_dir(sampled direction) for tree lanes
+    (the walk factors telescope to the same product) and to
+    pdf_dir(p_point's direction) for point lanes."""
+    L = dtree_id.shape[0]
+    mean = (sdt.ds_sum[dtree_id] * INV_FOURPI
+            / jnp.maximum(sdt.ds_statw[dtree_id], 1e-38))
+    uniform = ~(mean > 0) | (sdt.ds_statw[dtree_id] <= 0)
+    root = sdt.ds_root[jnp.maximum(dtree_id, 0)]
+
+    def body(carry, sm):
+        node, p, origin, scale, acc, done, dead = carry
+        sums, kids = _unpack(sdt.qs_pack[node])
+        total = jnp.sum(sums, axis=-1)
+        degenerate = ~(total > 0)
+        # conditional-CDF choice (tree lanes)
+        top_left, top_right = sums[:, 0], sums[:, 1]
+        bottom_left = sums[:, 2]
+        partial = top_left + bottom_left
+        boundary = partial / jnp.maximum(total, 1e-38)
+        go_right = sm >= boundary
+        sm1 = jnp.where(
+            go_right,
+            (sm - boundary) / jnp.maximum(1 - boundary, 1e-38),
+            sm / jnp.maximum(boundary, 1e-38),
+        )
+        part2 = jnp.where(go_right, total - partial, partial)
+        bnd2 = jnp.where(go_right, top_right, top_left) / jnp.maximum(
+            part2, 1e-38)
+        go_down = sm1 >= bnd2
+        # point choice (bsdf lanes)
+        bx = jnp.where(is_point, p[..., 0] >= 0.5, go_right)
+        by = jnp.where(is_point, p[..., 1] >= 0.5, go_down)
+        s_q = _sel4(sums, bx, by)
+        child = _sel4(kids, bx, by)
+        factor = jnp.where(s_q > 0,
+                           4.0 * s_q / jnp.maximum(total, 1e-38), 0.0)
+        _, p2 = _quad_index(p)
+        leaf = child < 0
+        step = ~done & ~degenerate
+        acc = jnp.where(step, acc * factor, acc)
+        dead = dead | (~done & degenerate)
+        ox = jnp.where(bx, 0.5, 0.0)
+        oy = jnp.where(by, 0.5, 0.0)
+        origin = origin + jnp.where(
+            step[:, None], scale[:, None] * jnp.stack([ox, oy], -1), 0.0)
+        scale = jnp.where(step, scale * 0.5, scale)
+        node = jnp.where(step & ~leaf, child, node)
+        p = jnp.where(step[..., None], p2, p)
+        done = done | leaf | degenerate
+        return (node, p, origin, scale, acc, done, dead), None
+
+    st = (root, p_point, jnp.zeros((L, 2), jnp.float32),
+          jnp.ones(L, jnp.float32), jnp.ones(L, jnp.float32),
+          jnp.zeros(L, bool), jnp.zeros(L, bool))
+    (_, _, origin, scale, acc, _, dead), _ = jax.lax.scan(
+        body, st, u[:, :sdt.q_depth].T)
+    pdf = jnp.where(dead, 0.0, acc * INV_FOURPI)
+    pdf = jnp.where(uniform, INV_FOURPI, pdf)
+    u2 = u[:, MAX_Q_DEPTH:MAX_Q_DEPTH + 2]
+    pfin = jnp.clip(origin + scale[:, None] * u2, 0.0, 1.0)
+    pfin = jnp.where(uniform[:, None], u2, pfin)
+    return canonical_to_dir(pfin), pdf
+
+
 def sampling_fraction(sdt: SDTreeArrays, dtree_id):
     """logistic(variable) (guided_path.cpp:659-670)."""
     var = sdt.opt_var[jnp.maximum(dtree_id, 0)]

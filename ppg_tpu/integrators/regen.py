@@ -689,11 +689,17 @@ def trace_regen(scene: DeviceScene, cfg: PTConfig, key, sensor, pix_start,
             if cfg.has_blend:
                 w_a, pdf_a = blend_fix(wo_a, w_a, pdf_a, wi)
             u_tree = rng.take(G.MAX_Q_DEPTH + 2)
-            d_tree = G.sample_dir(sdtree, jnp.maximum(dtree_id, 0), u_tree)
+            # fused sample+pdf walk: bsdf-picked lanes point-descend
+            # their own sampled direction in the SAME gather chain the
+            # tree-picked lanes cdf-walk (one chain per bounce, not two)
+            is_point = pick_bsdf | ~use_guide_mix
+            wo_world_a = to_world(s_ax, t_ax, sh_n_s, wo_a)
+            d_tree, dtree_pdf = G.sample_pdf_dir(
+                sdtree, jnp.maximum(dtree_id, 0), u_tree, is_point,
+                G.dir_to_canonical(wo_world_a))
             wo_b = to_local(s_ax, t_ax, sh_n_s, d_tree)
 
-            wo = jnp.where((pick_bsdf | ~use_guide_mix)[..., None],
-                           wo_a, wo_b)
+            wo = jnp.where(is_point[..., None], wo_a, wo_b)
             sampled_delta = jnp.where(use_guide_mix, delta_a & pick_bsdf,
                                       delta_a)
             eta_s = jnp.where(use_guide_mix & ~pick_bsdf, 1.0, eta_a)
@@ -701,7 +707,6 @@ def trace_regen(scene: DeviceScene, cfg: PTConfig, key, sensor, pix_start,
             bsdf_pdf = pdf_b(wi, wo)
             f_cos = eval_b(wi, wo)
             wo_world = to_world(s_ax, t_ax, sh_n_s, wo)
-            dtree_pdf = G.pdf_dir(sdtree, jnp.maximum(dtree_id, 0), wo_world)
             wo_pdf = frac * bsdf_pdf + (1 - frac) * dtree_pdf
             wo_pdf = jnp.where(sampled_delta, pdf_a * frac, wo_pdf)
             dtree_pdf = jnp.where(sampled_delta, 0.0, dtree_pdf)

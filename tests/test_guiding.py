@@ -219,3 +219,61 @@ def test_sdt_roundtrip(tmp_path):
     assert len(trees) == 1
     assert trees[0]["stat_weight"] == n
     assert trees[0]["sums"].sum() == pytest.approx(host.qs_sum[0].sum(), rel=1e-5)
+
+
+def test_fused_sample_pdf_matches_separate():
+    """sample_pdf_dir (the fused one-chain sample+pdf walk) must agree
+    with sample_dir + pdf_dir on a refined tree, for both lane kinds."""
+    host = fresh()
+    sdt = host.push()
+    rng = np.random.default_rng(7)
+    n = 6000
+    d = rng.normal(size=(n, 3)) + [0.5, -0.3, 1.8]
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    p = rng.random((n, 3))
+    sdt = splat(sdt, p, d, np.ones(n))
+    host.pull(sdt)
+    host.build()
+    for _ in range(3):
+        host.refine_and_reset(0, 4, 200, 0.01)
+        sdt = host.push()
+        sdt = splat(sdt, p, d, np.ones(n))
+        host.pull(sdt)
+        host.build()
+    sdt = host.push()
+
+    L = 512
+    dtree_id, _ = G.lookup(sdt, jnp.asarray(rng.random((L, 3)), jnp.float32))
+    u = jnp.asarray(rng.random((L, G.MAX_Q_DEPTH + 2)), jnp.float32)
+
+    # tree lanes: fused direction bitwise-equals sample_dir, fused pdf
+    # equals pdf_dir of that direction
+    is_point = jnp.zeros(L, bool)
+    pc_dummy = jnp.full((L, 2), 0.25, jnp.float32)
+    d_f, pdf_f = G.sample_pdf_dir(sdt, dtree_id, u, is_point, pc_dummy)
+    d_s = G.sample_dir(sdt, dtree_id, u)
+    np.testing.assert_allclose(np.asarray(d_f), np.asarray(d_s),
+                               rtol=0, atol=0)
+    pdf_ref = G.pdf_dir(sdt, dtree_id, d_s)
+    np.testing.assert_allclose(np.asarray(pdf_f), np.asarray(pdf_ref),
+                               rtol=2e-5, atol=1e-8)
+
+    # point lanes: fused pdf equals pdf_dir at the queried direction
+    dq = rng.normal(size=(L, 3))
+    dq /= np.linalg.norm(dq, axis=-1, keepdims=True)
+    dq = jnp.asarray(dq, jnp.float32)
+    from ppg_tpu.core.warp import dir_to_canonical
+
+    _, pdf_pt = G.sample_pdf_dir(sdt, dtree_id, u, jnp.ones(L, bool),
+                                 dir_to_canonical(dq))
+    pdf_ref2 = G.pdf_dir(sdt, dtree_id, dq)
+    np.testing.assert_allclose(np.asarray(pdf_pt), np.asarray(pdf_ref2),
+                               rtol=2e-5, atol=1e-8)
+
+    # fresh (unrefined, zero-sum) tree: uniform fallback on both kinds
+    host2 = fresh()
+    sdt2 = host2.push()
+    d_f2, pdf_f2 = G.sample_pdf_dir(sdt2, jnp.zeros(L, jnp.int32), u,
+                                    is_point, pc_dummy)
+    np.testing.assert_allclose(np.asarray(pdf_f2),
+                               np.full(L, 1.0 / (4 * np.pi)), rtol=1e-6)

@@ -185,16 +185,24 @@ def test_guided_final_pass_regen_matches_classic():
     sc.integrator.update(dict(type="guided_path", budgetType="spp",
                               budget=24, sppPerPass=4))
 
-    imgs = {}
+    # statistics: the guided mini-cbox image mean at this budget has a
+    # per-seed std of ~10% (tracked per-pass variance ~10 at mean 0.28),
+    # so a single-seed comparison at 12% tolerance is only ~1.2 sigma —
+    # average 3 seeds per mode (sigma of the mode-mean difference drops
+    # to ~5.7%, making 12% a ~2 sigma gate)
+    means = {}
     for mode in ("regen", "classic"):
-        tracer = GuidedPathTracer(sc, chunk=576)
-        if mode == "classic":
-            tracer._regen_ok = lambda cfg: False
-            tracer._regen_train_ok = lambda cfg: False
-        imgs[mode] = tracer.render(seed=mode == "regen")
-    a, b = imgs["regen"], imgs["classic"]
-    assert np.isfinite(a).all() and np.isfinite(b).all()
-    ma, mb = float(a.mean()), float(b.mean())
+        acc = []
+        for seed in (0, 1, 2):
+            tracer = GuidedPathTracer(sc, chunk=576)
+            if mode == "classic":
+                tracer._regen_ok = lambda cfg: False
+                tracer._regen_train_ok = lambda cfg: False
+            img = tracer.render(seed=seed)
+            assert np.isfinite(img).all()
+            acc.append(float(img.mean()))
+        means[mode] = np.mean(acc)
+    ma, mb = means["regen"], means["classic"]
     assert abs(ma - mb) / mb < 0.12, (ma, mb)
 
 
