@@ -52,6 +52,17 @@ def main(argv=None):
                     help="write the partial image to the output file "
                          "every N seconds; SIGHUP forces a flush "
                          "(mitsuba.cpp:92-127)")
+    ap.add_argument("--coordinator", default="localhost:12421",
+                    help="jax.distributed coordinator address for "
+                         "multi-process rendering (mitsuba.cpp -c remote "
+                         "hosts / mtssrv analog)")
+    ap.add_argument("--num-processes", type=int, default=1,
+                    help="total processes in the multi-host job; every "
+                         "process runs this CLI with its own --process-id "
+                         "and renders a seed-disjoint slice of each pass "
+                         "batch, merged with one cross-process collective "
+                         "per batch (guided_path only)")
+    ap.add_argument("--process-id", type=int, default=0)
     args = ap.parse_args(argv)
     from . import enable_compilation_cache
 
@@ -127,12 +138,30 @@ def main(argv=None):
                 from .parallel.mesh import make_mesh
 
                 mesh = make_mesh(args.devices)
+            dist = {}
+            if args.num_processes > 1:
+                # production multi-host: join the global runtime, render
+                # this process's seed-disjoint slice of every pass batch,
+                # merge with one collective per batch (multihost module)
+                from .parallel.multihost import global_merge, \
+                    init_distributed
+
+                init_distributed(args.coordinator, args.num_processes,
+                                 args.process_id)
+                dist = dict(
+                    slices=args.num_processes, slice_id=args.process_id,
+                    reduce_sum=lambda arrs: global_merge(*arrs))
+                overrides.setdefault("faultRetries", 0)
             gpt = GuidedPathTracer(sc, chunk=args.chunk,
-                                   overrides=overrides, mesh=mesh)
+                                   overrides=overrides, mesh=mesh, **dist)
             gpt.dump_path = os.path.splitext(out)[0]
-            gpt.flush_cb = _make_flush_cb(out, sc.film, args.flush_timer)
+            if args.num_processes <= 1 or args.process_id == 0:
+                gpt.flush_cb = _make_flush_cb(out, sc.film,
+                                              args.flush_timer)
             _warn_unqueried(sc, scene_path)
             img = gpt.render(seed=args.seed, spp_budget=args.spp)
+            if args.num_processes > 1 and args.process_id != 0:
+                continue  # only the coordinator rank writes the film
         elif itype in ("path", "volpath", "volpath_simple", "direct"):
             from .integrators.driver import make_config, render
 

@@ -152,6 +152,61 @@ class HostSDTree:
         qs_pack[:, :4] = self.qs_sum
         qs_pack[:, 4:] = self.qs_child.astype(np.int32).view(np.float32)
 
+        # multi-level packed tables (sdtree.lookup / sample_pdf_dir:
+        # one row gather descends S_PACK_K / Q_PACK_K levels — the
+        # sequential gather chain IS the guided descent cost on TPU).
+        # Built by table composition: leaves self-loop with 0 consumed
+        # levels, so composing the 1-level map with itself is exact.
+        ns = len(self.s_child)
+        internal = self.s_dtree < 0
+        k1 = np.where(internal[:, None], self.s_child, np.arange(ns)[:, None])
+        k1 = k1.astype(np.int64)
+        c1 = internal.astype(np.int64)
+        k2 = np.empty((ns, 4), np.int64)
+        c2 = np.empty((ns, 4), np.int64)
+        for h0 in range(2):
+            mid = k1[:, h0]
+            for h1 in range(2):
+                k2[:, h0 + 2 * h1] = k1[mid, h1]
+                c2[:, h0 + 2 * h1] = c1 + c1[mid]
+        s_pack4 = np.empty((ns, 32), np.int64)
+        for j0 in range(4):
+            mid = k2[:, j0]
+            for j1 in range(4):
+                s_pack4[:, j0 + 4 * j1] = k2[mid, j1]
+                s_pack4[:, 16 + j0 + 4 * j1] = c2[:, j0] + c2[mid, j1]
+
+        nq = len(self.qs_sum)
+        kids = self.qs_child.astype(np.int64)
+        sums = self.qs_sum.astype(np.float32)
+        nn = np.arange(nq, dtype=np.int64)
+        qs_pack2 = np.zeros((nq, 52), np.float32)
+        qs_pack2[:, :4] = sums
+        rest = np.empty((nq, 16), np.int32)
+        meta = np.empty((nq, 16), np.int32)
+        for qa in range(4):
+            c1q = kids[:, qa]
+            mids = np.where(c1q >= 0, c1q, 0)
+            qs_pack2[:, 4 + 4 * qa:8 + 4 * qa] = np.where(
+                (c1q >= 0)[:, None], sums[mids], 0.0)
+            for qb in range(4):
+                c2q = kids[mids, qb]
+                slot = qa + 4 * qb
+                rest[:, slot] = np.where(
+                    c1q < 0, nn, np.where(c2q < 0, mids, np.maximum(c2q, 0)))
+                cons = np.where(c1q < 0, 1, 2)
+                done = (c1q < 0) | (c2q < 0)
+                meta[:, slot] = cons | (done << 2)
+        qs_pack2[:, 20:36] = rest.view(np.float32)
+        qs_pack2[:, 36:52] = meta.view(np.float32)
+
+        d_meta = np.zeros((self.num_dtrees, 4), np.float32)
+        d_meta[:, 0] = self.s_off[: self.num_dtrees].astype(
+            np.int32).view(np.float32)
+        d_meta[:, 1] = self.sum_s[: self.num_dtrees]
+        d_meta[:, 2] = self.statw_s[: self.num_dtrees]
+        d_meta[:, 3] = self.opt_var[: self.num_dtrees]
+
         def round4(x, cap):
             return int(min(((max(int(x), 1) + 3) // 4) * 4, cap))
 
@@ -178,6 +233,9 @@ class HostSDTree:
             s_dtree=i32(self.s_dtree, S, 0),
             s_pack=i32(s_pack, S, 0),
             qs_pack=f32(qs_pack, Qs, 0),
+            s_pack4=i32(s_pack4, S, 0),
+            qs_pack2=f32(qs_pack2, Qs, 0),
+            d_meta=f32(d_meta, T, 0),
             qs_sum=f32(self.qs_sum, Qs),
             qs_child=i32(self.qs_child, Qs, -1),
             ds_root=i32(self.s_off, T),

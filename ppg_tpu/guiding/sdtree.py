@@ -28,6 +28,8 @@ from ..core.warp import INV_FOURPI, canonical_to_dir, dir_to_canonical
 
 MAX_S_DEPTH = 64  # spatial descent bound
 MAX_Q_DEPTH = 20  # quadtree depth cap (DTree::reset maxDepth, :1112)
+S_PACK_K = 4  # spatial levels folded into one s_pack4 row gather
+Q_PACK_K = 2  # quadtree levels folded into one qs_pack2 row gather
 
 
 class SDTreeArrays:
@@ -37,6 +39,21 @@ class SDTreeArrays:
         # packed descent tables (one gather per level): s_pack = [child0,
         # child1, dtree, pad] int32; q*_pack = [sum0..3, bitcast(child0..3)]
         "s_pack", "qs_pack",
+        # multi-level packed descent tables (one gather per S_PACK_K /
+        # Q_PACK_K levels — on TPU the per-level row gather IS the cost
+        # of a guided pass, near width-independent to ~1 KB/row, so
+        # packing k levels into one row divides the guided descent tax
+        # by k; see the cost model in STATUS.md):
+        #   s_pack4 [S, 32] i32 = 16 four-level descendants indexed by
+        #     the 4 axis bits (h0 least significant) + 16 consumed-level
+        #     counts (walks stall at leaves: slots collapse, cons<4)
+        #   qs_pack2 [Qs, 52] f32 = own child sums[4], per-child child
+        #     sums[16], bitcast rest-node[16] + meta[16] (cons | done<<2)
+        #     indexed by two quadrant choices (slot = qA + 4*qB)
+        #   d_meta [T, 4] f32 = bitcast(ds_root), ds_sum, ds_statw,
+        #     opt_var — the per-dtree scalars every guided bounce reads,
+        #     in ONE row gather instead of four
+        "s_pack4", "qs_pack2", "d_meta",
         # sampling pool (frozen during a pass)
         "qs_sum", "qs_child", "ds_root", "ds_sum", "ds_statw",
         # building pool (accumulated into during a pass)
@@ -70,8 +87,9 @@ def normalize_pos(sdt: SDTreeArrays, p):
     return (p - sdt.aabb_min) / sdt.aabb_size
 
 
-def lookup(sdt: SDTreeArrays, p_world):
-    """Find the spatial leaf containing each point.
+def lookup_ref(sdt: SDTreeArrays, p_world):
+    """Reference spatial descent (one gather per level) — the oracle
+    for `lookup`'s multi-level packed walk; kept for tests.
 
     Returns (dtree_id [L], voxel_size [L,3] in world units), matching
     STree::dTreeWrapper (guided_path.cpp:897-905). The descent is a scan
@@ -105,6 +123,84 @@ def lookup(sdt: SDTreeArrays, p_world):
     (node, _, size), _ = jax.lax.scan(body, (node0, x, size0), onehots)
     return sdt.s_dtree[node], size
 
+
+def _wheretree(cols, bits):
+    """Branchless 2^k-way select: cols is a list of [L] arrays indexed
+    by the bit string (bits[0] least significant), bits a list of [L]
+    bool arrays. Pure VPU selects — no per-lane gathers (single-column
+    extracts from a gathered row block were 70% of the r2 BVH step; see
+    accel/traverse.py)."""
+    for b in bits:
+        cols = [jnp.where(b, cols[2 * i + 1], cols[2 * i])
+                for i in range(len(cols) // 2)]
+    return cols[0]
+
+
+def lookup(sdt: SDTreeArrays, p_world):
+    """Multi-level packed spatial descent: one [L,32] row gather per
+    S_PACK_K(=4) levels instead of one [L,4] gather per level — ~4x
+    fewer sequential gathers, which are the entire cost of the walk on
+    TPU (~10.6 ns/lane each, near width-independent to ~1 KB; STATUS.md
+    cost model). Semantics identical to lookup_ref (oracle-tested).
+
+    Per step: the 4 axis bits are computed SPECULATIVELY (as if every
+    level were internal) — valid because a walk that stalls at a leaf
+    collapses all deeper bit choices to the same packed slot — then the
+    selected slot's consumed-count replays the coordinate/size rescale
+    for exactly the levels actually descended."""
+    x = jnp.clip(normalize_pos(sdt, p_world), 0.0, 1.0)
+    L = x.shape[0]
+    steps = (sdt.s_depth + S_PACK_K - 1) // S_PACK_K
+    onehots = jnp.eye(3, dtype=jnp.float32)[
+        jnp.arange(steps * S_PACK_K) % 3
+    ].reshape(steps, S_PACK_K, 3)
+
+    def body(carry, oh4):
+        node, x, size = carry
+        row = sdt.s_pack4[node]  # [L, 32]
+        # speculative axis bits
+        bits = []
+        xs = x
+        for i in range(S_PACK_K):
+            ax = jnp.sum(xs * oh4[i], -1)
+            hi = ax >= 0.5
+            ax2 = jnp.where(hi, (ax - 0.5) * 2.0, ax * 2.0)
+            xs = xs * (1 - oh4[i]) + oh4[i] * ax2[:, None]
+            bits.append(hi)
+        new_node = _wheretree([row[:, i] for i in range(16)], bits)
+        cons = _wheretree([row[:, 16 + i] for i in range(16)], bits)
+        # replay the rescale for the consumed levels only
+        for i in range(S_PACK_K):
+            ax = jnp.sum(x * oh4[i], -1)
+            hi = ax >= 0.5
+            ax2 = jnp.where(hi, (ax - 0.5) * 2.0, ax * 2.0)
+            upd = (cons > i).astype(jnp.float32)[:, None] * oh4[i]
+            x = x * (1 - upd) + upd * ax2[:, None]
+            size = size * (1 - 0.5 * upd)
+        return (new_node, x, size), None
+
+    size0 = jnp.full((L, 3), 1.0, jnp.float32) * sdt.aabb_size
+    node0 = jnp.zeros(L, jnp.int32)
+    (node, _, size), _ = jax.lax.scan(body, (node0, x, size0), onehots)
+    return sdt.s_dtree[node], size
+
+
+def dtree_meta(sdt: SDTreeArrays, dtree_id):
+    """The per-dtree scalars every guided bounce needs, in ONE [L,4]
+    row gather (vs four separate gathers of ds_root / ds_sum /
+    ds_statw / opt_var): returns (root node [L] i32, uniform mask [L]
+    bool — DTree mean <= 0 or statWeight <= 0 falls back to the uniform
+    sphere, guided_path.cpp:415-421/431-442 — and the learned bsdf
+    sampling fraction [L], logistic(opt_var), :659-670)."""
+    row = sdt.d_meta[jnp.maximum(dtree_id, 0)]
+    root = jax.lax.bitcast_convert_type(row[:, 0], jnp.int32)
+    statw = row[:, 2]
+    mean = row[:, 1] * INV_FOURPI / jnp.maximum(statw, 1e-38)
+    # dtree_id < 0 lanes are uniform by construction (the reference walk
+    # gathers the zero padding row there)
+    uniform = ~(mean > 0) | (statw <= 0) | (dtree_id < 0)
+    frac = jnp.where(dtree_id >= 0, jax.nn.sigmoid(row[:, 3]), 0.5)
+    return root, uniform, frac
 
 
 def _sel4(arr, bx, by):
@@ -363,7 +459,7 @@ def sample_dir(sdt: SDTreeArrays, dtree_id, key_or_u):
     return canonical_to_dir(p)
 
 
-def sample_pdf_dir(sdt: SDTreeArrays, dtree_id, u, is_point, p_point):
+def sample_pdf_dir_ref(sdt: SDTreeArrays, dtree_id, u, is_point, p_point):
     """One fused walk over the frozen sampling pool serving BOTH halves
     of the one-sample MIS mixture (guided_path.cpp:1647-1692):
     tree-sampled lanes (~is_point) run the conditional-CDF walk of
@@ -440,6 +536,129 @@ def sample_pdf_dir(sdt: SDTreeArrays, dtree_id, u, is_point, p_point):
     pfin = jnp.clip(origin + scale[:, None] * u2, 0.0, 1.0)
     pfin = jnp.where(uniform[:, None], u2, pfin)
     return canonical_to_dir(pfin), pdf
+
+
+def _sel4cols(row, base, stride, bx, by):
+    """Select row[:, base + stride*(bx | by<<1)] branchlessly."""
+    lo = jnp.where(bx, row[:, base + stride], row[:, base])
+    hi = jnp.where(bx, row[:, base + 3 * stride], row[:, base + 2 * stride])
+    return jnp.where(by, hi, lo)
+
+
+def sample_pdf_dir(sdt: SDTreeArrays, dtree_id, u, is_point, p_point,
+                   root=None, uniform=None):
+    """The fused sample+pdf mixture walk of sample_pdf_dir_ref, but over
+    the 2-level packed table qs_pack2: one [L,52] row gather descends
+    TWO quadtree levels (row = own child sums, per-child grandchild
+    sums, rest-nodes + consumed/done meta for both choices), halving
+    the sequential gather chain that is the entire cost of guided
+    sampling on TPU. Level-by-level semantics match sample_pdf_dir_ref
+    exactly (oracle-tested): the conditional-CDF choice for tree lanes
+    / point descent for bsdf lanes, factor accumulation, degenerate
+    and leaf stalls.
+
+    root/uniform: optionally precomputed via dtree_meta (one gather)
+    to avoid re-gathering ds_root/ds_sum/ds_statw here."""
+    L = dtree_id.shape[0]
+    if uniform is None:
+        mean = (sdt.ds_sum[dtree_id] * INV_FOURPI
+                / jnp.maximum(sdt.ds_statw[dtree_id], 1e-38))
+        uniform = ~(mean > 0) | (sdt.ds_statw[dtree_id] <= 0)
+    if root is None:
+        root = sdt.ds_root[jnp.maximum(dtree_id, 0)]
+
+    def level(sums4, sm, p, is_pt):
+        """One level's choice + factor from its 4 child sums. Returns
+        (bx, by, factor, degenerate, rescaled p)."""
+        total = jnp.sum(sums4, axis=-1)
+        degenerate = ~(total > 0)
+        top_left, top_right = sums4[:, 0], sums4[:, 1]
+        bottom_left = sums4[:, 2]
+        partial = top_left + bottom_left
+        boundary = partial / jnp.maximum(total, 1e-38)
+        go_right = sm >= boundary
+        sm1 = jnp.where(
+            go_right,
+            (sm - boundary) / jnp.maximum(1 - boundary, 1e-38),
+            sm / jnp.maximum(boundary, 1e-38),
+        )
+        part2 = jnp.where(go_right, total - partial, partial)
+        bnd2 = jnp.where(go_right, top_right, top_left) / jnp.maximum(
+            part2, 1e-38)
+        go_down = sm1 >= bnd2
+        bx = jnp.where(is_pt, p[..., 0] >= 0.5, go_right)
+        by = jnp.where(is_pt, p[..., 1] >= 0.5, go_down)
+        s_q = _sel4(sums4, bx, by)
+        factor = jnp.where(s_q > 0,
+                           4.0 * s_q / jnp.maximum(total, 1e-38), 0.0)
+        _, p2 = _quad_index(p)
+        return bx, by, factor, degenerate, p2
+
+    def body(carry, sm2):
+        node, p, origin, scale, acc, done, dead = carry
+        row = sdt.qs_pack2[node]  # [L, 52]
+        sums_n = row[:, :4]
+        # ---- level A
+        bxA, byA, factorA, degA, pA = level(sums_n, sm2[0], p, is_point)
+        stepA = ~done & ~degA
+        acc = jnp.where(stepA, acc * factorA, acc)
+        dead = dead | (~done & degA)
+        oxA = jnp.where(bxA, 0.5, 0.0)
+        oyA = jnp.where(byA, 0.5, 0.0)
+        origin = origin + jnp.where(
+            stepA[:, None], scale[:, None] * jnp.stack([oxA, oyA], -1), 0.0)
+        scale = jnp.where(stepA, scale * 0.5, scale)
+        p = jnp.where(stepA[:, None], pA, p)
+        # ---- level B: grandchild sums of the chosen child
+        sums_c = jnp.stack(
+            [_sel4cols(row, 4 + i, 4, bxA, byA) for i in range(4)], -1)
+        bxB, byB, factorB, degB, pB = level(sums_c, sm2[1], p, is_point)
+        # packed topology: rest-node + meta for the (qA, qB) slot
+        rest16 = jax.lax.bitcast_convert_type(row[:, 20:36], jnp.int32)
+        meta16 = jax.lax.bitcast_convert_type(row[:, 36:52], jnp.int32)
+        bits = [bxA, byA, bxB, byB]  # slot = qA + 4*qB, q = bx | by<<1
+        rest = _wheretree([rest16[:, i] for i in range(16)], bits)
+        meta = _wheretree([meta16[:, i] for i in range(16)], bits)
+        cons2 = (meta & 3) >= 2
+        metadone = (meta >> 2) & 1
+        stepB = stepA & cons2 & ~degB
+        acc = jnp.where(stepB, acc * factorB, acc)
+        dead = dead | (stepA & cons2 & degB)
+        oxB = jnp.where(bxB, 0.5, 0.0)
+        oyB = jnp.where(byB, 0.5, 0.0)
+        origin = origin + jnp.where(
+            stepB[:, None], scale[:, None] * jnp.stack([oxB, oyB], -1), 0.0)
+        scale = jnp.where(stepB, scale * 0.5, scale)
+        p = jnp.where(stepB[:, None], pB, p)
+        node = jnp.where(stepA, rest, node)
+        done = done | degA | (stepA & ((metadone > 0) | degB))
+        return (node, p, origin, scale, acc, done, dead), None
+
+    n_steps = (sdt.q_depth + Q_PACK_K - 1) // Q_PACK_K
+    sm = u[:, :n_steps * Q_PACK_K].T.reshape(n_steps, Q_PACK_K, L)
+    st = (root, p_point, jnp.zeros((L, 2), jnp.float32),
+          jnp.ones(L, jnp.float32), jnp.ones(L, jnp.float32),
+          jnp.zeros(L, bool), jnp.zeros(L, bool))
+    (_, _, origin, scale, acc, _, dead), _ = jax.lax.scan(body, st, sm)
+    pdf = jnp.where(dead, 0.0, acc * INV_FOURPI)
+    pdf = jnp.where(uniform, INV_FOURPI, pdf)
+    u2 = u[:, MAX_Q_DEPTH:MAX_Q_DEPTH + 2]
+    pfin = jnp.clip(origin + scale[:, None] * u2, 0.0, 1.0)
+    pfin = jnp.where(uniform[:, None], u2, pfin)
+    return canonical_to_dir(pfin), pdf
+
+
+def pdf_dir2(sdt: SDTreeArrays, dtree_id, d_world, root=None,
+             uniform=None):
+    """pdf_dir over the 2-level packed table (for NEE lanes: the
+    point-descent-only walk). Semantics match pdf_dir exactly."""
+    p = dir_to_canonical(d_world)
+    L = p.shape[0]
+    ones = jnp.ones(L, bool)
+    u_dummy = jnp.zeros((L, MAX_Q_DEPTH + 2), jnp.float32)
+    _, pdf = sample_pdf_dir(sdt, dtree_id, u_dummy, ones, p,
+                            root=root, uniform=uniform)
+    return pdf
 
 
 def sampling_fraction(sdt: SDTreeArrays, dtree_id):

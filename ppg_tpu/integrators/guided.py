@@ -379,16 +379,30 @@ def _accum_regen(img_buf, sq_buf, carry, pix_start, L):
 
 
 class GuidedPathTracer:
-    def __init__(self, sc, chunk=1 << 16, overrides=None, mesh=None):
+    def __init__(self, sc, chunk=1 << 16, overrides=None, mesh=None,
+                 slices=None, slice_id=None, reduce_sum=None):
         """`mesh`: optional jax.sharding.Mesh with a 'tiles' axis — the
         guided training loop then runs data-parallel over it (pixel
         chunks sharded, film + SD-tree accumulators psum'd over ICI,
         host refine/build between iterations on the replicated tree);
-        see _guided_mesh_pass. None = single device."""
+        see _guided_mesh_pass. None = single device.
+
+        `slices`: optional int P — split every pass batch into P
+        seed-disjoint slices merged at the batch boundary (the
+        production multi-host path, see _render_sliced). slice_id=None
+        renders all P slices in this process; slice_id=i renders only
+        slice i and `reduce_sum(list_of_arrays) -> list` performs the
+        cross-process sum (parallel.multihost.global_merge under
+        jax.distributed). In distributed mode every process must run
+        the same schedule, so set faultRetries=0 there (a one-sided
+        retry would desynchronize the per-batch collective)."""
         from .. import enable_compilation_cache
 
         enable_compilation_cache()
         self.mesh = mesh
+        self.n_slices = int(slices) if slices else None
+        self.slice_id = slice_id
+        self.reduce_sum = reduce_sum
         ip = dict(sc.integrator)
         ip.update(overrides or {})
         self.sc = sc
@@ -629,15 +643,14 @@ class GuidedPathTracer:
                 and cfg.sampler == "independent"
                 and self.film.rfilter == "box")
 
-    def _render_passes(self, n_passes, sdtree, is_built, do_nee, is_final,
-                       film_buf, seed_base):
+    def _render_buffers(self, n_passes, sdtree, cfg, img_buf, sq_buf, base):
+        """The scheduling core of one pass batch: renders `n_passes`
+        passes into (img_buf, sq_buf) with training records splatted
+        into `sdtree`, picking the fastest eligible execution path
+        (mesh shard_map / regenerative queue / slab / classic).
+        Returns (sdtree, img_buf, sq_buf, n_rays, n_verts, n_samples)."""
         W, H = self.film.W, self.film.H
-        img_buf = self._zeros()
-        sq_buf = self._zeros()
-        cfg = self._cfg(is_built, do_nee, is_final)
         n_chunks = (W * H + self.chunk - 1) // self.chunk
-        t0 = time.time()
-        base = jax.random.key(seed_base)
         n_rays = n_verts = n_samples = 0
         if self._mesh_ok(cfg):
             sdtree, img_buf, sq_buf, n_rays, n_verts, n_samples = \
@@ -775,6 +788,97 @@ class GuidedPathTracer:
                 # stall multi-second on the TPU tunnel
                 jax.block_until_ready(img_buf)
                 heartbeat.beat()
+        return sdtree, img_buf, sq_buf, n_rays, n_verts, n_samples
+
+    def _render_sliced(self, n_passes, base_tree, cfg, seed_base):
+        """Seed-disjoint slice split of one pass batch — the production
+        multi-HOST path (sched_remote.h:50-238 / mtssrv.cpp:289-408
+        roles): slice s renders its share of the passes from the SAME
+        post-refine base tree with a slice-salted RNG stream; the
+        batch's film sums, tree-accumulator deltas (qb_sum / db_statw —
+        additive, like the reference's lock-free concurrent splats,
+        guided_path.cpp:59-62) and ray counters are summed across
+        slices, and the Adam learn-fraction chains are averaged (the
+        same pmean rule as the in-host 'tiles' axis, _guided_mesh_pass).
+
+        slice_id=None renders EVERY slice in this process (the referee
+        / single-host semantics — bit-identical merge math to the
+        distributed run); slice_id=i renders only slice i locally and
+        `reduce_sum` (e.g. parallel.multihost.global_merge under
+        jax.distributed) sums the per-process partials — the only
+        traffic that crosses the host boundary, once per pass batch,
+        exactly where the reference pays its TCP round trip."""
+        from ..guiding.sdtree import SDTreeArrays
+
+        P = self.n_slices
+        opt_fields = [f for f in SDTreeArrays.FIELDS
+                      if f.startswith("opt_")]
+        base_qb = np.asarray(base_tree.qb_sum)
+        base_sw = np.asarray(base_tree.db_statw)
+        d_qb = np.zeros_like(base_qb)
+        d_sw = np.zeros_like(base_sw)
+        opt_acc = {f: None for f in opt_fields}
+        img_acc = [np.zeros_like(np.asarray(b)) for b in self._zeros()]
+        sq_acc = [np.zeros_like(a) for a in img_acc]
+        counts = np.zeros(3, np.float64)
+        sids = range(P) if self.slice_id is None else [self.slice_id]
+        for sid in sids:
+            n_sid = n_passes // P + (1 if sid < n_passes % P else 0)
+            tree_s = base_tree
+            if n_sid:
+                key = jax.random.fold_in(jax.random.key(seed_base),
+                                         104729 + sid)
+                tree_s, img_s, sq_s, r, v, s = self._render_buffers(
+                    n_sid, base_tree, cfg, self._zeros(), self._zeros(),
+                    key)
+                for a, b in zip(img_acc, img_s):
+                    a += np.asarray(b)
+                for a, b in zip(sq_acc, sq_s):
+                    a += np.asarray(b)
+                counts += (r, v, s)
+                d_qb += np.asarray(tree_s.qb_sum) - base_qb
+                d_sw += np.asarray(tree_s.db_statw) - base_sw
+            for f in opt_fields:
+                a = np.asarray(getattr(tree_s, f), np.float64) / P
+                opt_acc[f] = a if opt_acc[f] is None else opt_acc[f] + a
+        if self.reduce_sum is not None:
+            flat = self.reduce_sum(
+                [d_qb, d_sw, counts] + img_acc + sq_acc
+                + [opt_acc[f] for f in opt_fields])
+            d_qb, d_sw, counts = flat[0], flat[1], flat[2]
+            k = 3
+            img_acc = flat[k:k + len(img_acc)]
+            k += len(img_acc)
+            sq_acc = flat[k:k + len(sq_acc)]
+            k += len(sq_acc)
+            opt_acc = dict(zip(opt_fields, flat[k:]))
+        fields = {f: getattr(base_tree, f) for f in SDTreeArrays.FIELDS}
+        fields["qb_sum"] = base_qb + d_qb
+        fields["db_statw"] = base_sw + d_sw
+        for f in opt_fields:
+            dt = np.asarray(getattr(base_tree, f)).dtype
+            m = opt_acc[f]
+            fields[f] = (np.rint(m).astype(dt)
+                         if np.issubdtype(dt, np.integer)
+                         else m.astype(dt))
+        tree = SDTreeArrays(s_depth=base_tree.s_depth,
+                            q_depth=base_tree.q_depth, **fields)
+        return (tree, tuple(img_acc), tuple(sq_acc),
+                int(counts[0]), int(counts[1]), float(counts[2]))
+
+    def _render_passes(self, n_passes, sdtree, is_built, do_nee, is_final,
+                       film_buf, seed_base):
+        W, H = self.film.W, self.film.H
+        cfg = self._cfg(is_built, do_nee, is_final)
+        t0 = time.time()
+        if self.n_slices:
+            sdtree, img_buf, sq_buf, n_rays, n_verts, n_samples = \
+                self._render_sliced(n_passes, sdtree, cfg, seed_base)
+        else:
+            sdtree, img_buf, sq_buf, n_rays, n_verts, n_samples = \
+                self._render_buffers(n_passes, sdtree, cfg, self._zeros(),
+                                     self._zeros(),
+                                     jax.random.key(seed_base))
         jax.block_until_ready(img_buf)
         seconds = time.time() - t0
 

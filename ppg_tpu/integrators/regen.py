@@ -691,12 +691,15 @@ def trace_regen(scene: DeviceScene, cfg: PTConfig, key, sensor, pix_start,
             u_tree = rng.take(G.MAX_Q_DEPTH + 2)
             # fused sample+pdf walk: bsdf-picked lanes point-descend
             # their own sampled direction in the SAME gather chain the
-            # tree-picked lanes cdf-walk (one chain per bounce, not two)
+            # tree-picked lanes cdf-walk (one chain per bounce, not two);
+            # the per-dtree scalars come from ONE d_meta row gather
             is_point = pick_bsdf | ~use_guide_mix
             wo_world_a = to_world(s_ax, t_ax, sh_n_s, wo_a)
+            d_root, d_uni, _ = G.dtree_meta(sdtree, dtree_id)
             d_tree, dtree_pdf = G.sample_pdf_dir(
                 sdtree, jnp.maximum(dtree_id, 0), u_tree, is_point,
-                G.dir_to_canonical(wo_world_a))
+                G.dir_to_canonical(wo_world_a), root=d_root,
+                uniform=d_uni)
             wo_b = to_local(s_ax, t_ax, sh_n_s, d_tree)
 
             wo = jnp.where(is_point[..., None], wo_a, wo_b)
@@ -747,8 +750,9 @@ def trace_regen(scene: DeviceScene, cfg: PTConfig, key, sensor, pix_start,
             f_nee = eval_b(wi, wo_nee)
             bsdf_pdf_nee = pdf_b(wi, wo_nee)
             if guide and cfg.is_built:
-                dtree_pdf_nee = G.pdf_dir(
-                    sdtree, jnp.maximum(dtree_id, 0), ds["d"])
+                dtree_pdf_nee = G.pdf_dir2(
+                    sdtree, jnp.maximum(dtree_id, 0), ds["d"],
+                    root=d_root, uniform=d_uni)
                 wo_pdf_nee = jnp.where(
                     (dtree_id >= 0) & ~delta_only,
                     frac * bsdf_pdf_nee + (1 - frac) * dtree_pdf_nee,

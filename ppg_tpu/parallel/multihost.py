@@ -84,6 +84,31 @@ def global_merge(*arrays):
     return outs
 
 
+def render_scene_distributed(scene_path, num_processes, process_id,
+                             seed=0, spp=None, overrides=None):
+    """PRODUCTION multi-host rendering of a real scene XML: every
+    process runs the full GuidedPathTracer iteration schedule on its
+    own devices, rendering its seed-disjoint slice of each pass batch;
+    film sums + SD-tree deltas are merged across processes with one
+    global_merge per batch (GuidedPathTracer._render_sliced), so each
+    process holds the identical merged film/tree and builds the same
+    SD-tree — the sched_remote.h work-unit round trip collapsed onto
+    jax.distributed. Call AFTER init_distributed. Returns the final
+    image (identical on every process)."""
+    from ..integrators.guided import GuidedPathTracer
+    from ..scene.scene import load_scene
+
+    sc = load_scene(scene_path)
+    ov = dict(overrides or {})
+    # a one-sided device-fault retry would desynchronize the per-batch
+    # collective — fail fast instead (see GuidedPathTracer.__init__)
+    ov.setdefault("faultRetries", 0)
+    tracer = GuidedPathTracer(
+        sc, overrides=ov, slices=num_processes, slice_id=process_id,
+        reduce_sum=lambda arrs: global_merge(*arrs))
+    return tracer.render(seed=seed, spp_budget=spp)
+
+
 def _worker(args):
     """One host's slice of a seed-parallel training pass + global merge.
 
@@ -93,6 +118,17 @@ def _worker(args):
 
     init_distributed(args.coordinator, args.num_processes,
                      args.process_id)
+
+    if args.scene:
+        img = render_scene_distributed(
+            args.scene, args.num_processes, args.process_id,
+            seed=args.seed, spp=args.spp or None)
+        if args.process_id == 0 and args.out:
+            from ..io import exr
+
+            exr.write(args.out, np.asarray(img, np.float32))
+        jax.distributed.shutdown()
+        return
 
     from ..guiding.host import HostSDTree
     from ..integrators.driver import make_config
@@ -135,6 +171,12 @@ def main(argv=None):
     ap.add_argument("--coordinator", default="localhost:12421")
     ap.add_argument("--num-processes", type=int, required=True)
     ap.add_argument("--process-id", type=int, required=True)
+    ap.add_argument("--scene", default="",
+                    help="scene XML: render it across all processes "
+                         "(production mode); empty = mini_cbox demo pass")
+    ap.add_argument("--spp", type=int, default=0,
+                    help="spp budget override for --scene")
+    ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="")
     ap.add_argument("--platform", default="",
                     help="force a jax platform (tests pass 'cpu'; needed "

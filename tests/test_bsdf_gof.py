@@ -19,6 +19,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from ppg_tpu.bsdf import bsdf as B
 from ppg_tpu.scene.scene import MaterialBuilder, TextureBuilder
 from ppg_tpu.scene.xml_parser import PluginSpec, Spectrum

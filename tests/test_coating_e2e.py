@@ -6,6 +6,9 @@ import os
 import tempfile
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
 
 from ppg_tpu.integrators.driver import make_config, render
 from ppg_tpu.scene.scene import load_scene

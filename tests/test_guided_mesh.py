@@ -11,6 +11,8 @@ axis and the additive tree accumulators psum over ICI.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from ppg_tpu.scene.testscenes import mini_cbox
 
 

@@ -7,6 +7,9 @@ import os
 import tempfile
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
 import jax
 import jax.numpy as jnp
 

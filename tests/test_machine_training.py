@@ -9,6 +9,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from ppg_tpu.scene.testscenes import mini_cbox
 
 

@@ -3,6 +3,9 @@ sharding (ICI psum) and the 2D slice x tiles seed-parallel path with
 iteration-boundary merge (the DCN axis)."""
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
 
 from ppg_tpu.scene.testscenes import mini_cbox
 

@@ -4,6 +4,9 @@ import os
 import tempfile
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def test_dipole_kernel_matches_reference_formula():

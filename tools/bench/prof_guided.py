@@ -9,12 +9,16 @@ REAL trained tree so the gap can be attributed and attacked.
 Usage: python tools/bench/prof_guided.py [scene.xml]
 """
 
+import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))))
 
 
 def timed(fn, *args, reps=20, warm=2):
