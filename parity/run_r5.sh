@@ -45,8 +45,19 @@ run() {
     while kill -0 $pid 2>/dev/null; do
       sleep 60
       local age=$(( $(date +%s) - $(stat -c %Y "$HB" 2>/dev/null || echo 0) ))
-      if [ "$age" -gt 900 ]; then
-        echo "  heartbeat stale ${age}s — killing wedged attempt $(date +%T)"
+      # compile progress counts as liveness: big-config programs compile
+      # server-side for many minutes with no dispatch syncs (and thus no
+      # heartbeats), but each finished program lands in the persistent
+      # compilation cache — r4's campaign (and early r5) killed
+      # legitimate compile sessions as "wedged"
+      local newest=$(ls -t /root/.cache/ppg_tpu_xla 2>/dev/null | head -1)
+      if [ -n "$newest" ]; then
+        local cage=$(( $(date +%s) - $(stat -c %Y \
+            "/root/.cache/ppg_tpu_xla/$newest") ))
+        [ "$cage" -lt "$age" ] && age=$cage
+      fi
+      if [ "$age" -gt 1200 ]; then
+        echo "  liveness stale ${age}s — killing wedged attempt $(date +%T)"
         kill $pid 2>/dev/null; sleep 5; kill -9 $pid 2>/dev/null
         break
       fi

@@ -176,29 +176,48 @@ class HostSDTree:
                 s_pack4[:, j0 + 4 * j1] = k2[mid, j1]
                 s_pack4[:, 16 + j0 + 4 * j1] = c2[:, j0] + c2[mid, j1]
 
+        def topo_pack2(kids):
+            """2-level topology tables for a quadtree pool: rest-node
+            [N,16] (node after two quadrant choices with leaf stalls)
+            and meta [N,16] (levels consumed | done<<2), slot =
+            qA + 4*qB."""
+            n = len(kids)
+            nn = np.arange(n, dtype=np.int64)
+            rest = np.empty((n, 16), np.int32)
+            meta = np.empty((n, 16), np.int32)
+            for qa in range(4):
+                c1q = kids[:, qa]
+                mids = np.where(c1q >= 0, c1q, 0)
+                for qb in range(4):
+                    c2q = kids[mids, qb]
+                    slot = qa + 4 * qb
+                    rest[:, slot] = np.where(
+                        c1q < 0, nn,
+                        np.where(c2q < 0, mids, np.maximum(c2q, 0)))
+                    cons = np.where(c1q < 0, 1, 2)
+                    done = (c1q < 0) | (c2q < 0)
+                    meta[:, slot] = cons | (done << 2)
+            return rest, meta
+
         nq = len(self.qs_sum)
         kids = self.qs_child.astype(np.int64)
         sums = self.qs_sum.astype(np.float32)
-        nn = np.arange(nq, dtype=np.int64)
         qs_pack2 = np.zeros((nq, 52), np.float32)
         qs_pack2[:, :4] = sums
-        rest = np.empty((nq, 16), np.int32)
-        meta = np.empty((nq, 16), np.int32)
         for qa in range(4):
             c1q = kids[:, qa]
             mids = np.where(c1q >= 0, c1q, 0)
             qs_pack2[:, 4 + 4 * qa:8 + 4 * qa] = np.where(
                 (c1q >= 0)[:, None], sums[mids], 0.0)
-            for qb in range(4):
-                c2q = kids[mids, qb]
-                slot = qa + 4 * qb
-                rest[:, slot] = np.where(
-                    c1q < 0, nn, np.where(c2q < 0, mids, np.maximum(c2q, 0)))
-                cons = np.where(c1q < 0, 1, 2)
-                done = (c1q < 0) | (c2q < 0)
-                meta[:, slot] = cons | (done << 2)
+        rest, meta = topo_pack2(kids)
         qs_pack2[:, 20:36] = rest.view(np.float32)
         qs_pack2[:, 36:52] = meta.view(np.float32)
+
+        # building-tree topology pack (training splat-target descents)
+        kidsb = self.qb_child.astype(np.int64)
+        rb, mb = topo_pack2(kidsb)
+        qb_pack2 = np.concatenate(
+            [np.maximum(kidsb, 0).astype(np.int32), rb, mb], axis=1)
 
         d_meta = np.zeros((self.num_dtrees, 4), np.float32)
         d_meta[:, 0] = self.s_off[: self.num_dtrees].astype(
@@ -235,6 +254,7 @@ class HostSDTree:
             qs_pack=f32(qs_pack, Qs, 0),
             s_pack4=i32(s_pack4, S, 0),
             qs_pack2=f32(qs_pack2, Qs, 0),
+            qb_pack2=i32(qb_pack2, Qb, 0),
             d_meta=f32(d_meta, T, 0),
             qs_sum=f32(self.qs_sum, Qs),
             qs_child=i32(self.qs_child, Qs, -1),

@@ -53,7 +53,10 @@ class SDTreeArrays:
         #   d_meta [T, 4] f32 = bitcast(ds_root), ds_sum, ds_statw,
         #     opt_var — the per-dtree scalars every guided bounce reads,
         #     in ONE row gather instead of four
-        "s_pack4", "qs_pack2", "d_meta",
+        #   qb_pack2 [Qb, 36] i32 = BUILDING-tree topology pack for the
+        #     training splat-target descents: child-after-one-choice[4]
+        #     + rest-node[16] + meta[16] (cons | done<<2)
+        "s_pack4", "qs_pack2", "qb_pack2", "d_meta",
         # sampling pool (frozen during a pass)
         "qs_sum", "qs_child", "ds_root", "ds_sum", "ds_statw",
         # building pool (accumulated into during a pass)
@@ -309,6 +312,98 @@ def descend_cell_clamped(q_child, root, p, depth_limit, n_steps=MAX_Q_DEPTH):
     (node, quad, _, depth, _), _ = jax.lax.scan(body, st, None,
                                                 length=n_steps)
     return node, quad, depth
+
+
+def descend_cell_packed(qb_pack2, root, p, depth_limit, n_steps):
+    """descend_cell / descend_cell_clamped over the 2-level packed
+    building-tree topology (qb_pack2 [Qb,36] i32 = child-after-one-
+    choice[4], rest-node[16], meta[16] with cons | done<<2): one row
+    gather per TWO levels. Pass depth_limit=None for the unclamped
+    walk. Level-by-level semantics match the one-gather-per-level
+    originals exactly (oracle-tested): every level consumes (quad,
+    depth) until the stop, the node only advances into children that
+    exist AND lie strictly above the clamp depth.
+
+    n_steps = number of LEVELS to cover (trip count = ceil(n_steps/2)).
+    Returns (node, quad, depth)."""
+    L = p.shape[0]
+    if depth_limit is None:
+        depth_limit = jnp.full(L, 0x7FFF, jnp.int32)
+
+    def body(carry, _):
+        node, quad, p, depth, done = carry
+        row = qb_pack2[node]  # [L, 36]
+        bxA = p[..., 0] >= 0.5
+        byA = p[..., 1] >= 0.5
+        qA, pA = _quad_index(p)
+        bxB = pA[..., 0] >= 0.5
+        byB = pA[..., 1] >= 0.5
+        qB, pB = _quad_index(pA)
+        bits = [bxA, byA, bxB, byB]
+        rest = _wheretree([row[:, 4 + i] for i in range(16)], bits)
+        meta = _wheretree([row[:, 20 + i] for i in range(16)], bits)
+        c1 = _sel4(row[:, :4], bxA, byA)
+        cons = meta & 3
+        okB = ((meta >> 2) & 1) == 0
+        allowed = depth_limit - depth
+        active = ~done & (allowed >= 1)
+        quad = jnp.where(active, qA, quad)
+        depth = depth + active
+        moveA = active & (cons >= 2) & (allowed >= 2)
+        quad = jnp.where(moveA, qB, quad)
+        depth = depth + moveA
+        moveB = moveA & okB & (allowed >= 3)
+        node = jnp.where(moveB, rest, jnp.where(moveA, c1, node))
+        p = jnp.where(moveA[..., None], pB,
+                      jnp.where(active[..., None], pA, p))
+        done = done | (active & ~moveA) | (moveA & ~moveB)
+        return (node, quad, p, depth, done), None
+
+    st = (root, jnp.zeros(L, jnp.int32), p, jnp.zeros(L, jnp.int32),
+          jnp.zeros(L, bool))
+    (node, quad, _, depth, _), _ = jax.lax.scan(
+        body, st, None, length=(n_steps + Q_PACK_K - 1) // Q_PACK_K)
+    return node, quad, depth
+
+
+def dtree_box_targets4_packed(qb_pack2, root, pc, depth,
+                              n_steps=MAX_Q_DEPTH):
+    """dtree_box_targets4 with the corner descents running over the
+    2-level packed building-tree topology (descend_cell_packed) — half
+    the sequential gathers of the corner walks, which dominate the
+    improved-config (directionalFilter=box) training shade."""
+    L = pc.shape[0]
+    s = 0.5 ** depth.astype(jnp.float32)
+    b_lo = pc - s[..., None] * 0.5
+    b_hi = pc + s[..., None] * 0.5
+    corners = jnp.stack(
+        [b_lo,
+         jnp.stack([b_hi[:, 0], b_lo[:, 1]], -1),
+         jnp.stack([b_lo[:, 0], b_hi[:, 1]], -1),
+         b_hi], axis=1)  # [L, 4, 2]
+    cc = jnp.clip(corners, 0.0, 1.0 - 1e-6).reshape(L * 4, 2)
+    root4 = jnp.repeat(root, 4)
+    dlim4 = jnp.repeat(depth, 4)
+    node, quad, d = descend_cell_packed(qb_pack2, root4, cc, dlim4,
+                                        n_steps)
+    scale = jnp.exp2(d.astype(jnp.float32))
+    csz = 1.0 / scale
+    o = jnp.floor(cc * scale[..., None]) * csz[..., None]
+    lo4 = jnp.repeat(b_lo, 4, axis=0)
+    hi4 = jnp.repeat(b_hi, 4, axis=0)
+    w2 = (jnp.minimum(hi4, o + csz[..., None])
+          - jnp.maximum(lo4, o))
+    w2 = jnp.maximum(w2, 0.0)
+    s4 = jnp.repeat(s, 4)
+    w = (w2[:, 0] * w2[:, 1]) / jnp.maximum(s4 * s4, 1e-38)
+    cell = (node * 4 + quad).reshape(L, 4)
+    w = w.reshape(L, 4)
+    for j in range(1, 4):
+        dup = jnp.zeros(L, bool)
+        for i in range(j):
+            dup = dup | (cell[:, i] == cell[:, j])
+        w = w.at[:, j].set(jnp.where(dup, 0.0, w[:, j]))
+    return cell, w
 
 
 def dtree_box_targets4(q_child, root, pc, depth, n_steps=MAX_Q_DEPTH):

@@ -372,14 +372,17 @@ def trace_regen(scene: DeviceScene, cfg: PTConfig, key, sensor, pix_start,
         pc = G.dir_to_canonical(d_rec)
         pc = jnp.where(jnp.isfinite(pc), pc, 0.0)
         root = sdtree.db_root[sp_id]
-        node, quad, dep = G.descend_cell(sdtree.qb_child, root, pc,
-                                         sdtree.q_depth)
+        # 2-level packed building-tree walks (descend_cell_packed):
+        # half the sequential gathers of the per-level originals
+        node, quad, dep = G.descend_cell_packed(sdtree.qb_pack2, root, pc,
+                                                None, sdtree.q_depth)
         rec["sp_id"] = sp_id
         if cfg.splat_dir == "box":
             # 4-corner box targets (sdtree.dtree_box_targets4): exact
             # overlap weights, fixed-trip walks — no dynamic stack
-            cell4, w4 = G.dtree_box_targets4(sdtree.qb_child, root, pc,
-                                             dep, sdtree.q_depth)
+            cell4, w4 = G.dtree_box_targets4_packed(sdtree.qb_pack2, root,
+                                                    pc, dep,
+                                                    sdtree.q_depth)
             rec["cell4"] = cell4
             rec["w4"] = w4
         else:

@@ -94,6 +94,60 @@ def test_packed_pdf_dir2_matches_pdf_dir(tree):
                                rtol=1e-6, atol=1e-7)
 
 
+def test_packed_descend_cell_matches_ref(tree):
+    rng = np.random.default_rng(19)
+    L = 4096
+    p = jnp.asarray(rng.random((L, 3), np.float32) * 2.0)
+    dtree_id, _ = G.lookup(tree, p)
+    root = tree.db_root[jnp.maximum(dtree_id, 0)]
+    pc = jnp.asarray(rng.random((L, 2), np.float32))
+    n_ref, q_ref, d_ref = G.descend_cell(tree.qb_child, root, pc,
+                                         tree.q_depth)
+    n_new, q_new, d_new = G.descend_cell_packed(tree.qb_pack2, root, pc,
+                                                None, tree.q_depth)
+    np.testing.assert_array_equal(np.asarray(n_new), np.asarray(n_ref))
+    np.testing.assert_array_equal(np.asarray(q_new), np.asarray(q_ref))
+    np.testing.assert_array_equal(np.asarray(d_new), np.asarray(d_ref))
+
+
+def test_packed_descend_clamped_matches_ref(tree):
+    rng = np.random.default_rng(23)
+    L = 4096
+    p = jnp.asarray(rng.random((L, 3), np.float32) * 2.0)
+    dtree_id, _ = G.lookup(tree, p)
+    root = tree.db_root[jnp.maximum(dtree_id, 0)]
+    pc = jnp.asarray(rng.random((L, 2), np.float32))
+    for lim in (1, 2, 3, 5, 9):
+        dl = jnp.full(L, lim, jnp.int32)
+        n_ref, q_ref, d_ref = G.descend_cell_clamped(
+            tree.qb_child, root, pc, dl, tree.q_depth)
+        n_new, q_new, d_new = G.descend_cell_packed(
+            tree.qb_pack2, root, pc, dl, tree.q_depth)
+        np.testing.assert_array_equal(np.asarray(n_new),
+                                      np.asarray(n_ref), err_msg=str(lim))
+        np.testing.assert_array_equal(np.asarray(q_new),
+                                      np.asarray(q_ref), err_msg=str(lim))
+        np.testing.assert_array_equal(np.asarray(d_new),
+                                      np.asarray(d_ref), err_msg=str(lim))
+
+
+def test_packed_box_targets_match_ref(tree):
+    rng = np.random.default_rng(29)
+    L = 2048
+    p = jnp.asarray(rng.random((L, 3), np.float32) * 2.0)
+    dtree_id, _ = G.lookup(tree, p)
+    root = tree.db_root[jnp.maximum(dtree_id, 0)]
+    pc = jnp.asarray(rng.random((L, 2), np.float32))
+    _, _, dep = G.descend_cell(tree.qb_child, root, pc, tree.q_depth)
+    c_ref, w_ref = G.dtree_box_targets4(tree.qb_child, root, pc, dep,
+                                        tree.q_depth)
+    c_new, w_new = G.dtree_box_targets4_packed(tree.qb_pack2, root, pc,
+                                               dep, tree.q_depth)
+    np.testing.assert_array_equal(np.asarray(c_new), np.asarray(c_ref))
+    np.testing.assert_allclose(np.asarray(w_new), np.asarray(w_ref),
+                               rtol=0, atol=0)
+
+
 def test_dtree_meta_matches_scalar_gathers(tree):
     rng = np.random.default_rng(17)
     ids = jnp.asarray(
