@@ -23,8 +23,11 @@ $(BVH_SO): ppg_tpu/accel/native/bvh_builder.cpp
 $(SDT_SO): ppg_tpu/guiding/native/sdtree_host.cpp
 	$(CXX) $(CXXFLAGS) $< -o $@
 
+# smoke tier: ~11 min of single-core call time (measured round 5,
+# /tmp batched sweep); -n auto (pytest-xdist) brings it under ~3 min
+# on an 8-core box. The full suite is ~77 min single-core — nightly.
 test:
-	python -m pytest tests/ -q -m "not slow"
+	python -m pytest tests/ -q -m "not slow" -n auto
 
 test-all:
 	python -m pytest tests/ -q

@@ -13,6 +13,7 @@ and optionally an .sdt snapshot dumped. Final images combine by "discard",
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import replace
 from functools import partial
@@ -410,8 +411,12 @@ class GuidedPathTracer:
         # training scheduling: "queue" = shared pixel queue, records
         # splatted per continuation dispatch (production); "slab" = one
         # dispatch per spp slab with fixed lane<->pixel binding (kept
-        # for the estimator-equivalence tests and as a fallback)
-        self.train_mode = "queue"
+        # for the estimator-equivalence tests and as a fallback);
+        # "classic" = the per-bounce wavefront body (smallest programs —
+        # the escape hatch for days when the tunnel's remote_compile
+        # helper OOMs on the fused machine-mode programs, see STATUS.md
+        # round 5). PPG_TRAIN_MODE overrides.
+        self.train_mode = os.environ.get("PPG_TRAIN_MODE", "queue")
         self.nee = str(ip.get("nee", "never"))
         self.sample_combination = str(ip.get("sampleCombination", "automatic"))
         self.spatial_filter = str(ip.get("spatialFilter", "nearest"))
@@ -737,7 +742,7 @@ class GuidedPathTracer:
             n_rays += int(np.asarray(carry["n_rays"]))
             n_verts += int(np.asarray(carry["vsum"]))
             n_samples += int(np.asarray(carry["film"])[:-1, 6].sum())
-        elif self._regen_train_ok(cfg):
+        elif self._regen_train_ok(cfg) and self.train_mode != "classic":
             # TRAINING through the regenerative record path: one dispatch
             # per spp slab covering all chunks (scan inside the jit with
             # the SD-tree chained through the carry); slab size bounds

@@ -11,6 +11,8 @@ counts) must be exact.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from ppg_tpu.scene.testscenes import mini_cbox
 
 

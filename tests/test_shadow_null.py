@@ -10,6 +10,9 @@ blocks at the panel instead fails these by darkening nee renders.
 """
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
 
 from ppg_tpu.integrators.driver import make_config, render, render_regen
 from ppg_tpu.scene.testscenes import mini_cbox, mini_cbox_panel
