@@ -9,12 +9,16 @@ how the reference's kdbench-style throughput would be measured
 (mitsuba/src/utils/kdbench.cpp role).
 
 Prints ONE JSON line — ALWAYS (VERDICT r4 weak #1: a benchmark that
-times out reports nothing and fails its one job). Stages run inside a
-hard wall-clock budget (PPG_BENCH_BUDGET seconds, default 900): the
-headline stage runs first, each remaining stage only starts if its
-estimated cost fits the remaining budget, an in-stage SIGALRM aborts
-overruns, and the final JSON is emitted with whatever subset of the
-matrix completed (skipped stages appear with value null and a reason).
+times out reports nothing and fails its one job). Every stage runs in
+a SUBPROCESS with a hard kill timeout: the TPU tunnel can wedge a
+process inside an uninterruptible tcp_recv (remote_compile hangs,
+STATUS.md round 5), which no in-process alarm can break. Stages run
+headline-first within a wall-clock budget (PPG_BENCH_BUDGET seconds,
+default 900); whatever completes lands in the matrix, the rest appear
+with value null and a reason. Guided-training stages retry once with
+PPG_TRAIN_MODE=classic — the small-program fallback for days when the
+tunnel's compile helper cannot build the fused machine-mode programs
+(the measurement is then flagged with mode "classic").
 
 The headline metric is KITCHEN unguided (the big-scene bottleneck the
 north star cares about); the full matrix rides in the "matrix" key.
@@ -22,7 +26,7 @@ north star cares about); the full matrix rides in the "matrix" key.
 
 import json
 import os
-import signal
+import subprocess
 import sys
 import time
 
@@ -36,33 +40,8 @@ def _remaining():
     return BUDGET - (time.time() - T0)
 
 
-class _StageTimeout(Exception):
-    pass
-
-
-def _run_stage(fn, est, *args, **kw):
-    """Run fn under the remaining budget. Returns (value, err). A stage
-    only starts if its estimate fits; an in-stage alarm bounds overrun
-    to the remaining wall-clock so the final JSON always prints."""
-    rem = _remaining()
-    if rem < est:
-        return None, f"skipped (needs ~{est:.0f}s, {rem:.0f}s left)"
-
-    def _alarm(signum, frame):
-        raise _StageTimeout()
-
-    old = signal.signal(signal.SIGALRM, _alarm)
-    signal.alarm(max(int(rem), 1))
-    try:
-        return fn(*args, **kw), None
-    except _StageTimeout:
-        return None, "aborted (budget exhausted mid-stage)"
-    except Exception as e:  # noqa: BLE001 - emit the line no matter what
-        return None, f"error: {type(e).__name__}: {e}"
-    finally:
-        signal.alarm(0)
-        signal.signal(signal.SIGALRM, old)
-
+# ---------------------------------------------------------------------------
+# stage implementations (run inside the --stage subprocess)
 
 def _unguided(path, spp=32):
     import jax
@@ -130,46 +109,89 @@ def _guided_training(path, budget):
     return rays / max(secs, 1e-9) / 1e6
 
 
-def main():
+CBOX = "/root/reference/scenes/cbox/cbox.xml"
+KITCHEN = "/root/reference/scenes/kitchen/kitchen.xml"
+
+STAGES = {
+    "kitchen_unguided": lambda: _unguided(KITCHEN, spp=32),
+    "cbox_unguided": lambda: _unguided(CBOX, spp=32),
+    "cbox_training": lambda: _guided_training(CBOX, budget=32),
+    "kitchen_training": lambda: _guided_training(KITCHEN, budget=8),
+}
+
+
+def _stage_main(name):
     from ppg_tpu import enable_compilation_cache
 
     enable_compilation_cache()
+    print("STAGE_RESULT " + json.dumps({"value": STAGES[name]()}),
+          flush=True)
 
-    cbox = "/root/reference/scenes/cbox/cbox.xml"
-    kitchen = "/root/reference/scenes/kitchen/kitchen.xml"
-    if not os.path.exists(cbox):
-        # fallback: no reference mount — bench the built-in test scene
-        from ppg_tpu.scene.testscenes import mini_cbox  # noqa: F401
 
+# ---------------------------------------------------------------------------
+# orchestrator
+
+def _run_stage(name, est, env_extra=None):
+    """Run one stage in a kill-safe subprocess. Returns (value, err)."""
+    rem = _remaining()
+    if rem < est:
+        return None, f"skipped (needs ~{est:.0f}s, {rem:.0f}s left)"
+    env = dict(os.environ)
+    env.update(env_extra or {})
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--stage", name],
+            timeout=min(rem, est * 3), env=env, capture_output=True,
+            text=True)
+    except subprocess.TimeoutExpired:
+        return None, "killed (stage subprocess exceeded its timeout)"
+    for ln in (r.stdout or "").splitlines():
+        if ln.startswith("STAGE_RESULT "):
+            return json.loads(ln[len("STAGE_RESULT "):])["value"], None
+    tail = ((r.stderr or "") + (r.stdout or ""))[-300:].replace("\n", " ")
+    return None, f"stage failed rc={r.returncode}: {tail}"
+
+
+def main():
+    if len(sys.argv) >= 3 and sys.argv[1] == "--stage":
+        _stage_main(sys.argv[2])
+        return
+
+    if not os.path.exists(CBOX):
         print(json.dumps({"metric": "no_reference_scenes", "value": 0,
                           "unit": "Mrays/s", "vs_baseline": 0}))
         return
 
-    # Stages in headline-first order with measured-cost estimates
-    # (r4 warm timings + margin); later stages are the first skipped
-    # on a slow-tunnel day.
     matrix = []
 
-    def add(name, value, err):
-        row = {"metric": name, "unit": "Mrays/s",
-               "value": round(value, 3) if value is not None else None}
+    def add(metric, name, est, train=False):
+        value, err = _run_stage(name, est)
+        row = {"metric": metric, "unit": "Mrays/s"}
+        if value is None and train and _remaining() > est:
+            # machine-mode training programs may be uncompilable on a
+            # bad tunnel day; the classic per-bounce programs are the
+            # smallest family and usually still build
+            value, err2 = _run_stage(name, est,
+                                     {"PPG_TRAIN_MODE": "classic"})
+            if value is not None:
+                row["mode"] = "classic"
+                err = None
+            else:
+                err = f"{err}; classic retry: {err2}"
+        row["value"] = round(value, 3) if value is not None else None
         if err:
             row["note"] = err
         matrix.append(row)
-        return value
+        return row["value"]
 
-    m_kit = add("kitchen_1Mtris_unguided",
-                *_run_stage(_unguided, 240, kitchen, spp=32))
-    add("cbox_512_unguided_maxdepth10",
-        *_run_stage(_unguided, 90, cbox, spp=32))
-    add("cbox_guided_training",
-        *_run_stage(_guided_training, 240, cbox, budget=32))
-    add("kitchen_guided_training",
-        *_run_stage(_guided_training, 300, kitchen, budget=8))
+    m_kit = add("kitchen_1Mtris_unguided", "kitchen_unguided", 240)
+    add("cbox_512_unguided_maxdepth10", "cbox_unguided", 90)
+    add("cbox_guided_training", "cbox_training", 180, train=True)
+    add("kitchen_guided_training", "kitchen_training", 240, train=True)
 
     print(json.dumps({
         "metric": "kitchen_1Mtris_unguided_raythroughput",
-        "value": round(m_kit, 3) if m_kit is not None else None,
+        "value": m_kit,
         "unit": "Mrays/s",
         "vs_baseline": round(m_kit / 100.0, 4) if m_kit is not None else None,
         "budget_s": BUDGET,
