@@ -18,14 +18,14 @@ MAXTRY=${3:-60}
 RES=parity/results_r5.jsonl
 CACHE=/root/.cache/ppg_tpu_xla
 HB=/tmp/ppg_hb_$SCENE
-STALL=${STALL:-360}
+STALL=${STALL:-600}
 
 newest_progress() {
-  local c h
-  c=$(ls -t "$CACHE" 2>/dev/null | head -1)
-  c=$(stat -c %Y "$CACHE/$c" 2>/dev/null || echo 0)
-  h=$(stat -c %Y "$HB" 2>/dev/null || echo 0)
-  [ "$c" -gt "$h" ] && echo "$c" || echo "$h"
+  # per-scene signals ONLY (heartbeat file + CPU-time advance, handled
+  # by the caller): the shared compile cache is ambiguous when several
+  # grinders run — another scene's progress must not keep a wedged
+  # attempt alive
+  stat -c %Y "$HB" 2>/dev/null || echo 0
 }
 
 for try in $(seq 1 "$MAXTRY"); do
