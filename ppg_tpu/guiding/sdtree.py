@@ -1243,12 +1243,22 @@ def splat_records(sdt: SDTreeArrays, rec, spatial_filter="nearest",
             sdt.qb_sum.reshape(-1), rec["cell4"].reshape(-1),
             (amount[:, None] * rec["w4"]).reshape(-1))
     elif directional_filter == "box":
+        # bounded 4-corner box targets over the packed building-tree
+        # topology — same estimator as the machine-mode precompute
+        # (oracle-tested exact on refined trees; internal-cell residuals
+        # push down uniformly at build, host._pushdown_residuals). The
+        # legacy dynamic-stack walk (dtree_box_splat) blew up both the
+        # TPU watchdog (unbounded while_loop on refined trees) and the
+        # program size; kept only as the test referee.
         pc = dir_to_canonical(d)
         root = sdt.db_root[dtree_id]
-        depth = _depth_at(sdt.qb_child, root, pc, sdt.q_depth)
-        qb_flat = dtree_box_splat(
-            sdt.qb_sum.reshape(-1), sdt.qb_child, root, pc, amount, depth
-        )
+        _, _, depth = descend_cell_packed(sdt.qb_pack2, root, pc, None,
+                                          sdt.q_depth)
+        cell4, w4 = dtree_box_targets4_packed(sdt.qb_pack2, root, pc,
+                                              depth, sdt.q_depth)
+        qb_flat = bincount_add(
+            sdt.qb_sum.reshape(-1), cell4.reshape(-1),
+            (amount[:, None] * w4).reshape(-1))
     elif fast:
         qb_flat = bincount_add(sdt.qb_sum.reshape(-1), rec["cell"], amount)
     else:
