@@ -68,6 +68,8 @@ for try in $(seq 1 "$MAXTRY"); do
     exit 0
   fi
   echo "  attempt $try ended rc=$rc"
+  cp /tmp/parity_grind_$SCENE.log \
+     /tmp/parity_grind_${SCENE}_try${try}_rc${rc}.log 2>/dev/null
   sleep 10
 done
 echo "=== $SCENE gave up after $MAXTRY attempts"

@@ -921,8 +921,33 @@ class GuidedPathTracer:
             self.flush_cb(image)
         return sdtree, film_buf, image, variance
 
+    # -- checkpoint/resume (RenderJob resume role; lets a render survive
+    #    a killed process — e.g. the tunnel-wedge watchdog — by resuming
+    #    at the last completed iteration boundary) -------------------------
+    def _save_checkpoint(self, path, state):
+        import pickle
+        import tempfile
+
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".",
+                                   suffix=".ckpt")
+        with os.fdopen(fd, "wb") as f:
+            pickle.dump(state, f, protocol=4)
+        os.replace(tmp, path)
+
+    def _load_checkpoint(self, path):
+        import pickle
+
+        with open(path, "rb") as f:
+            return pickle.load(f)
+
     # -- the full render loop ------------------------------------------------
-    def render(self, seed=0, spp_budget=None):
+    def render(self, seed=0, spp_budget=None, checkpoint=None):
+        """checkpoint: optional path — the render state (film sums,
+        host SD-tree, iteration counters, inversevar stacks) is written
+        atomically after every completed iteration, and an existing
+        file resumes the loop at that boundary. Deterministic: resumed
+        renders reproduce the uninterrupted result (per-iteration seeds
+        derive from the iteration index)."""
         if self.budget_type != "spp" and spp_budget is None:
             # time budget: estimated via wall clock like renderTime
             return self._render_time(seed)
@@ -937,6 +962,27 @@ class GuidedPathTracer:
         film_buf = self._zeros()
         cur_var_at_end = np.inf
         final_image = None
+
+        if checkpoint and os.path.exists(checkpoint):
+            try:
+                st = self._load_checkpoint(checkpoint)
+                if st.get("seed") == seed and st.get("budget") == budget:
+                    it = st["it"]
+                    passes_rendered = st["passes_rendered"]
+                    is_built = st["is_built"]
+                    film_buf = tuple(st["film_buf"])
+                    images = list(st["images"])
+                    variances = list(st["variances"])
+                    cur_var_at_end = st["cur_var_at_end"]
+                    self.host_tree = st["host_tree"]
+                    log(f"resumed checkpoint: iteration {it}, "
+                        f"{passes_rendered}/{n_passes} passes")
+                else:
+                    log("checkpoint seed/budget mismatch — starting fresh",
+                        level="warn")
+            except Exception as e:  # corrupt checkpoint: start fresh
+                log(f"checkpoint load failed ({e}) — starting fresh",
+                    level="warn")
 
         while passes_rendered < n_passes:
             spp_rendered = passes_rendered * self.spp_per_pass
@@ -1049,6 +1095,18 @@ class GuidedPathTracer:
             if self.dump_sdtree and passes_rendered < n_passes:
                 self._dump(it)
             it += 1
+
+            if checkpoint:
+                # post-build boundary: the next loop iteration starts
+                # with refine_and_reset(it) exactly as it would have
+                self._save_checkpoint(checkpoint, dict(
+                    seed=seed, budget=budget, it=it,
+                    passes_rendered=passes_rendered, is_built=is_built,
+                    film_buf=tuple(np.asarray(b) for b in film_buf),
+                    images=[np.asarray(im) for im in images],
+                    variances=list(variances),
+                    cur_var_at_end=cur_var_at_end,
+                    host_tree=self.host_tree))
 
         if self.sample_combination == "inversevar":
             k = min(len(images), 4)

@@ -144,8 +144,17 @@ def run_scene(name, spp=None, gt_spp=1024, regen_gt=False, save_out=True,
                     np.float32)
 
     tracer = GuidedPathTracer(sc)
-    ours = np.asarray(tracer.render(seed=EVAL_SEED, spp_budget=eval_spp),
+    # per-iteration checkpoint: a killed attempt (tunnel-wedge watchdog,
+    # device fault) resumes at the last completed iteration instead of
+    # re-rendering from scratch — renders longer than one tunnel-health
+    # window complete across attempts (round-5 campaign)
+    os.makedirs(OUT_DIR, exist_ok=True)
+    ckpt = os.path.join(OUT_DIR, f"{name}-{eval_spp}spp.ckpt")
+    ours = np.asarray(tracer.render(seed=EVAL_SEED, spp_budget=eval_spp,
+                                    checkpoint=ckpt),
                       np.float32)
+    if os.path.exists(ckpt):
+        os.unlink(ckpt)
     if save_out:
         os.makedirs(OUT_DIR, exist_ok=True)
         exr.write(os.path.join(OUT_DIR, f"{name}-{eval_spp}spp.exr"), ours)
