@@ -17,6 +17,30 @@ deterministic TPU equivalent of the reference's CAS loops
 
 Topology rebuilds (refine/reset/build) happen between iterations in
 guiding.host; this module only reads/accumulates.
+
+Measured descent cost model (round 5, one TPU v5e via tunnel, 64k
+lanes; method: tools/bench/bench_honest.py harness):
+
+  * The sequential per-level row gather IS the cost of every walk —
+    ~0.6-1.1 ms per gather at 64k lanes, near width-independent to
+    ~1 KB/row (the BVH model in accel/traverse.py:25-82 transfers
+    unchanged: ~10.6 ns/lane + ~12 ps/byte).
+  * Gathers per guided bounce, one-level walks (r4): s-descent
+    s_depth (10-12) + fused sample+pdf q_depth (8) + 3 per-dtree
+    scalars ~= 23.
+  * Packed walks (this file): lookup s_depth/4 + 1 (s_pack4) +
+    sample_pdf q_depth/2 (qs_pack2) + 1 (d_meta) ~= 9.
+  * Isolated fused-walk microbench (refined 256-dtree tree, s_depth 12
+    / q_depth 8, includes per-dispatch tunnel overhead): 13.32 ms ->
+    11.42 ms per 64k-lane dispatch; the isolated numbers are
+    overhead-bound — the e2e effect appears in the guided-pass rows of
+    the bench matrix. Packed-vs-per-level agreement is exact
+    (tests/test_packed_descent.py).
+  * Negative results recorded: a Pallas whole-descent kernel is ruled
+    out by the measured per-lane VMEM gather behavior (see the r2 BVH
+    dead-ends in accel/traverse.py — sub-128-lane column ops dominate);
+    table composition beyond 4 levels doubles the s_pack4 row to 512 B
+    for one fewer gather (~breakeven, not taken).
 """
 
 from __future__ import annotations
